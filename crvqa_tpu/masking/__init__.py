@@ -1,0 +1,32 @@
+from .binarizers import (
+    binarize_ste,
+    binarize_sign,
+    make_binarize_bernoulli,
+    clamp_scores_sign,
+    get_binarizer,
+)
+from .masker import Masker, magnitude_masks
+from .spec import (
+    MaskSpec,
+    lxmert_mask_specs,
+    visualbert_mask_specs,
+    specs_by_modality,
+    LXMERT_WEIGHT_TYPES,
+    VISUALBERT_WEIGHT_TYPES,
+)
+from .sparsity_control import (
+    MaskerScheduler,
+    ModalSparsity,
+    automated_gradual_sparsity,
+    stepwise_sparsity,
+)
+
+__all__ = [
+    "binarize_ste", "binarize_sign", "make_binarize_bernoulli",
+    "clamp_scores_sign", "get_binarizer",
+    "Masker", "magnitude_masks",
+    "MaskSpec", "lxmert_mask_specs", "visualbert_mask_specs",
+    "specs_by_modality", "LXMERT_WEIGHT_TYPES", "VISUALBERT_WEIGHT_TYPES",
+    "MaskerScheduler", "ModalSparsity",
+    "automated_gradual_sparsity", "stepwise_sparsity",
+]

@@ -1,0 +1,232 @@
+"""The functional masker: mask scores as a pytree parallel to the params.
+
+TPU-native redesign of `masking/maskers_Robust.py` (Masker.patch_modules /
+MaskedLinearX) and its variants (`maskers.py`, `global_maskers.py`,
+`maskers_visualBert.py`, `mPLUG/masking/maskers.py`). Instead of swapping
+`nn.Linear` modules for `MaskedLinear` wrappers, the mask scores live in a
+flat dict keyed by the flax param path; the jitted train step merges
+`w * binarize(scores, threshold)` into the frozen param tree before the model
+apply. Gradients reach only the scores (via the straight-through binarizer)
+and whatever the caller marks trainable — the JAX analogue of
+`requires_grad=False` surgery at `maskers_Robust.py:577-642`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+
+from ..ops.kthvalue import kth_smallest, sparsity_threshold
+from .binarizers import get_binarizer
+from .spec import MaskSpec
+
+PyTree = Any
+Scores = dict[str, jax.Array]
+Thresholds = dict[str, jax.Array]
+
+
+def _get_leaf(params: PyTree, path: tuple[str, ...]) -> jax.Array:
+    node = params
+    for p in path:
+        node = node[p]
+    return node
+
+
+@dataclasses.dataclass(frozen=True)
+class Masker:
+    """Static mask configuration + pure functions over (params, scores).
+
+    Args mirror the reference's Masker ctor (`maskers_Robust.py:491-513`):
+    `threshold` (initial binarization threshold, default 1e-2), `init_scale`
+    (random-init scale, default 2e-2), `controlled_init` in
+    {None, 'magnitude', 'uniform', 'double_uniform', 'magnitude_soft'},
+    `zerorate` maps modality -> target zero rate (`HPmodel_modal`).
+    `global_prune` switches threshold resets to a single model-wide kth-value
+    (`global_maskers.py:531-543`).
+    """
+
+    specs: tuple[MaskSpec, ...]
+    zerorate: tuple[tuple[str, float], ...]
+    threshold: float = 1e-2
+    init_scale: float = 2e-2
+    controlled_init: Optional[str] = "magnitude"
+    binarizer_name: str = "MaskedLinear1"
+    global_prune: bool = False
+
+    @classmethod
+    def create(cls, specs: Sequence[MaskSpec], zerorate: dict[str, float] | Any,
+               **kw) -> "Masker":
+        if hasattr(zerorate, "as_dict"):
+            zerorate = zerorate.as_dict()
+        return cls(specs=tuple(specs), zerorate=tuple(sorted(zerorate.items())), **kw)
+
+    # ------------------------------------------------------------------ config
+    @property
+    def zerorate_dict(self) -> dict[str, float]:
+        return dict(self.zerorate)
+
+    def spec_sparsity(self, spec: MaskSpec) -> float:
+        return self.zerorate_dict[spec.modality]
+
+    def binarizer(self, rng: Optional[jax.Array] = None) -> Callable:
+        return get_binarizer(self.binarizer_name, rng)
+
+    # -------------------------------------------------------------------- init
+    def init(self, params: PyTree, rng: Optional[jax.Array] = None
+             ) -> tuple[Scores, Thresholds]:
+        """Build (scores, thresholds) from the frozen params.
+
+        Controlled inits mirror `MaskedLinearX.controlled_init`
+        (`maskers_Robust.py:212-280`): 'magnitude' sets scores to 2*threshold
+        where |w| exceeds its per-matrix kth-value and 0 elsewhere, so the
+        initial binarized sparsity equals the per-modality target exactly.
+        """
+        scores: Scores = {}
+        thresholds: Thresholds = {}
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        thr = self.threshold
+        global_thr_value = None
+        if self.controlled_init == "magnitude_global":
+            # one kth-value over the concatenation of all masked |w|
+            # (global_maskers.py:220-228, 531-543).
+            all_abs = jnp.concatenate(
+                [jnp.abs(jnp.ravel(_get_leaf(params, s.path))) for s in self.specs]
+            )
+            sp = next(iter(self.zerorate_dict.values()))
+            global_thr_value = kth_smallest(all_abs, max(int(all_abs.size * sp), 1))
+
+        for spec in self.specs:
+            w = _get_leaf(params, spec.path)
+            sp = self.spec_sparsity(spec)
+            n = w.size
+            k = max(int(n * sp), 1)
+            key = spec.key
+            rng, sub = jax.random.split(rng)
+            if self.controlled_init is None:
+                # uniform random in (-init_scale, s) chosen so the expected
+                # initial binarized sparsity matches (get_init_scales,
+                # maskers_Robust.py:282-294, MaskedLinear1 branch).
+                hi = (self.init_scale + thr) / sp - self.init_scale
+                scores[key] = jax.random.uniform(
+                    sub, w.shape, jnp.float32, -self.init_scale, hi)
+            elif self.controlled_init == "magnitude":
+                kth = kth_smallest(jnp.abs(w), k)
+                scores[key] = jnp.where(
+                    jnp.abs(w) > kth, 2.0 * thr, 0.0).astype(jnp.float32)
+            elif self.controlled_init == "magnitude_global":
+                scores[key] = jnp.where(
+                    jnp.abs(w) > global_thr_value, 2.0 * thr, 0.0
+                ).astype(jnp.float32)
+            elif self.controlled_init == "uniform":
+                # random k zeros without replacement (maskers_Robust.py:230-240)
+                perm = jax.random.permutation(sub, n)
+                flat = jnp.where(perm < k, 0.0, 2.0 * thr)
+                scores[key] = flat.reshape(w.shape).astype(jnp.float32)
+            elif self.controlled_init == "double_uniform":
+                # sample k indices WITH replacement; below-threshold values in
+                # (0.5t, 0.9t), others in (1.1t, 1.5t) (maskers_Robust.py:242-257)
+                sub1, sub2, sub3 = jax.random.split(sub, 3)
+                idx = jax.random.randint(sub1, (k,), 0, n)
+                keep = jnp.ones((n,), bool).at[idx].set(False)
+                above = jax.random.uniform(sub2, (n,), jnp.float32, 1.1 * thr, 1.5 * thr)
+                below = jax.random.uniform(sub3, (n,), jnp.float32, 0.5 * thr, 0.9 * thr)
+                scores[key] = jnp.where(keep, above, below).reshape(w.shape)
+            elif self.controlled_init == "magnitude_soft":
+                # mPLUG variant: scores := |w|, threshold := kth(|w|)
+                # (mPLUG/masking/maskers.py:218-224, 274-275)
+                scores[key] = jnp.abs(w).astype(jnp.float32)
+                thresholds[key] = kth_smallest(scores[key], k).astype(jnp.float32)
+                continue
+            else:
+                raise NotImplementedError(
+                    f"controlled_init={self.controlled_init!r} not supported")
+            thresholds[key] = jnp.asarray(thr, jnp.float32)
+        return scores, thresholds
+
+    # ------------------------------------------------------------------- apply
+    def apply_masks(self, params: PyTree, scores: Scores, thresholds: Thresholds,
+                    rng: Optional[jax.Array] = None) -> PyTree:
+        """Return a param tree with masked leaves replaced by w * binarize(s).
+
+        Gradients w.r.t. `scores` flow through the STE; `params` is typically
+        held constant by the caller's grad signature (stage 2) or trainable
+        (stages 1/3 use no masks).
+        """
+        binarize = self.binarizer(rng)
+        flat = traverse_util.flatten_dict(params)
+        for spec in self.specs:
+            key = spec.key
+            w = flat[spec.path]
+            m = binarize(scores[key], thresholds[key]).astype(w.dtype)
+            flat[spec.path] = w * m
+        return traverse_util.unflatten_dict(flat)
+
+    # --------------------------------------------------------------- threshold
+    def reset_thresholds(self, scores: Scores) -> Thresholds:
+        """Recompute each module's threshold as the kth-value of its scores.
+
+        Per-modality targets, exactly `Trainer.reset_threshold`
+        (`mask_trainer_Robust_VQA.py:467-482`). With `global_prune`, a single
+        kth-value over all scores (`global_mask_trainer_VQA` path).
+        """
+        if self.global_prune:
+            all_scores = jnp.concatenate([jnp.ravel(scores[s.key]) for s in self.specs])
+            sp = next(iter(self.zerorate_dict.values()))
+            t = kth_smallest(all_scores, max(int(all_scores.size * sp), 1))
+            return {s.key: t.astype(jnp.float32) for s in self.specs}
+        return {
+            s.key: sparsity_threshold(
+                scores[s.key], self.spec_sparsity(s)).astype(jnp.float32)
+            for s in self.specs
+        }
+
+    # ----------------------------------------------------------------- reports
+    def binary_masks(self, scores: Scores, thresholds: Thresholds) -> dict[str, jax.Array]:
+        """Bool masks keyed by spec key (True = kept weight)."""
+        return {
+            s.key: scores[s.key] > thresholds[s.key] for s in self.specs
+        }
+
+    def sparsity_report(self, scores: Scores, thresholds: Thresholds
+                        ) -> dict[str, jax.Array]:
+        """Per-modality + overall achieved zero rates (on device, psum-able).
+
+        Mirrors the audit logging in `save_model_mask`
+        (`mask_trainer_Robust_VQA.py:979-989`).
+        """
+        zeros: dict[str, jax.Array] = {}
+        elems: dict[str, jax.Array] = {}
+        for s in self.specs:
+            z = jnp.sum(scores[s.key] <= thresholds[s.key]).astype(jnp.float32)
+            n = jnp.asarray(scores[s.key].size, jnp.float32)
+            zeros[s.modality] = zeros.get(s.modality, 0.0) + z
+            elems[s.modality] = elems.get(s.modality, 0.0) + n
+            zeros["all"] = zeros.get("all", 0.0) + z
+            elems["all"] = elems.get("all", 0.0) + n
+        return {k: zeros[k] / elems[k] for k in zeros}
+
+    def prune_params(self, params: PyTree, masks: dict[str, jax.Array]) -> PyTree:
+        """Permanently zero masked weights (stage 3's `pruning_model_with_mask`,
+        `run_vqa_stage3.py:227-324`). `masks` are bool arrays keyed by spec key."""
+        flat = traverse_util.flatten_dict(params)
+        for spec in self.specs:
+            w = flat[spec.path]
+            flat[spec.path] = w * masks[spec.key].astype(w.dtype)
+        return traverse_util.unflatten_dict(flat)
+
+
+def magnitude_masks(params: PyTree, specs: Sequence[MaskSpec],
+                    zerorate: dict[str, float]) -> dict[str, jax.Array]:
+    """Random-magnitude pruning baseline for stage 3 `FT_randMask`
+    (`run_vqa_stage3.py:209-226`): keep the top-(1-sparsity) |w| per matrix."""
+    masks = {}
+    for spec in specs:
+        w = _get_leaf(params, spec.path)
+        sp = zerorate[spec.modality]
+        kth = kth_smallest(jnp.abs(w), max(int(w.size * sp), 1))
+        masks[spec.key] = jnp.abs(w) > kth
+    return masks

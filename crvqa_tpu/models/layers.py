@@ -1,0 +1,228 @@
+"""Shared flax building blocks.
+
+Param paths are chosen to map 1:1 onto the reference PyTorch module names
+(see `crvqa_tpu.core.torch_compat`) so that stage-boundary artifacts
+(`mask.pt`, classifier pickles) stay bit-compatible.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+ACT2FN: dict[str, Callable] = {
+    "gelu": nn.gelu,
+    "relu": nn.relu,
+    "tanh": jnp.tanh,
+}
+
+
+class WeightNormDense(nn.Module):
+    """Dense with torch-style weight normalization, dim=None (scalar g).
+
+    `weight_norm(nn.Linear(...), dim=None)` as used by `SimpleClassifier`
+    (`hg_transformers/classifier.py:13-16`, `fc.py:7-19`): W = g * V/||V||_F
+    with a single scalar g initialized to ||W_init||_F.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        bound = 1.0 / jnp.sqrt(in_features)
+
+        def v_init(key, shape, dtype):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        v = self.param("v", v_init, (in_features, self.features), self.param_dtype)
+        g = self.param("g", lambda k, s, d: jnp.linalg.norm(v).reshape(s).astype(d),
+                       (1,), self.param_dtype)
+        kernel = (g / jnp.maximum(jnp.linalg.norm(v), 1e-12)) * v
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            b = self.param("bias", v_init, (self.features,), self.param_dtype)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class MultiHeadAttention(nn.Module):
+    """LXMERT/BERT-style attention over an explicit context.
+
+    Functional equivalent of `LxmertAttention` (`modeling_lxmert.py:769-827`):
+    separate query/key/value Dense, additive attention-mask bias, softmax in
+    fp32, attention-prob dropout. The module is generic over self- vs
+    cross-attention via the `context` argument; cross-modality weight SHARING
+    (one `visual_attention` used in both directions,
+    `modeling_lxmert.py:947-958`) falls out of calling one instance twice.
+    """
+
+    num_heads: int
+    head_size: int
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, context, attention_bias=None, deterministic=True):
+        d = self.num_heads * self.head_size
+        dense = lambda name: nn.Dense(
+            d, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        q = dense("query")(hidden)
+        k = dense("key")(context)
+        v = dense("value")(context)
+
+        def split_heads(t):
+            return t.reshape(t.shape[0], t.shape[1], self.num_heads, self.head_size)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        scores = scores / jnp.sqrt(self.head_size).astype(jnp.float32)
+        if attention_bias is not None:
+            scores = scores + attention_bias.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return ctx.reshape(ctx.shape[0], ctx.shape[1], d)
+
+
+class AttentionOutput(nn.Module):
+    """dense -> dropout -> residual add -> LayerNorm
+    (`LxmertAttentionOutput`, modeling_lxmert.py:833-845)."""
+
+    hidden_size: int
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, residual, deterministic=True):
+        h = nn.Dense(self.hidden_size, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="dense")(hidden)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="LayerNorm")(h + residual)
+        return h
+
+
+class SelfAttentionLayer(nn.Module):
+    """`LxmertSelfAttentionLayer` (modeling_lxmert.py:862-880):
+    attention (named 'self') + output block."""
+
+    num_heads: int
+    head_size: int
+    hidden_size: int
+    attn_dropout: float = 0.1
+    hidden_dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_bias=None, deterministic=True):
+        att = MultiHeadAttention(
+            self.num_heads, self.head_size, self.attn_dropout,
+            self.dtype, self.param_dtype, name="self",
+        )(x, x, attention_bias, deterministic)
+        return AttentionOutput(
+            self.hidden_size, self.hidden_dropout, self.dtype, self.param_dtype,
+            name="output",
+        )(att, x, deterministic)
+
+
+class CrossAttentionLayer(nn.Module):
+    """`LxmertCrossAttentionLayer` (modeling_lxmert.py:848-859):
+    attention (named 'att') + output block."""
+
+    num_heads: int
+    head_size: int
+    hidden_size: int
+    attn_dropout: float = 0.1
+    hidden_dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, ctx_attention_bias=None, deterministic=True):
+        att = MultiHeadAttention(
+            self.num_heads, self.head_size, self.attn_dropout,
+            self.dtype, self.param_dtype, name="att",
+        )(x, context, ctx_attention_bias, deterministic)
+        return AttentionOutput(
+            self.hidden_size, self.hidden_dropout, self.dtype, self.param_dtype,
+            name="output",
+        )(att, x, deterministic)
+
+
+class Intermediate(nn.Module):
+    """`LxmertIntermediate` (modeling_lxmert.py:883-893)."""
+
+    intermediate_size: int
+    act: str = "gelu"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.intermediate_size, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="dense")(x)
+        return ACT2FN[self.act](h)
+
+
+class FFNOutput(nn.Module):
+    """`LxmertOutput` (modeling_lxmert.py:896-907)."""
+
+    hidden_size: int
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, residual, deterministic=True):
+        h = nn.Dense(self.hidden_size, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="dense")(hidden)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="LayerNorm")(h + residual)
+        return h
+
+
+class TransformerLayer(nn.Module):
+    """Self-attention + FFN block (`LxmertLayer`, modeling_lxmert.py:910-925;
+    identical to a BERT layer, reused by the VisualBERT stack)."""
+
+    num_heads: int
+    head_size: int
+    hidden_size: int
+    intermediate_size: int
+    act: str = "gelu"
+    attn_dropout: float = 0.1
+    hidden_dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_bias=None, deterministic=True):
+        att = SelfAttentionLayer(
+            self.num_heads, self.head_size, self.hidden_size,
+            self.attn_dropout, self.hidden_dropout, self.dtype, self.param_dtype,
+            name="attention",
+        )(x, attention_bias, deterministic)
+        inter = Intermediate(self.intermediate_size, self.act, self.dtype,
+                             self.param_dtype, name="intermediate")(att)
+        return FFNOutput(self.hidden_size, self.hidden_dropout, self.dtype,
+                         self.param_dtype, name="output")(inter, att, deterministic)
+
+
+def extend_attention_mask(mask: Optional[jax.Array]) -> Optional[jax.Array]:
+    """[B, L] 1/0 mask -> additive [B, 1, 1, L] bias with -10000 at pads
+    (`LxmertModel.forward`, modeling_lxmert.py:1386-1402)."""
+    if mask is None:
+        return None
+    return ((1.0 - mask.astype(jnp.float32)) * -10000.0)[:, None, None, :]

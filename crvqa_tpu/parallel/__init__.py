@@ -1,0 +1,17 @@
+from .mesh import (
+    MeshConfig,
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    host_all_gather,
+)
+
+__all__ = [
+    "MeshConfig",
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "host_all_gather",
+]

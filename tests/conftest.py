@@ -1,0 +1,17 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+The standard JAX fake-backend technique for exercising pjit sharding and
+psum collectives without TPU hardware (SURVEY.md §4).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
