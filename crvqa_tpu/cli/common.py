@@ -1,0 +1,150 @@
+"""Shared CLI plumbing: args, data assembly, logging, the epoch loop skeleton.
+
+Mirrors the flag surface of the reference entry scripts
+(`run_vqa_stage1.py`, `prune_debias_VQA.py`, `run_vqa_stage3.py`) where
+sensible; adds `--synthetic N` to smoke-run any stage without the VQA-CP
+data drop.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+logger = logging.getLogger("crvqa_tpu")
+
+
+def str2bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "y")
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dataroot", type=str, default=None)
+    p.add_argument("--img_root", type=str, default=None,
+                   help="path to vqa_img_feature_trainval.pickle")
+    p.add_argument("--vocab_file", type=str, default=None)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--label4save", type=str, default="run")
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--per_gpu_train_batch_size", "--train_batch_size",
+                   dest="train_batch_size", type=int, default=64)
+    p.add_argument("--per_gpu_eval_batch_size", "--eval_batch_size",
+                   dest="eval_batch_size", type=int, default=64)
+    p.add_argument("--num_train_epochs", type=float, default=20)
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--logging_steps", type=int, default=100)
+    p.add_argument("--save_steps", type=int, default=1712)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_eval", action="store_true")
+    p.add_argument("--do_predict", action="store_true")
+    p.add_argument("--evaluate_during_training", action="store_true")
+    p.add_argument("--gamma", type=float, default=5.0)
+    p.add_argument("--ans_num", type=int, default=2274)
+    p.add_argument("--mesh_data", type=int, default=-1,
+                   help="data-parallel mesh size (-1 = all devices)")
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="run on N synthetic examples instead of real data")
+    p.add_argument("--resume_from", type=str, default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny 2/1/1-layer config for smoke tests")
+
+
+def setup_logging(output_dir: str) -> None:
+    os.makedirs(output_dir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+
+
+def dump_args(args: argparse.Namespace, output_dir: str) -> None:
+    """`args.txt` dump of all configs (prune_debias_VQA.py:953-957)."""
+    with open(os.path.join(output_dir, "args.txt"), "w") as f:
+        json.dump(vars(args), f, indent=2, default=str)
+
+
+def log_step(step: int, **metrics) -> None:
+    """JSON-line step logs like the reference trainer's `_log`."""
+    payload = {"step": step}
+    payload.update({k: (round(float(v), 6) if isinstance(v, (int, float, np.floating))
+                        else v) for k, v in metrics.items()})
+    print(json.dumps(payload), flush=True)
+
+
+def build_data(args, config):
+    """Returns (train_batches_fn, eval_batches_fn, label2ans, n_train).
+
+    Real VQA-CP data when --dataroot/--img_root are given; synthetic
+    otherwise (--synthetic N).
+    """
+    from ..data.synthetic import synthetic_batch
+
+    if args.synthetic:
+        n = args.synthetic
+        ans_num = config.ans_num
+        label2ans = [f"ans_{i}" for i in range(ans_num)]
+
+        def train_batches(epoch: int) -> Iterator[dict]:
+            bs = args.train_batch_size
+            for i in range(max(n // bs, 1)):
+                yield synthetic_batch(
+                    batch_size=bs, seed=epoch * 10000 + i,
+                    vocab_size=config.vocab_size, ans_num=ans_num,
+                    feat_dim=config.visual_feat_dim,
+                    pos_dim=config.visual_pos_dim)
+
+        def eval_batches() -> Iterator[dict]:
+            bs = args.eval_batch_size
+            for i in range(max(n // bs, 1)):
+                yield synthetic_batch(
+                    batch_size=bs, seed=777000 + i,
+                    vocab_size=config.vocab_size, ans_num=ans_num,
+                    feat_dim=config.visual_feat_dim,
+                    pos_dim=config.visual_pos_dim)
+
+        return train_batches, eval_batches, label2ans, n
+
+    from ..data import vqacp
+
+    tokenizer = vqacp.make_tokenizer(args.vocab_file)
+    ans2label, label2ans = vqacp.load_answer_vocab(args.dataroot)
+    ans_num = len(ans2label)
+    train = vqacp.load_entries(args.dataroot, "train", tokenizer, ans_num)
+    test = vqacp.load_entries(args.dataroot, "test", tokenizer, ans_num)
+    priors = vqacp.compute_bias_priors(train, ans_num)
+    vqacp.attach_bias(train, priors, ans_num)
+    vqacp.attach_bias(test, priors, ans_num)
+    features = vqacp.ImageFeatures(args.img_root)
+
+    def train_batches(epoch: int) -> Iterator[dict]:
+        return vqacp.iterate_batches(
+            train, features, args.train_batch_size, shuffle=True,
+            seed=args.seed + epoch, drop_last=True)
+
+    def eval_batches() -> Iterator[dict]:
+        return vqacp.iterate_batches(
+            test, features, args.eval_batch_size, shuffle=False)
+
+    return train_batches, eval_batches, label2ans, len(train)
+
+
+def make_shard_fn(mesh):
+    from ..parallel import shard_batch
+
+    def fn(batch):
+        return shard_batch(mesh, {k: v for k, v in batch.items() if k != "valid"})
+
+    return fn

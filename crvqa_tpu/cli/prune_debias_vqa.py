@@ -1,0 +1,186 @@
+"""Stage-2 driver: mask-train LXMERT on VQA-CP v2 with per-modality sparsity.
+
+TPU-native re-design of `prune_debias_VQA.py` + the stage-2 trainer loop
+(`mask_trainer_Robust_VQA.py:504-783`): loads the stage-1 checkpoint selected
+by `--FTmodel_type`, builds the per-modality Masker, trains mask scores +
+classifier with the `--Masker_type` debias loss, resets thresholds every
+`--logging_steps`, evaluates every `--save_steps`, and at each new best
+exports test.json + mask.pt + classifier4masker.bin.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import checkpoint as ckpt
+from ..core import torch_compat
+from ..masking import Masker, ModalSparsity, lxmert_mask_specs
+from ..models import LxmertConfig, LxmertForVQA
+from ..parallel import MeshConfig, make_mesh, replicated_sharding
+from ..train import stage2
+from ..train.evaluation import dump_predictions, predict, vqa_accuracy
+from . import common
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("prune_debias_vqa")
+    common.add_common_args(p)
+    p.add_argument("--model_type", type=str, default="lxmert")
+    p.add_argument("--masker_level", type=str, default="modal",
+                   choices=["modal"])  # only 'modal' shipped (prune_debias_VQA.py:853-855)
+    p.add_argument("--Lang_comp", type=float, default=0.3)
+    p.add_argument("--Vis_comp", type=float, default=0.3)
+    p.add_argument("--Fus_comp", type=float, default=0.3)
+    p.add_argument("--zero_rate", type=float, default=0.7)
+    p.add_argument("--FTmodel_type", type=str, default="noFT",
+                   choices=["noFT", "normal", "lmh", "lpf", "rubi"])
+    p.add_argument("--Masker_type", type=str, default="lmh",
+                   choices=["normal", "lmh", "lpf", "rubi", "poe", "reweight"])
+    p.add_argument("--stage1_ckpt", type=str, default=None,
+                   help="stage-1 checkpoint (native msgpack or torch .bin state_dict)")
+    p.add_argument("--controlled_init", type=str, default="magnitude",
+                   choices=["magnitude", "uniform", "double_uniform",
+                            "magnitude_soft", "magnitude_global", "none"])
+    p.add_argument("--threshold", type=float, default=1e-2)
+    p.add_argument("--init_scale", type=float, default=2e-2)
+    p.add_argument("--global_prune", type=common.str2bool, default=False)
+    p.add_argument("--name_of_masker", type=str, default="MaskedLinear1")
+    p.add_argument("--training_type", type=str, default="Masker")
+    return p
+
+
+def load_stage1_params(path, model, config, rng):
+    """Init fresh params, then overlay a stage-1 checkpoint if given
+    (the `FTmodel_type` loading switch, prune_debias_VQA.py:767-818)."""
+    from ..data.synthetic import synthetic_batch
+
+    b = synthetic_batch(batch_size=2, vocab_size=config.vocab_size,
+                        ans_num=config.ans_num, feat_dim=config.visual_feat_dim,
+                        pos_dim=config.visual_pos_dim)
+    params = model.init(
+        rng, input_ids=jnp.asarray(b["input_ids"]),
+        visual_feats=jnp.asarray(b["visual_feats"]),
+        visual_pos=jnp.asarray(b["visual_pos"]))["params"]
+    if path is None:
+        return params
+    if path.endswith(".bin") or path.endswith(".pt") or path.endswith(".pth"):
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(raw, "state_dict"):
+            raw = raw.state_dict()
+        return torch_compat.torch_state_dict_to_flax(raw, params)
+    return ckpt.load_checkpoint(path, params)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    common.setup_logging(args.output_dir)
+    common.dump_args(args, args.output_dir)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.tiny:
+        config = LxmertConfig.tiny(dtype=dtype)
+    else:
+        config = LxmertConfig(ans_num=args.ans_num, dtype=dtype)
+    model = LxmertForVQA(config)
+    rng = jax.random.PRNGKey(args.seed)
+    params = load_stage1_params(args.stage1_ckpt, model, config, rng)
+
+    specs = lxmert_mask_specs(config.l_layers, config.r_layers, config.x_layers)
+    sparsity = ModalSparsity.from_compression(
+        args.Lang_comp, args.Vis_comp, args.Fus_comp, args.zero_rate)
+    masker = Masker.create(
+        specs, sparsity,
+        threshold=args.threshold, init_scale=args.init_scale,
+        controlled_init=None if args.controlled_init == "none" else args.controlled_init,
+        binarizer_name=args.name_of_masker, global_prune=args.global_prune)
+
+    train_batches, eval_batches, label2ans, n_train = common.build_data(args, config)
+    steps_per_epoch = max(n_train // args.train_batch_size, 1)
+    total_steps = int(steps_per_epoch * args.num_train_epochs)
+
+    cfg = stage2.Stage2Config(
+        masker_type=args.Masker_type, learning_rate=args.learning_rate,
+        warmup_steps=args.warmup_steps, total_steps=total_steps,
+        weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm,
+        adam_epsilon=args.adam_epsilon, gamma=args.gamma,
+        hidden_size=config.hidden_size)
+    state, tx = stage2.init_state(model, masker, params, cfg,
+                                  jax.random.PRNGKey(args.seed))
+
+    mesh = make_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
+    state = jax.device_put(state, replicated_sharding(mesh))
+    shard_fn = common.make_shard_fn(mesh)
+    step_fn = stage2.make_train_step(model, masker, tx, cfg)
+    reset_fn = stage2.make_threshold_reset(masker)
+    eval_fn = stage2.make_eval_step(model, masker)
+
+    if args.resume_from:
+        state = ckpt.load_checkpoint(args.resume_from, state)
+
+    def evaluate(state):
+        out = predict(eval_fn, state, eval_batches(), shard_fn=shard_fn)
+        acc = vqa_accuracy(out["logits"], out["labels"])
+        return acc, out
+
+    def export_best(state):
+        state = reset_fn(state)
+        masks = jax.device_get(masker.binary_masks(state.scores, state.thresholds))
+        torch_compat.export_mask_pt(
+            os.path.join(args.output_dir, "mask.pt"), masks, masker.specs)
+        torch_compat.export_classifier_bin(
+            os.path.join(args.output_dir, "classifier4masker.bin"),
+            jax.device_get(state.train_params["classifier"]))
+        report = jax.device_get(
+            masker.sparsity_report(state.scores, state.thresholds))
+        common.logger.info("zero rates: %s",
+                           {k: round(float(v), 4) for k, v in report.items()})
+        return state
+
+    best = -1.0
+    if args.do_train:
+        # pre-train sanity eval (mask_trainer_Robust_VQA.py:606-609)
+        if args.evaluate_during_training:
+            acc0, _ = evaluate(state)
+            common.logger.info(
+                "pre-train eval acc %.2f (expected LOW right after mask "
+                "patching)", acc0)
+        for epoch in range(int(args.num_train_epochs)):
+            for batch in train_batches(epoch):
+                state, metrics = step_fn(state, shard_fn(batch))
+                step = int(state.step)
+                if args.logging_steps and step % args.logging_steps == 0:
+                    state = reset_fn(state)
+                    common.log_step(step, loss=float(metrics.loss),
+                                    score=100 * float(metrics.score) /
+                                    float(metrics.batch_size), epoch=epoch)
+                if args.save_steps and step % args.save_steps == 0:
+                    ckpt.save_checkpoint(
+                        os.path.join(args.output_dir, f"ckpt_{step}"), state,
+                        metadata={"step": step})
+                    ckpt.rotate_checkpoints(args.output_dir, keep=2)
+                    if args.evaluate_during_training:
+                        acc, out = evaluate(state)
+                        common.log_step(step, eval_acc=acc)
+                        if acc > best:
+                            best = acc
+                            dump_predictions(
+                                os.path.join(args.output_dir, "test.json"),
+                                out["logits"], out["question_id"], label2ans)
+                            state = export_best(state)
+        state = export_best(state)
+
+    if args.do_eval or args.do_predict:
+        acc, out = evaluate(state)
+        common.log_step(int(state.step), final_eval_acc=acc)
+        dump_predictions(os.path.join(args.output_dir, "test.json"),
+                         out["logits"], out["question_id"], label2ans)
+
+
+if __name__ == "__main__":
+    main()

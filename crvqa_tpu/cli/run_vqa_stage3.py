@@ -1,0 +1,163 @@
+"""Stage-3 driver: permanently prune the learned subnetwork + fine-tune.
+
+TPU-native re-design of `run_vqa_stage3.py`: loads the stage-1 params +
+stage-2 `mask.pt` + `classifier4masker.bin`, applies the mask as a constant
+multiplier pytree (the JAX analogue of `prune.CustomFromMask` — masked
+entries get exactly zero gradient), audits the achieved zero rate
+(`see_weight_rate`, :75-178), then runs the stage-1 training loop. The
+`FT_randMask` baseline replaces the trained mask with per-matrix
+random-magnitude pruning (:209-226).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import checkpoint as ckpt
+from ..core import torch_compat
+from ..masking import Masker, ModalSparsity, lxmert_mask_specs, magnitude_masks
+from ..models import LxmertConfig, LxmertForVQA
+from ..parallel import MeshConfig, make_mesh, replicated_sharding
+from ..train import stage1
+from ..train.evaluation import dump_predictions, predict, vqa_accuracy
+from . import common
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("run_vqa_stage3")
+    common.add_common_args(p)
+    p.add_argument("--model_type", type=str, default="lxmert")
+    p.add_argument("--FT_type", type=str, default="normal",
+                   choices=["normal", "lmh", "lpf", "rubi"])
+    p.add_argument("--training_type", type=str, default="FT_trainedMask",
+                   choices=["FT_trainedMask", "FT_randMask"])
+    p.add_argument("--stage1_ckpt", type=str, default=None)
+    p.add_argument("--mask_pt", type=str, default=None,
+                   help="stage-2 mask.pt (required for FT_trainedMask)")
+    p.add_argument("--classifier_bin", type=str, default=None,
+                   help="stage-2 classifier4masker.bin")
+    p.add_argument("--zero_rate", type=float, default=0.7)
+    return p
+
+
+def see_weight_rate(masker, params, masks) -> float:
+    """Achieved zero-rate audit (run_vqa_stage3.py:75-178)."""
+    pruned = masker.prune_params(params, masks)
+    zeros = total = 0
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(pruned)
+    for spec in masker.specs:
+        w = np.asarray(flat[spec.path])
+        zeros += int((w == 0).sum())
+        total += w.size
+    return zeros / total
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    common.setup_logging(args.output_dir)
+    common.dump_args(args, args.output_dir)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.tiny:
+        config = LxmertConfig.tiny(dtype=dtype)
+    else:
+        config = LxmertConfig(ans_num=args.ans_num, dtype=dtype)
+    model = LxmertForVQA(config)
+
+    from .prune_debias_vqa import load_stage1_params
+
+    params = load_stage1_params(args.stage1_ckpt, model, config,
+                                jax.random.PRNGKey(args.seed))
+    specs = lxmert_mask_specs(config.l_layers, config.r_layers, config.x_layers)
+    masker = Masker.create(
+        specs, ModalSparsity.uniform(args.zero_rate,
+                                     ("Lang", "Vis", "Fus", "P")))
+
+    if args.training_type == "FT_randMask":
+        masks = jax.device_get(
+            magnitude_masks(params, list(masker.specs), masker.zerorate_dict))
+    else:
+        assert args.mask_pt, "--mask_pt required for FT_trainedMask"
+        masks = torch_compat.import_mask_pt(args.mask_pt, masker.specs)
+    if args.classifier_bin:
+        params = dict(params)
+        params["classifier"] = torch_compat.import_classifier_bin(
+            args.classifier_bin, params["classifier"])
+
+    rate = see_weight_rate(masker, params, masks)
+    common.logger.info("achieved zero rate after pruning: %.4f", rate)
+
+    params = masker.prune_params(params, {k: jnp.asarray(v) for k, v in masks.items()})
+
+    train_batches, eval_batches, label2ans, n_train = common.build_data(args, config)
+    steps_per_epoch = max(n_train // args.train_batch_size, 1)
+    total_steps = int(steps_per_epoch * args.num_train_epochs)
+
+    cfg = stage1.Stage1Config(
+        ft_type=args.FT_type, learning_rate=args.learning_rate,
+        warmup_steps=args.warmup_steps, total_steps=total_steps,
+        max_grad_norm=args.max_grad_norm, adam_epsilon=args.adam_epsilon,
+        gamma=args.gamma, hidden_size=config.hidden_size)
+    state, tx = stage1.init_state(
+        params, cfg, jax.random.PRNGKey(args.seed),
+        masks={k: jnp.asarray(v) for k, v in masks.items()})
+
+    mesh = make_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
+    state = jax.device_put(state, replicated_sharding(mesh))
+    shard_fn = common.make_shard_fn(mesh)
+    step_fn = stage1.make_train_step(model, cfg, tx, masker=masker)
+    eval_fn = stage1.make_eval_step(model, masker=masker)
+
+    if args.resume_from:
+        state = ckpt.load_checkpoint(args.resume_from, state)
+
+    def evaluate(state):
+        out = predict(eval_fn, state, eval_batches(), shard_fn=shard_fn)
+        return vqa_accuracy(out["logits"], out["labels"]), out
+
+    best = -1.0
+    if args.do_train:
+        for epoch in range(int(args.num_train_epochs)):
+            for batch in train_batches(epoch):
+                state, metrics = step_fn(state, shard_fn(batch))
+                step = int(state.step)
+                if args.logging_steps and step % args.logging_steps == 0:
+                    common.log_step(step, loss=float(metrics.loss),
+                                    score=100 * float(metrics.score) /
+                                    float(metrics.batch_size), epoch=epoch)
+                if args.save_steps and step % args.save_steps == 0:
+                    ckpt.save_checkpoint(
+                        os.path.join(args.output_dir, f"ckpt_{step}"), state,
+                        metadata={"step": step})
+                    ckpt.rotate_checkpoints(args.output_dir, keep=2)
+                    if args.evaluate_during_training:
+                        acc, out = evaluate(state)
+                        common.log_step(step, eval_acc=acc)
+                        if acc > best:
+                            best = acc
+                            dump_predictions(
+                                os.path.join(args.output_dir, "test.json"),
+                                out["logits"], out["question_id"], label2ans)
+                            suffix = ("_FT_trainedMask.bin"
+                                      if args.training_type == "FT_trainedMask"
+                                      else "FT_randMask.bin")
+                            ckpt.save_checkpoint(
+                                os.path.join(args.output_dir,
+                                             args.label4save + suffix + ".msgpack"),
+                                jax.device_get(state.params))
+
+    if args.do_eval or args.do_predict:
+        acc, out = evaluate(state)
+        common.log_step(int(state.step), final_eval_acc=acc)
+        dump_predictions(os.path.join(args.output_dir, "test.json"),
+                         out["logits"], out["question_id"], label2ans)
+
+
+if __name__ == "__main__":
+    main()

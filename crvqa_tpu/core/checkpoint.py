@@ -1,0 +1,75 @@
+"""Native checkpoint / resume.
+
+The reference's failure-recovery story is whole-model pickles + optional
+optimizer/scheduler reload (`mask_trainer_Robust_VQA.py:526-536`, SURVEY.md
+§5.3-5.4). Here every stage state is a pytree, so checkpointing is a msgpack
+dump of (state, metadata) via flax.serialization — deterministic, torch-free,
+and resumable mid-epoch (the step counter lives in the state).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+PyTree = Any
+
+
+def save_checkpoint(path: str, state: PyTree, metadata: Optional[dict] = None
+                    ) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    host_state = jax.device_get(state)
+    payload = serialization.to_bytes(host_state)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)  # atomic: a preempted write never corrupts the ckpt
+    if metadata is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(metadata, f)
+
+
+def load_checkpoint(path: str, target: PyTree) -> PyTree:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def load_metadata(path: str) -> Optional[dict]:
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return None
+
+
+def latest_checkpoint(directory: str, prefix: str = "ckpt_") -> Optional[str]:
+    """`_sorted_checkpoints` analogue (mask_trainer_Robust_VQA.py:1022-1038)."""
+    if not os.path.isdir(directory):
+        return None
+    cands = []
+    for name in os.listdir(directory):
+        if name.startswith(prefix) and not name.endswith(".json") \
+                and not name.endswith(".tmp"):
+            suffix = name[len(prefix):]
+            if suffix.isdigit():
+                cands.append((int(suffix), os.path.join(directory, name)))
+    return max(cands)[1] if cands else None
+
+
+def rotate_checkpoints(directory: str, keep: int, prefix: str = "ckpt_") -> None:
+    """`_rotate_checkpoints` retention (mask_trainer_Robust_VQA.py:1040-1052)."""
+    if not os.path.isdir(directory):
+        return
+    cands = sorted(
+        (int(n[len(prefix):]), os.path.join(directory, n))
+        for n in os.listdir(directory)
+        if n.startswith(prefix) and n[len(prefix):].isdigit()
+    )
+    for _, path in cands[:-keep] if keep > 0 else cands:
+        os.remove(path)
+        if os.path.exists(path + ".meta.json"):
+            os.remove(path + ".meta.json")

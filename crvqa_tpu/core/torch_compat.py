@@ -1,0 +1,173 @@
+"""Stage-boundary artifact interop with the PyTorch reference.
+
+The real API of the reference codebase is its checkpoint files (SURVEY.md §1):
+  - `mask.pt`: dict {torch_module_name + '.weight': BoolTensor}
+    (`mask_trainer_Robust_VQA.py:943-991`)
+  - `classifier4masker.bin`: the classifier module
+    (`mask_trainer_Robust_VQA.py:734-740`) — we emit/read its state_dict
+    (whole-module pickles need the reference class definitions to unpickle;
+    the tensor payload is identical)
+  - stage-1 whole-model pickles — we read their state_dicts when available.
+
+Orientation: torch Linear weight is (out, in); flax Dense kernel is
+(in, out) -> transpose on both export and import. Embeddings keep (vocab,
+hidden) on both sides. torch is CPU-only here and used purely for
+(de)serialization — never in the compute path.
+"""
+from __future__ import annotations
+
+from typing import Any, Iterable, Sequence
+
+import numpy as np
+
+from ..masking.spec import MaskSpec
+
+PyTree = Any
+
+
+def _torch():
+    import torch
+
+    return torch
+
+
+# ------------------------------------------------------------------- mask.pt
+
+def export_mask_pt(path: str, masks: dict[str, np.ndarray],
+                   specs: Sequence[MaskSpec]) -> None:
+    """Write masks (keyed by spec.key, flax orientation) as a reference-format
+    `mask.pt` keyed by `<torch_name>.weight` bool tensors."""
+    torch = _torch()
+    out = {}
+    for spec in specs:
+        m = np.asarray(masks[spec.key]).astype(bool)
+        if not spec.is_embedding:
+            m = m.T  # flax (in, out) -> torch (out, in)
+        out[f"{spec.torch_name}.weight"] = torch.from_numpy(m)
+    torch.save(out, path)
+
+
+def import_mask_pt(path: str, specs: Sequence[MaskSpec]) -> dict[str, np.ndarray]:
+    """Read a reference `mask.pt` back into spec.key-keyed flax orientation."""
+    torch = _torch()
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    masks = {}
+    for spec in specs:
+        t = raw[f"{spec.torch_name}.weight"]
+        m = t.numpy().astype(bool)
+        if not spec.is_embedding:
+            m = m.T
+        masks[spec.key] = m
+    return masks
+
+
+# -------------------------------------------------------- param dict interop
+
+def flax_to_torch_state_dict(params: PyTree, prefix: str = "") -> dict[str, np.ndarray]:
+    """Flatten a flax param tree to torch state_dict naming.
+
+    Rules: `layer_3` -> `layer.3` (and r_layers/x_layers/main); Dense
+    `kernel` -> `weight` transposed; `Embed.embedding` -> `weight`;
+    LayerNorm `scale` -> `weight`; WeightNormDense `v`/`g` ->
+    `weight_v` (transposed) / `weight_g`.
+    """
+    from flax import traverse_util
+
+    out = {}
+    flat = traverse_util.flatten_dict(params)
+    for path, value in flat.items():
+        arr = np.asarray(value)
+        parts = []
+        for p in path[:-1]:
+            if "_" in p and p.rsplit("_", 1)[-1].isdigit():
+                stem, idx = p.rsplit("_", 1)
+                parts.extend([stem, idx])
+            else:
+                parts.append(p)
+        leaf = path[-1]
+        if leaf == "kernel":
+            leaf, arr = "weight", arr.T
+        elif leaf == "embedding":
+            leaf = "weight"
+        elif leaf == "scale":
+            leaf = "weight"
+        elif leaf == "v":
+            leaf, arr = "weight_v", arr.T
+        elif leaf == "g":
+            leaf, arr = "weight_g", arr.reshape(())
+        name = ".".join(([prefix] if prefix else []) + parts + [leaf])
+        out[name] = arr
+    return out
+
+
+def torch_state_dict_to_flax(state: dict[str, Any], template: PyTree) -> PyTree:
+    """Inverse mapping: fill a flax param template from a torch state_dict.
+
+    `template` provides the tree structure + shapes; any torch tensor values
+    are converted to numpy. Raises KeyError listing missing names.
+    """
+    from flax import traverse_util
+
+    def to_np(v):
+        return v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+
+    flat = traverse_util.flatten_dict(template)
+    out = {}
+    missing = []
+    for path, value in flat.items():
+        parts = []
+        for p in path[:-1]:
+            if "_" in p and p.rsplit("_", 1)[-1].isdigit():
+                stem, idx = p.rsplit("_", 1)
+                parts.extend([stem, idx])
+            else:
+                parts.append(p)
+        leaf = path[-1]
+        transpose = False
+        if leaf == "kernel":
+            leaf, transpose = "weight", True
+        elif leaf == "embedding":
+            leaf = "weight"
+        elif leaf == "scale":
+            leaf = "weight"
+        elif leaf == "v":
+            leaf, transpose = "weight_v", True
+        elif leaf == "g":
+            leaf = "weight_g"
+        name = ".".join(parts + [leaf])
+        if name not in state:
+            missing.append(name)
+            continue
+        arr = to_np(state[name]).astype(np.asarray(value).dtype)
+        if transpose:
+            arr = arr.T
+        if leaf == "weight_g":
+            arr = arr.reshape(np.asarray(value).shape)
+        if arr.shape != np.asarray(value).shape:
+            raise ValueError(f"{name}: shape {arr.shape} != {np.asarray(value).shape}")
+        out[path] = arr
+    if missing:
+        raise KeyError(f"missing keys in torch state_dict: {missing[:10]}"
+                       f"{'...' if len(missing) > 10 else ''}")
+    return traverse_util.unflatten_dict(out)
+
+
+def export_classifier_bin(path: str, classifier_params: PyTree) -> None:
+    """Save the classifier as a torch state_dict pickle with the reference's
+    `classifier.main.{0,3}` naming (`classifier4masker.bin` contract, module
+    pickle replaced by its state_dict)."""
+    torch = _torch()
+    # classifier_params = {'main_0': ..., 'main_3': ...} -> 'main.0.*'/'main.3.*'
+    sd = flax_to_torch_state_dict(classifier_params)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+               path)
+
+
+def import_classifier_bin(path: str, template: PyTree) -> PyTree:
+    """Load `classifier4masker.bin` (either our state_dict export or a
+    reference whole-module pickle when the reference code is importable)."""
+    torch = _torch()
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(raw, "state_dict"):
+        raw = raw.state_dict()
+    return torch_state_dict_to_flax(raw, template)

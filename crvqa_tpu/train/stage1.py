@@ -1,0 +1,119 @@
+"""Stage 1 — full fine-tuning (and stage 3, which is the same loop on a
+permanently pruned model).
+
+Re-design of `hg_transformers/mask_trainer_VQA.py` + `run_vqa_stage1.py` /
+`run_vqa_stage3.py`. All params train; `FT_type` dispatches the debias loss.
+For stage 3 a constant bool-mask pytree multiplies the masked weights every
+forward (the JAX analogue of `prune.CustomFromMask`: masked entries then get
+exactly zero gradient, so Adam never moves them).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..losses import dispatch_loss, learned_mixin_init
+from ..masking.masker import Masker
+from .common import TrainMetrics, batch_score, make_adam, model_inputs
+
+PyTree = Any
+
+
+class Stage1State(struct.PyTreeNode):
+    step: jax.Array
+    params: PyTree
+    lmh_params: Optional[PyTree]
+    masks: Optional[dict]  # stage 3: constant bool masks keyed by spec key
+    opt_state: Any
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage1Config:
+    ft_type: str = "normal"  # normal | lmh | lpf | rubi
+    learning_rate: float = 5e-5
+    warmup_steps: int = 34235  # bash_files/Stage1/run_vqa_stage1.sh
+    total_steps: int = 100_000
+    max_grad_norm: float = 1.0
+    adam_epsilon: float = 1e-8
+    gamma: float = 5.0
+    lmh_w: float = 0.36
+    hidden_size: int = 768
+
+
+def init_state(params: PyTree, config: Stage1Config, rng: jax.Array,
+               masks: Optional[dict] = None
+               ) -> tuple[Stage1State, optax.GradientTransformation]:
+    rng, lmh_rng = jax.random.split(rng)
+    # fresh buffers: the train step donates its input state
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    if masks is not None:
+        masks = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), masks)
+    lmh_params = (learned_mixin_init(lmh_rng, config.hidden_size)
+                  if config.ft_type in ("lmh", "poe") else None)
+    tx = make_adam(config.learning_rate, config.warmup_steps,
+                   config.total_steps, config.max_grad_norm,
+                   eps=config.adam_epsilon)
+    opt_state = tx.init({"params": params, "lmh": lmh_params})
+    return Stage1State(
+        step=jnp.zeros((), jnp.int32), params=params, lmh_params=lmh_params,
+        masks=masks, opt_state=opt_state, rng=rng,
+    ), tx
+
+
+def make_train_step(model, config: Stage1Config,
+                    tx: optax.GradientTransformation,
+                    masker: Optional[Masker] = None) -> Callable:
+    """`masker` present => stage 3 (apply the constant mask each forward)."""
+
+    def loss_fn(trainable, state: Stage1State, batch, dropout_rng):
+        params = trainable["params"]
+        if masker is not None and state.masks is not None:
+            params = masker.prune_params(params, state.masks)
+        logits, pooled = model.apply(
+            {"params": params}, **model_inputs(batch),
+            deterministic=False, rngs={"dropout": dropout_rng},
+        )
+        loss = dispatch_loss(
+            config.ft_type, logits=logits, pooled=pooled,
+            labels=batch["labels"], bias=batch["bias"],
+            max_label=batch["max_label"], lmh_params=trainable["lmh"],
+            gamma=config.gamma, lmh_w=config.lmh_w,
+        )
+        return loss, batch_score(logits, batch["labels"])
+
+    def train_step(state: Stage1State, batch):
+        rng, dropout_rng = jax.random.split(state.rng)
+        trainable = {"params": state.params, "lmh": state.lmh_params}
+        (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, state, batch, dropout_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, trainable)
+        new = optax.apply_updates(trainable, updates)
+        metrics = TrainMetrics(
+            loss=loss, score=score,
+            batch_size=jnp.asarray(batch["labels"].shape[0], jnp.float32),
+        )
+        return state.replace(
+            step=state.step + 1, params=new["params"], lmh_params=new["lmh"],
+            opt_state=opt_state, rng=rng,
+        ), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, masker: Optional[Masker] = None) -> Callable:
+    @jax.jit
+    def eval_step(state: Stage1State, batch):
+        params = state.params
+        if masker is not None and state.masks is not None:
+            params = masker.prune_params(params, state.masks)
+        logits, _ = model.apply({"params": params}, **model_inputs(batch),
+                                deterministic=True)
+        return logits
+
+    return eval_step

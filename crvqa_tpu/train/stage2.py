@@ -1,0 +1,160 @@
+"""Stage 2 — mask training (the hot path).
+
+TPU-native re-design of `hg_transformers/mask_trainer_Robust_VQA.py` +
+`prune_debias_VQA.py`. The frozen fine-tuned params stay constant inside the
+jitted step; the trainable leaves are (mask scores, classifier params, debias
+loss params). Per-modality binarization thresholds are periodically reset on
+device to the kth-value of each module's scores
+(`Trainer.reset_threshold`, mask_trainer_Robust_VQA.py:467-482).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..losses import dispatch_loss, learned_mixin_init
+from ..masking.masker import Masker
+from .common import TrainMetrics, batch_score, make_adamw, model_inputs
+
+PyTree = Any
+
+
+class Stage2State(struct.PyTreeNode):
+    step: jax.Array
+    frozen_params: PyTree  # full model params; classifier overridden at merge
+    train_params: PyTree  # {'classifier': ..., 'lmh': ...}
+    scores: dict
+    thresholds: dict
+    opt_state: Any
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage2Config:
+    masker_type: str = "lmh"  # normal | lmh | lpf | rubi | poe | reweight
+    learning_rate: float = 5e-5
+    warmup_steps: int = 0
+    total_steps: int = 100_000
+    weight_decay: float = 0.0
+    max_grad_norm: float = 1.0
+    adam_epsilon: float = 1e-8
+    gamma: float = 5.0  # LPF focal exponent
+    lmh_w: float = 0.36
+    hidden_size: int = 768
+
+
+def init_state(model, masker: Masker, params: PyTree, config: Stage2Config,
+               rng: jax.Array) -> tuple[Stage2State, optax.GradientTransformation]:
+    """Freeze params, build scores via controlled init, split trainables.
+
+    The classifier head stays dense + trainable (`maskers_Robust.py:584-588`
+    excludes 'classifier' from freezing); LMH's bias_lin/smooth_param join the
+    trainables exactly as in the reference trainer ctor
+    (`mask_trainer_Robust_VQA.py:244-248`).
+    """
+    rng, init_rng, lmh_rng = jax.random.split(rng, 3)
+    scores, thresholds = masker.init(params, init_rng)
+    # Copy params into fresh buffers: the train step donates its input state,
+    # which would otherwise invalidate the caller's arrays. The classifier
+    # moves to the trainable tree and OUT of the frozen tree (no aliasing).
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    train_params = {"classifier": params["classifier"]}
+    params = {k: v for k, v in params.items() if k != "classifier"}
+    if config.masker_type in ("lmh", "poe"):
+        train_params["lmh"] = learned_mixin_init(lmh_rng, config.hidden_size)
+    tx = make_adamw(config.learning_rate, config.warmup_steps,
+                    config.total_steps, config.weight_decay,
+                    config.max_grad_norm, eps=config.adam_epsilon)
+    opt_state = tx.init({"train": train_params, "scores": scores})
+    return Stage2State(
+        step=jnp.zeros((), jnp.int32),
+        frozen_params=params,
+        train_params=train_params,
+        scores=scores,
+        thresholds=thresholds,
+        opt_state=opt_state,
+        rng=rng,
+    ), tx
+
+
+def merge_params(frozen: PyTree, train_params: PyTree) -> PyTree:
+    """Frozen backbone (classifier-free) + trainable classifier."""
+    merged = dict(frozen)
+    merged["classifier"] = train_params["classifier"]
+    return merged
+
+
+def make_train_step(model, masker: Masker, tx: optax.GradientTransformation,
+                    config: Stage2Config) -> Callable:
+    """Build the jitted stage-2 train step (`_training_step`,
+    mask_trainer_Robust_VQA.py:801-886)."""
+
+    def loss_fn(trainable, state: Stage2State, batch, dropout_rng):
+        params = merge_params(state.frozen_params, trainable["train"])
+        masked = masker.apply_masks(params, trainable["scores"], state.thresholds)
+        logits, pooled = model.apply(
+            {"params": masked}, **model_inputs(batch),
+            deterministic=False, rngs={"dropout": dropout_rng},
+        )
+        loss = dispatch_loss(
+            config.masker_type, logits=logits, pooled=pooled,
+            labels=batch["labels"], bias=batch["bias"],
+            max_label=batch["max_label"],
+            lmh_params=trainable["train"].get("lmh"),
+            gamma=config.gamma, lmh_w=config.lmh_w,
+        )
+        return loss, batch_score(logits, batch["labels"])
+
+    def train_step(state: Stage2State, batch) -> tuple[Stage2State, TrainMetrics]:
+        rng, dropout_rng = jax.random.split(state.rng)
+        trainable = {"train": state.train_params, "scores": state.scores}
+        (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, state, batch, dropout_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, trainable)
+        new = optax.apply_updates(trainable, updates)
+        metrics = TrainMetrics(
+            loss=loss, score=score,
+            batch_size=jnp.asarray(batch["labels"].shape[0], jnp.float32),
+        )
+        return state.replace(
+            step=state.step + 1,
+            train_params=new["train"],
+            scores=new["scores"],
+            opt_state=opt_state,
+            rng=rng,
+        ), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_threshold_reset(masker: Masker) -> Callable:
+    """Jitted per-modality kth-value threshold reset, applied every
+    logging_steps and before each mask export (mask_trainer_Robust_VQA.py:
+    700-701, 726-733)."""
+
+    @jax.jit
+    def reset(state: Stage2State) -> Stage2State:
+        return state.replace(thresholds=masker.reset_thresholds(state.scores))
+
+    return reset
+
+
+def make_eval_step(model, masker: Masker) -> Callable:
+    """Forward-only step on the masked model (`_prediction_loop`,
+    mask_trainer_Robust_VQA.py:1096-1245): returns logits for accumulation."""
+
+    @jax.jit
+    def eval_step(state: Stage2State, batch):
+        params = merge_params(state.frozen_params, state.train_params)
+        masked = masker.apply_masks(params, state.scores, state.thresholds)
+        logits, _ = model.apply({"params": masked}, **model_inputs(batch),
+                                deterministic=True)
+        return logits
+
+    return eval_step

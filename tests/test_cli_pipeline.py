@@ -1,0 +1,60 @@
+"""End-to-end 3-stage pipeline smoke test through the CLI entry points on a
+tiny config + synthetic data (SURVEY.md §4 integration tier): stage-1
+fine-tune -> stage-2 mask-train -> stage-3 pruned fine-tune, with checkpoint
+hand-off via the reference's artifact formats."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_three_stage_pipeline(tmp_path):
+    from crvqa_tpu.cli import prune_debias_vqa, run_vqa_stage1, run_vqa_stage3
+
+    s1 = tmp_path / "stage1"
+    s2 = tmp_path / "stage2"
+    s3 = tmp_path / "stage3"
+    common_flags = [
+        "--tiny", "--synthetic", "64", "--train_batch_size", "8",
+        "--eval_batch_size", "8", "--num_train_epochs", "1",
+        "--logging_steps", "2", "--save_steps", "4", "--warmup_steps", "0",
+        "--dtype", "float32", "--do_train", "--do_eval",
+        "--evaluate_during_training", "--seed", "0",
+    ]
+
+    run_vqa_stage1.main([
+        "--output_dir", str(s1), "--FT_type", "normal",
+        "--label4save", "t", *common_flags])
+    stage1_bin = s1 / "t_FTonly.bin"
+    assert stage1_bin.exists()
+    assert (s1 / "test.json").exists()
+
+    prune_debias_vqa.main([
+        "--output_dir", str(s2), "--Masker_type", "lmh",
+        "--stage1_ckpt", str(stage1_bin),
+        "--Lang_comp", "0.3", "--Vis_comp", "0.3", "--Fus_comp", "0.3",
+        "--zero_rate", "0.7", "--controlled_init", "magnitude",
+        *common_flags])
+    assert (s2 / "mask.pt").exists()
+    assert (s2 / "classifier4masker.bin").exists()
+    preds = json.load(open(s2 / "test.json"))
+    assert {"question_id", "answer"} == set(preds[0])
+
+    run_vqa_stage3.main([
+        "--output_dir", str(s3), "--FT_type", "normal",
+        "--training_type", "FT_trainedMask",
+        "--stage1_ckpt", str(stage1_bin),
+        "--mask_pt", str(s2 / "mask.pt"),
+        "--classifier_bin", str(s2 / "classifier4masker.bin"),
+        "--label4save", "t", *common_flags])
+    assert (s3 / "test.json").exists()
+
+    # the stage-2 mask really hit ~0.7 zero rate
+    import torch
+
+    mask = torch.load(s2 / "mask.pt", weights_only=False)
+    zeros = sum(int((~m).sum()) for m in mask.values())
+    total = sum(m.numel() for m in mask.values())
+    assert abs(zeros / total - 0.7) < 0.02

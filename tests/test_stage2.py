@@ -1,0 +1,188 @@
+"""Stage-2 mask-training integration tests on a tiny LXMERT + synthetic data.
+
+Asserts the reference trainer's core invariants (SURVEY.md §4): frozen
+weights stay frozen, mask scores + classifier move, threshold reset restores
+per-modality target sparsity mid-training, and the mask export round-trips
+through the reference's mask.pt format.
+"""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crvqa_tpu.data import synthetic_batch
+from crvqa_tpu.masking import Masker, ModalSparsity, lxmert_mask_specs
+from crvqa_tpu.models import LxmertConfig, LxmertForVQA
+from crvqa_tpu.train import stage2
+from crvqa_tpu.train.evaluation import make_json, predict, vqa_accuracy
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = LxmertConfig.tiny()
+    model = LxmertForVQA(config)
+    batch = synthetic_batch(
+        batch_size=4, vocab_size=config.vocab_size, ans_num=config.ans_num,
+        feat_dim=config.visual_feat_dim, pos_dim=config.visual_pos_dim,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0),
+        input_ids=jnp.asarray(batch["input_ids"]),
+        visual_feats=jnp.asarray(batch["visual_feats"]),
+        visual_pos=jnp.asarray(batch["visual_pos"]),
+    )["params"]
+    specs = lxmert_mask_specs(config.l_layers, config.r_layers, config.x_layers)
+    sparsity = ModalSparsity.from_compression(0.3, 0.3, 0.3, 0.7)
+    masker = Masker.create(specs, sparsity, controlled_init="magnitude")
+    return config, model, params, masker, batch
+
+
+def _jb(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items() if k != "valid"}
+
+
+@pytest.mark.parametrize("masker_type", ["normal", "lmh", "lpf", "rubi"])
+def test_stage2_step_all_losses(setup, masker_type):
+    config, model, params, masker, batch = setup
+    cfg = stage2.Stage2Config(masker_type=masker_type, total_steps=10,
+                              hidden_size=config.hidden_size)
+    state, tx = stage2.init_state(model, masker, params, cfg, jax.random.PRNGKey(1))
+    step = stage2.make_train_step(model, masker, tx, cfg)
+    state2, metrics = step(state, _jb(batch))
+    assert np.isfinite(float(metrics.loss))
+    assert int(state2.step) == 1
+
+
+def test_stage2_freezes_backbone_trains_scores_and_classifier(setup):
+    config, model, params, masker, batch = setup
+    cfg = stage2.Stage2Config(masker_type="lmh", total_steps=10,
+                              hidden_size=config.hidden_size)
+    state, tx = stage2.init_state(model, masker, params, cfg, jax.random.PRNGKey(1))
+    step = stage2.make_train_step(model, masker, tx, cfg)
+    frozen_before = jax.device_get(state.frozen_params)
+    scores_before = jax.device_get(state.scores)
+    clf_before = jax.device_get(state.train_params["classifier"])
+
+    for i in range(2):
+        state, _ = step(state, _jb(synthetic_batch(
+            batch_size=4, seed=i, vocab_size=config.vocab_size,
+            ans_num=config.ans_num, feat_dim=config.visual_feat_dim,
+            pos_dim=config.visual_pos_dim)))
+
+    frozen_after = jax.device_get(state.frozen_params)
+    # backbone params identical
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(frozen_before),
+        jax.tree_util.tree_leaves_with_path(frozen_after),
+    ):
+        np.testing.assert_array_equal(a, b, err_msg=str(pa))
+    # scores moved (at least for some modules)
+    moved = sum(
+        float(np.abs(np.asarray(state.scores[k]) - scores_before[k]).max()) > 0
+        for k in scores_before
+    )
+    assert moved > len(scores_before) * 0.5
+    # classifier moved
+    assert float(np.abs(
+        np.asarray(state.train_params["classifier"]["main_0"]["v"]) -
+        clf_before["main_0"]["v"]).max()) > 0
+    # LMH params exist and moved
+    assert "lmh" in state.train_params
+
+
+def test_threshold_reset_restores_target_sparsity(setup):
+    config, model, params, masker, batch = setup
+    cfg = stage2.Stage2Config(masker_type="normal", total_steps=20,
+                              learning_rate=5e-3, hidden_size=config.hidden_size)
+    state, tx = stage2.init_state(model, masker, params, cfg, jax.random.PRNGKey(1))
+    step = stage2.make_train_step(model, masker, tx, cfg)
+    for i in range(5):
+        state, _ = step(state, _jb(synthetic_batch(
+            batch_size=4, seed=i, vocab_size=config.vocab_size,
+            ans_num=config.ans_num, feat_dim=config.visual_feat_dim,
+            pos_dim=config.visual_pos_dim)))
+    reset = stage2.make_threshold_reset(masker)
+    state = reset(state)
+    report = jax.jit(masker.sparsity_report)(state.scores, state.thresholds)
+    assert abs(float(report["Lang"]) - 0.7) < 0.02
+    assert abs(float(report["Vis"]) - 0.7) < 0.02
+    assert abs(float(report["Fus"]) - 0.7) < 0.02
+    assert abs(float(report["P"]) - 0.7) < 0.02
+
+
+def test_eval_predict_and_json(setup):
+    config, model, params, masker, _ = setup
+    cfg = stage2.Stage2Config(masker_type="normal", total_steps=10,
+                              hidden_size=config.hidden_size)
+    state, _ = stage2.init_state(model, masker, params, cfg, jax.random.PRNGKey(1))
+    eval_step = stage2.make_eval_step(model, masker)
+
+    def batches():
+        for i in range(3):
+            b = synthetic_batch(
+                batch_size=4, seed=100 + i, vocab_size=config.vocab_size,
+                ans_num=config.ans_num, feat_dim=config.visual_feat_dim,
+                pos_dim=config.visual_pos_dim)
+            b["valid"][3] = i != 0  # exercise ragged-batch padding
+            yield b
+
+    out = predict(eval_step, state, batches(), shard_fn=_jb)
+    assert out["num_examples"] == 11
+    assert out["logits"].shape == (11, config.ans_num)
+    acc = vqa_accuracy(out["logits"], out["labels"])
+    assert 0.0 <= acc <= 100.0
+    label2ans = [f"ans_{i}" for i in range(config.ans_num)]
+    js = make_json(out["logits"], out["question_id"], label2ans)
+    assert len(js) == 11
+    assert set(js[0]) == {"question_id", "answer"}
+
+
+def test_mask_export_roundtrip_mask_pt(setup):
+    config, model, params, masker, _ = setup
+    from crvqa_tpu.core.torch_compat import export_mask_pt, import_mask_pt
+
+    cfg = stage2.Stage2Config(masker_type="normal", total_steps=10,
+                              hidden_size=config.hidden_size)
+    state, _ = stage2.init_state(model, masker, params, cfg, jax.random.PRNGKey(1))
+    masks = jax.device_get(masker.binary_masks(state.scores, state.thresholds))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "mask.pt")
+        export_mask_pt(path, masks, masker.specs)
+        # reference contract: torch-loadable dict of bool tensors keyed by
+        # '<torch module name>.weight'
+        import torch
+
+        raw = torch.load(path, weights_only=False)
+        key = "lxmert.encoder.x_layers.0.visual_attention.att.query.weight"
+        assert key in raw
+        assert raw[key].dtype == torch.bool
+        # torch orientation is (out, in) = transposed flax kernel mask
+        spec = next(s for s in masker.specs if s.torch_name.endswith("att.query"))
+        assert tuple(raw[key].shape) == masks[spec.key].T.shape
+
+        back = import_mask_pt(path, masker.specs)
+        for k, m in masks.items():
+            np.testing.assert_array_equal(back[k], np.asarray(m))
+
+
+def test_checkpoint_roundtrip(setup):
+    config, model, params, masker, batch = setup
+    from crvqa_tpu.core import load_checkpoint, save_checkpoint
+
+    cfg = stage2.Stage2Config(masker_type="normal", total_steps=10,
+                              hidden_size=config.hidden_size)
+    state, tx = stage2.init_state(model, masker, params, cfg, jax.random.PRNGKey(1))
+    step = stage2.make_train_step(model, masker, tx, cfg)
+    state, _ = step(state, _jb(batch))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt_1")
+        save_checkpoint(path, state, metadata={"step": 1})
+        fresh, _ = stage2.init_state(model, masker, params, cfg, jax.random.PRNGKey(1))
+        restored = load_checkpoint(path, fresh)
+        assert int(restored.step) == 1
+        np.testing.assert_array_equal(
+            np.asarray(restored.scores["lxmert/pooler/dense/kernel"]),
+            np.asarray(state.scores["lxmert/pooler/dense/kernel"]))
