@@ -74,12 +74,18 @@ class TrainMetrics(struct.PyTreeNode):
 
 
 def model_inputs(batch: dict) -> dict:
-    """Extract forward-pass kwargs from a batch dict."""
-    kw = dict(
-        input_ids=batch["input_ids"],
-        visual_feats=batch["visual_feats"],
-        visual_pos=batch["visual_pos"],
-    )
+    """Extract forward-pass kwargs from a batch dict.
+
+    LXMERT batches carry (visual_feats, visual_pos); VisualBERT batches carry
+    visual_embeds (`mask_trainer_visualBERT_VQA.py:820` passes only
+    input_ids + visual_embeds).
+    """
+    kw = {"input_ids": batch["input_ids"]}
+    if "visual_embeds" in batch:
+        kw["visual_embeds"] = batch["visual_embeds"]
+    else:
+        kw["visual_feats"] = batch["visual_feats"]
+        kw["visual_pos"] = batch["visual_pos"]
     if "attention_mask" in batch:
         kw["attention_mask"] = batch["attention_mask"]
     return kw

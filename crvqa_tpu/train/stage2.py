@@ -47,6 +47,7 @@ class Stage2Config:
     gamma: float = 5.0  # LPF focal exponent
     lmh_w: float = 0.36
     hidden_size: int = 768
+    classifier_key: str = "classifier"  # 'cls' for VisualBERT
 
 
 def init_state(model, masker: Masker, params: PyTree, config: Stage2Config,
@@ -64,8 +65,9 @@ def init_state(model, masker: Masker, params: PyTree, config: Stage2Config,
     # which would otherwise invalidate the caller's arrays. The classifier
     # moves to the trainable tree and OUT of the frozen tree (no aliasing).
     params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
-    train_params = {"classifier": params["classifier"]}
-    params = {k: v for k, v in params.items() if k != "classifier"}
+    ck = config.classifier_key
+    train_params = {"classifier": params[ck]}
+    params = {k: v for k, v in params.items() if k != ck}
     if config.masker_type in ("lmh", "poe"):
         train_params["lmh"] = learned_mixin_init(lmh_rng, config.hidden_size)
     tx = make_adamw(config.learning_rate, config.warmup_steps,
@@ -83,10 +85,11 @@ def init_state(model, masker: Masker, params: PyTree, config: Stage2Config,
     ), tx
 
 
-def merge_params(frozen: PyTree, train_params: PyTree) -> PyTree:
+def merge_params(frozen: PyTree, train_params: PyTree,
+                 classifier_key: str = "classifier") -> PyTree:
     """Frozen backbone (classifier-free) + trainable classifier."""
     merged = dict(frozen)
-    merged["classifier"] = train_params["classifier"]
+    merged[classifier_key] = train_params["classifier"]
     return merged
 
 
@@ -96,7 +99,8 @@ def make_train_step(model, masker: Masker, tx: optax.GradientTransformation,
     mask_trainer_Robust_VQA.py:801-886)."""
 
     def loss_fn(trainable, state: Stage2State, batch, dropout_rng):
-        params = merge_params(state.frozen_params, trainable["train"])
+        params = merge_params(state.frozen_params, trainable["train"],
+                              config.classifier_key)
         masked = masker.apply_masks(params, trainable["scores"], state.thresholds)
         logits, pooled = model.apply(
             {"params": masked}, **model_inputs(batch),
@@ -145,13 +149,16 @@ def make_threshold_reset(masker: Masker) -> Callable:
     return reset
 
 
-def make_eval_step(model, masker: Masker) -> Callable:
+def make_eval_step(model, masker: Masker,
+                   config: Optional[Stage2Config] = None) -> Callable:
     """Forward-only step on the masked model (`_prediction_loop`,
     mask_trainer_Robust_VQA.py:1096-1245): returns logits for accumulation."""
+    config = config or Stage2Config()
 
     @jax.jit
     def eval_step(state: Stage2State, batch):
-        params = merge_params(state.frozen_params, state.train_params)
+        params = merge_params(state.frozen_params, state.train_params,
+                              config.classifier_key)
         masked = masker.apply_masks(params, state.scores, state.thresholds)
         logits, _ = model.apply({"params": masked}, **model_inputs(batch),
                                 deterministic=True)
