@@ -6,6 +6,12 @@ The metric is the BASELINE.md north star — LXMERT stage-2 (masked forward +
 LMH loss + backward to scores/classifier + AdamW update) examples/sec/chip at
 the canonical batch size 256 (`bash_files/Stage2/run_mask_train_stage2.sh`).
 
+Timing is synchronous: every timed step fetches the scalar loss to host, so
+the measurement includes a device->host round trip per step (the axon tunnel
+on this machine does not honor block_until_ready, so a value fetch is the
+only reliable fence). The number is therefore a conservative end-to-end
+figure, not just device time.
+
 vs_baseline divides by 1000 examples/sec — an estimate of the PyTorch
 reference's stage-2 throughput on its single-GPU setup (the repo publishes no
 throughput numbers; 1000 ex/s ≈ 4 it/s at bs 256 for a ~210M-param
@@ -19,6 +25,9 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 REFERENCE_EXAMPLES_PER_SEC = 1000.0
 
@@ -56,16 +65,16 @@ def main() -> None:
     state, tx = stage2.init_state(model, masker, params, cfg, jax.random.PRNGKey(1))
     step = stage2.make_train_step(model, masker, tx, cfg)
 
-    # warmup / compile
-    for _ in range(3):
+    # compile + warmup; the float() forces real completion through the tunnel
+    for _ in range(2):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics.loss)
+        _ = float(metrics.loss)
 
-    iters = 20
+    iters = 15
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics.loss)
+        _ = float(metrics.loss)  # synchronous fence (see module docstring)
     dt = time.perf_counter() - t0
 
     examples_per_sec = batch_size * iters / dt
