@@ -1,0 +1,297 @@
+"""mPLUG's custom BERT stack in flax: text encoder, stride fusion encoder,
+causal LM decoder.
+
+Re-design of `mPLUG/models/modeling_mplug.py`:
+- `BertModel` (:981) — 6-layer self-attention text encoder.
+- `FusionModel` (:1231, FusionEncoder :600-686, FusionLayer :445-520) —
+  layers 6..11 of a 12-layer stack; non-stride layers do text self-attn +
+  text->image cross-attn; every `stride_layer`-th layer instead does ONE
+  joint self-attention over the concat [image; text] and the image stream is
+  updated residually from the split output.
+- `BertLMHeadModel` (:1804) — 12-layer causal decoder with cross-attention
+  to the fused states and a tied-embedding LM head; per-sequence summed
+  next-token CE with -100 padding masking (:1904-1916) and optional
+  soft-label distillation (:1915-1916).
+
+Config: `mPLUG/configs/config_bert_stride3.json` (text_encoder_layers 6,
+fusion_layers 6, text_decode_layers 12, stride_layer 3, hidden 768).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..layers import (
+    AttentionOutput,
+    FFNOutput,
+    Intermediate,
+    MultiHeadAttention,
+    extend_attention_mask,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MPlugBertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    text_encoder_layers: int = 6
+    fusion_layers: int = 6
+    text_decode_layers: int = 12
+    stride_layer: int = 3
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    dtype: Any = jnp.float32
+
+    @property
+    def head_size(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def tiny(cls, **kw) -> "MPlugBertConfig":
+        base = dict(vocab_size=128, hidden_size=32, num_attention_heads=4,
+                    intermediate_size=64, text_encoder_layers=2,
+                    fusion_layers=2, text_decode_layers=2, stride_layer=2,
+                    max_position_embeddings=64)
+        base.update(kw)
+        return cls(**base)
+
+
+class BertEmbeddings(nn.Module):
+    """word + position + token-type -> LayerNorm -> dropout.
+
+    setup-style so the decoder can tie its LM head to `word_embeddings` via
+    `attend` (the flax idiom for HF's tie_word_embeddings).
+    """
+
+    config: MPlugBertConfig
+
+    def setup(self):
+        c = self.config
+        emb_init = nn.initializers.normal(stddev=c.initializer_range)
+        self.word_embeddings = nn.Embed(
+            c.vocab_size, c.hidden_size, embedding_init=emb_init,
+            param_dtype=jnp.float32, name="word_embeddings")
+        self.position_embeddings = nn.Embed(
+            c.max_position_embeddings, c.hidden_size, embedding_init=emb_init,
+            param_dtype=jnp.float32, name="position_embeddings")
+        self.token_type_embeddings = nn.Embed(
+            c.type_vocab_size, c.hidden_size, embedding_init=emb_init,
+            param_dtype=jnp.float32, name="token_type_embeddings")
+        self.layer_norm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype,
+                                       name="LayerNorm")
+        self.dropout = nn.Dropout(c.hidden_dropout_prob)
+
+    def __call__(self, input_ids, deterministic=True):
+        c = self.config
+        pos_ids = jnp.arange(input_ids.shape[1])[None, :]
+        h = (self.word_embeddings(input_ids)
+             + self.position_embeddings(pos_ids)
+             + self.token_type_embeddings(jnp.zeros_like(input_ids)))
+        h = self.layer_norm(h.astype(c.dtype))
+        return self.dropout(h, deterministic=deterministic)
+
+    def attend(self, hidden):
+        """hidden @ word_embedding_table.T (tied LM head)."""
+        return self.word_embeddings.attend(hidden)
+
+
+class BertSelfBlock(nn.Module):
+    """attention(self, named 'attention') like the LXMERT SelfAttentionLayer
+    but reusable for causal masks via the additive bias."""
+
+    config: MPlugBertConfig
+    name_prefix: str = "attention"
+
+    @nn.compact
+    def __call__(self, x, context, bias, deterministic=True):
+        c = self.config
+        att = MultiHeadAttention(
+            c.num_attention_heads, c.head_size, c.attention_probs_dropout_prob,
+            c.dtype, name="self",
+        )(x, context, bias, deterministic)
+        return AttentionOutput(
+            c.hidden_size, c.hidden_dropout_prob, c.dtype, name="output",
+        )(att, x, deterministic)
+
+
+class BertLayer(nn.Module):
+    """Self-attn (+optional cross-attn) + FFN (modeling_mplug.py:BertLayer)."""
+
+    config: MPlugBertConfig
+    has_cross: bool = False
+
+    @nn.compact
+    def __call__(self, x, self_bias=None, enc_states=None, enc_bias=None,
+                 deterministic=True):
+        c = self.config
+        x = BertSelfBlock(c, name="attention")(x, x, self_bias, deterministic)
+        if self.has_cross:
+            x = BertSelfBlock(c, name="crossattention")(
+                x, enc_states, enc_bias, deterministic)
+        inter = Intermediate(c.intermediate_size, c.hidden_act, c.dtype,
+                             name="intermediate")(x)
+        return FFNOutput(c.hidden_size, c.hidden_dropout_prob, c.dtype,
+                         name="output")(inter, x, deterministic)
+
+
+class TextEncoder(nn.Module):
+    """`BertModel` with text_encoder_layers self-only layers
+    (modeling_mplug.py:981)."""
+
+    config: MPlugBertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, deterministic=True):
+        c = self.config
+        h = BertEmbeddings(c, name="embeddings")(input_ids, deterministic)
+        bias = extend_attention_mask(attention_mask)
+        for i in range(c.text_encoder_layers):
+            h = BertLayer(c, has_cross=False, name=f"layer_{i}")(
+                h, bias, deterministic=deterministic)
+        return h
+
+
+class FusionLayer(nn.Module):
+    """One fusion layer (modeling_mplug.py:445-520).
+
+    stride=False: text self-attn -> text->image cross-attn -> FFN(text).
+    stride=True: one joint self-attention + FFN over concat [image; text];
+    caller splits and residually updates the image stream.
+    """
+
+    config: MPlugBertConfig
+    stride: bool = False
+
+    @nn.compact
+    def __call__(self, text, text_bias, image, image_bias, deterministic=True):
+        c = self.config
+        if not self.stride:
+            x = BertSelfBlock(c, name="attention")(
+                text, text, text_bias, deterministic)
+            x = BertSelfBlock(c, name="crossattention")(
+                x, image, image_bias, deterministic)
+            inter = Intermediate(c.intermediate_size, c.hidden_act, c.dtype,
+                                 name="intermediate")(x)
+            text = FFNOutput(c.hidden_size, c.hidden_dropout_prob, c.dtype,
+                             name="output")(inter, x, deterministic)
+            return text, image
+        # joint self-attention over [image; text] (modeling_mplug.py:557-568)
+        joint = jnp.concatenate([image, text], axis=1)
+        joint_bias = None
+        if text_bias is not None or image_bias is not None:
+            ib = image_bias if image_bias is not None else jnp.zeros(
+                (text.shape[0], 1, 1, image.shape[1]), jnp.float32)
+            tb = text_bias if text_bias is not None else jnp.zeros(
+                (text.shape[0], 1, 1, text.shape[1]), jnp.float32)
+            joint_bias = jnp.concatenate([ib, tb], axis=3)
+        x = BertSelfBlock(c, name="attention")(joint, joint, joint_bias,
+                                               deterministic)
+        inter = Intermediate(c.intermediate_size, c.hidden_act, c.dtype,
+                             name="intermediate")(x)
+        out = FFNOutput(c.hidden_size, c.hidden_dropout_prob, c.dtype,
+                        name="output")(inter, x, deterministic)
+        image_new, text = jnp.split(out, [image.shape[1]], axis=1)
+        # residual image-stream update (FusionEncoder, modeling_mplug.py:681-683)
+        return text, image + image_new
+
+
+class FusionEncoder(nn.Module):
+    """`FusionModel` layers 6..11 of the 12-layer stack (start_layer=6,
+    vqa_mplug.py layers_to_mask 'fusion_encoder': range(6,12)); relative
+    layer index drives the stride rule `rel != 0 and rel % stride == 0`."""
+
+    config: MPlugBertConfig
+
+    @nn.compact
+    def __call__(self, text_embeds, attention_mask, image_embeds,
+                 image_mask=None, deterministic=True):
+        c = self.config
+        text_bias = extend_attention_mask(attention_mask)
+        image_bias = extend_attention_mask(image_mask)
+        text, image = text_embeds, image_embeds
+        start = c.text_encoder_layers
+        for rel in range(c.fusion_layers):
+            stride = rel != 0 and rel % c.stride_layer == 0
+            text, image = FusionLayer(c, stride=stride,
+                                      name=f"layer_{start + rel}")(
+                text, text_bias, image, image_bias, deterministic)
+        return image, text
+
+
+def causal_mask_bias(seq_len: int, attention_mask=None):
+    """Lower-triangular additive bias (+ padding mask) for the decoder."""
+    causal = jnp.tril(jnp.ones((seq_len, seq_len), jnp.float32))
+    bias = (1.0 - causal) * -10000.0
+    bias = bias[None, None]  # [1, 1, L, L]
+    if attention_mask is not None:
+        pad = extend_attention_mask(attention_mask)  # [B, 1, 1, L]
+        bias = bias + pad
+    return bias
+
+
+class TextDecoder(nn.Module):
+    """`BertLMHeadModel.bert` (12 causal layers with cross-attention) +
+    LM head. The head ('cls.predictions') uses the HF transform
+    (dense + gelu + LayerNorm) with the decoder weight TIED to the word
+    embeddings (HF tie_word_embeddings default) plus a free bias."""
+
+    config: MPlugBertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, enc_states, enc_mask,
+                 deterministic=True):
+        c = self.config
+        emb = BertEmbeddings(c, name="embeddings")
+        h = emb(input_ids, deterministic)
+        self_bias = causal_mask_bias(input_ids.shape[1], attention_mask)
+        enc_bias = extend_attention_mask(enc_mask)
+        for i in range(c.text_decode_layers):
+            h = BertLayer(c, has_cross=True, name=f"layer_{i}")(
+                h, self_bias, enc_states, enc_bias, deterministic)
+        # LM head: transform + tied decoder
+        t = nn.Dense(c.hidden_size, dtype=c.dtype,
+                     name="predictions_transform_dense")(h)
+        t = nn.gelu(t)
+        t = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype,
+                         name="predictions_transform_LayerNorm")(t)
+        logits = emb.attend(t.astype(jnp.float32))
+        bias = self.param("predictions_bias", nn.initializers.zeros,
+                          (c.vocab_size,), jnp.float32)
+        return logits + bias
+
+
+def lm_loss_per_sequence(logits, labels, pad_id: int = 0):
+    """Per-sequence summed next-token CE with padding ignored
+    (`BertLMHeadModel.forward`, modeling_mplug.py:1904-1916: shift by one,
+    CrossEntropyLoss(ignore_index=-100) summed over the sequence)."""
+    shifted_logits = logits[:, :-1]
+    shifted_labels = labels[:, 1:]
+    mask = (shifted_labels != pad_id).astype(jnp.float32)
+    logp = jax.nn.log_softmax(shifted_logits, axis=-1)
+    nll = -jnp.take_along_axis(
+        logp, jnp.maximum(shifted_labels, 0)[..., None].astype(jnp.int32),
+        axis=-1)[..., 0]
+    return jnp.sum(nll * mask, axis=1)
+
+
+def soft_label_distill_loss(logits, soft_labels, labels, pad_id: int = 0):
+    """Soft-label distillation term (modeling_mplug.py:1915-1916).
+
+    NOTE: the reference computes log_softmax over dim=1 (the sequence axis) —
+    we reproduce the *intended* semantics (vocab axis) here; flagged in docs.
+    """
+    shifted = logits[:, :-1]
+    mask = (labels[:, 1:] != pad_id).astype(jnp.float32)
+    ld = -jnp.sum(jax.nn.log_softmax(shifted, axis=-1) * soft_labels, axis=-1)
+    return jnp.sum(ld * mask, axis=1)

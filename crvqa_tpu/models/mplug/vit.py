@@ -1,0 +1,124 @@
+"""CLIP vision transformer for mPLUG — flax re-design.
+
+Re-implements the visual tower used by the reference
+(`mPLUG/models/clip/model.py:VisualTransformer` — conv patch embed, class
+token, pre-LN residual attention blocks with QuickGELU, ln_post;
+`skip_last_layer=True` returns the 768-d patch sequence without the CLIP
+projection, `model.py:229-249`). ViT-B-16 at 384x384 -> 577 tokens.
+
+Param naming mirrors the torch module tree (`visual.transformer.resblocks.i.
+mlp.c_fc` etc.) so the mPLUG mask specs (`mPLUG/masking/maskers.py:16-24`)
+and checkpoint interop line up.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_res: int = 384
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    attn_dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_res // self.patch_size) ** 2
+
+    @classmethod
+    def tiny(cls, **kw) -> "ViTConfig":
+        base = dict(image_res=32, patch_size=16, width=32, layers=2, heads=4)
+        base.update(kw)
+        return cls(**base)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN block: x += attn(ln_1(x)); x += mlp(ln_2(x)) with QuickGELU
+    (`clip/model.py:ResidualAttentionBlock`)."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        c = self.config
+        h = nn.LayerNorm(name="ln_1", dtype=c.dtype)(x)
+        # torch nn.MultiheadAttention: fused qkv (in_proj) + out_proj
+        qkv = nn.Dense(3 * c.width, dtype=c.dtype, name="attn_in_proj")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = c.width // c.heads
+
+        def split_heads(t):
+            return t.reshape(t.shape[0], t.shape[1], c.heads, hd)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", split_heads(q), split_heads(k))
+        scores = scores.astype(jnp.float32) / jnp.sqrt(hd).astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(c.dtype)
+        probs = nn.Dropout(c.attn_dropout)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, split_heads(v))
+        ctx = ctx.reshape(x.shape[0], x.shape[1], c.width)
+        attn_out = nn.Dense(c.width, dtype=c.dtype, name="attn_out_proj")(ctx)
+        x = x + attn_out
+
+        h = nn.LayerNorm(name="ln_2", dtype=c.dtype)(x)
+        h = nn.Dense(4 * c.width, dtype=c.dtype, name="mlp_c_fc")(h)
+        h = quick_gelu(h)
+        h = nn.Dense(c.width, dtype=c.dtype, name="mlp_c_proj")(h)
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    """`VisualTransformer.forward(skip_last_layer=True)` (model.py:229-249):
+    conv patch embed -> [cls; patches] + pos -> ln_pre -> blocks -> ln_post,
+    no projection."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, images, deterministic=True):
+        c = self.config
+        x = nn.Conv(c.width, (c.patch_size, c.patch_size),
+                    strides=(c.patch_size, c.patch_size), use_bias=False,
+                    dtype=c.dtype, name="conv1")(images)
+        b = x.shape[0]
+        x = x.reshape(b, -1, c.width)  # [B, grid^2, width]
+        cls_emb = self.param("class_embedding",
+                             nn.initializers.normal(stddev=c.width ** -0.5),
+                             (c.width,), jnp.float32)
+        cls_tok = jnp.broadcast_to(cls_emb.astype(c.dtype), (b, 1, c.width))
+        x = jnp.concatenate([cls_tok, x], axis=1)
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(stddev=c.width ** -0.5),
+                         (c.num_patches + 1, c.width), jnp.float32)
+        x = x + pos[None, : x.shape[1]].astype(c.dtype)
+        x = nn.LayerNorm(name="ln_pre", dtype=c.dtype)(x)
+        for i in range(c.layers):
+            x = ResidualAttentionBlock(c, name=f"resblocks_{i}")(
+                x, deterministic=deterministic)
+        return nn.LayerNorm(name="ln_post", dtype=c.dtype)(x)
+
+
+def interpolate_pos_embed(pos: jnp.ndarray, new_num_patches: int) -> jnp.ndarray:
+    """Bilinear pos-embed resize for a new image resolution
+    (`models/visual_transformers.py:resize_pos_embed`,
+    `models/vit.py:interpolate_pos_embed`)."""
+    cls, grid = pos[:1], pos[1:]
+    old = int(grid.shape[0] ** 0.5)
+    new = int(new_num_patches ** 0.5)
+    if old == new:
+        return pos
+    grid = grid.reshape(old, old, -1)
+    grid = jax.image.resize(grid, (new, new, grid.shape[-1]), method="bicubic")
+    return jnp.concatenate([cls, grid.reshape(new * new, -1)], axis=0)

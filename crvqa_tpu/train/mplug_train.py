@@ -1,0 +1,186 @@
+"""mPLUG training — full-model fine-tuning and mask training.
+
+Re-design of `mPLUG/vqa_mplug.py:train` (:130-218): DeepSpeed drove
+backward/step over NCCL; here one jitted step computes the weighted
+(1-bias)-reweighted LM loss, takes grads w.r.t. either the full params
+(full-model mode) or the mask scores (mask-train mode), applies the
+dual-LR AdamW (`mPLUG/optim/optim_factory.py:create_two_optimizer` — lr1
+body, lr2 visual encoder) with cosine schedule
+(`full_model_debias.yaml` optimizer/schedular blocks), and keeps Adam
+moments ZeRO-sharded over the `data` mesh axis.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..masking.masker import Masker
+
+PyTree = Any
+
+
+class MPlugState(struct.PyTreeNode):
+    step: jax.Array
+    params: PyTree  # trainable in full mode; frozen in mask mode
+    scores: Optional[dict]
+    thresholds: Optional[dict]
+    params_m: Optional[PyTree]  # momentum twins (distill)
+    opt_state: Any
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class MPlugTrainConfig:
+    mode: str = "mask"  # 'full' | 'mask'
+    lr1: float = 3e-5  # body
+    lr2: float = 5e-6  # visual encoder
+    weight_decay: float = 0.02
+    warmup_steps: int = 1000
+    total_steps: int = 100_000
+    min_lr: float = 1e-6
+    max_grad_norm: float = 1.0
+    use_bias_reweight: bool = True  # the (1-bias)*loss debias term
+    distill: bool = False
+    momentum: float = 0.995
+
+
+def _cosine(lr: float, warmup: int, total: int, min_lr: float):
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=lr, warmup_steps=max(warmup, 1),
+        decay_steps=max(total, warmup + 1), end_value=min_lr)
+
+
+def make_two_group_adamw(config: MPlugTrainConfig):
+    """Dual-LR AdamW: visual-encoder leaves at lr2, everything else lr1
+    (optim_factory.create_two_optimizer, mPLUG/optim/optim_factory.py:141-171).
+    """
+
+    def label_fn(tree):
+        def walk(node, in_visual):
+            if isinstance(node, dict):
+                return {k: walk(v, in_visual or k == "visual_encoder")
+                        for k, v in node.items()}
+            return "visual" if in_visual else "body"
+
+        return walk(tree, False)
+
+    def group(lr):
+        return optax.adamw(
+            learning_rate=_cosine(lr, config.warmup_steps, config.total_steps,
+                                  config.min_lr),
+            weight_decay=config.weight_decay)
+
+    return optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.multi_transform(
+            {"body": group(config.lr1), "visual": group(config.lr2)}, label_fn),
+    )
+
+
+def init_state(model, params: PyTree, config: MPlugTrainConfig,
+               rng: jax.Array, masker: Optional[Masker] = None,
+               ) -> tuple[MPlugState, optax.GradientTransformation]:
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    scores = thresholds = None
+    if config.mode == "mask":
+        assert masker is not None
+        scores, thresholds = masker.init(params, rng)
+        tx = make_two_group_adamw(config)
+        opt_state = tx.init(scores)
+    else:
+        tx = make_two_group_adamw(config)
+        opt_state = tx.init(params)
+    params_m = (jax.tree_util.tree_map(jnp.copy, params)
+                if config.distill else None)
+    return MPlugState(step=jnp.zeros((), jnp.int32), params=params,
+                      scores=scores, thresholds=thresholds, params_m=params_m,
+                      opt_state=opt_state, rng=rng), tx
+
+
+def make_train_step(model, config: MPlugTrainConfig,
+                    tx: optax.GradientTransformation,
+                    masker: Optional[Masker] = None,
+                    mesh=None) -> Callable:
+    from ..parallel.zero import constrain_opt_state
+
+    def loss_fn(trainable, state: MPlugState, batch, dropout_rng):
+        if config.mode == "mask":
+            params = masker.apply_masks(state.params, trainable,
+                                        state.thresholds)
+        else:
+            params = trainable
+        bias = batch.get("bias") if config.use_bias_reweight else None
+        loss = model.apply(
+            {"params": params}, batch["images"], batch["question_ids"],
+            batch["question_mask"], batch["answer_ids"], batch["answer_mask"],
+            batch["weights"], bias=bias, deterministic=False,
+            rngs={"dropout": dropout_rng})
+        return loss
+
+    def train_step(state: MPlugState, batch):
+        rng, dropout_rng = jax.random.split(state.rng)
+        trainable = state.scores if config.mode == "mask" else state.params
+        loss, grads = jax.value_and_grad(loss_fn)(
+            trainable, state, batch, dropout_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, trainable)
+        if mesh is not None:
+            opt_state = constrain_opt_state(opt_state, mesh)  # ZeRO-2 analogue
+        new = optax.apply_updates(trainable, updates)
+        kw = dict(step=state.step + 1, opt_state=opt_state, rng=rng)
+        if config.mode == "mask":
+            kw["scores"] = new
+        else:
+            kw["params"] = new
+            if config.distill and state.params_m is not None:
+                from ..models.mplug.mplug import momentum_update
+
+                kw["params_m"] = momentum_update(new, state.params_m,
+                                                 config.momentum)
+        return state.replace(**kw), loss
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_threshold_reset(masker: Masker) -> Callable:
+    """Periodic per-module kth-value reset driven every `masker_update_step`
+    steps by the caller (`vqa_mplug.py:206-212`)."""
+
+    @jax.jit
+    def reset(state: MPlugState) -> MPlugState:
+        return state.replace(thresholds=masker.reset_thresholds(state.scores))
+
+    return reset
+
+
+def make_generate_step(model, config: MPlugTrainConfig,
+                       masker: Optional[Masker] = None,
+                       beam_size: int = 5, max_len: int = 12) -> Callable:
+    """Beam-search answer generation for evaluation
+    (`vqa_mplug.py:247-287`)."""
+    from ..models.mplug.generator import beam_generate
+
+    @jax.jit
+    def generate(state: MPlugState, batch):
+        params = state.params
+        if config.mode == "mask" and state.scores is not None:
+            params = masker.apply_masks(params, state.scores, state.thresholds)
+
+        states, state_mask = model.apply(
+            {"params": params}, batch["images"], batch["question_ids"],
+            batch["question_mask"], method=model.encode)
+
+        def decode(ids, mask, st, st_mask):
+            return model.apply({"params": params}, ids, mask, st, st_mask,
+                               method=model.decode_logits)
+
+        cfg = model.config
+        return beam_generate(decode, states, state_mask, beam_size=beam_size,
+                             max_len=max_len, bos=cfg.bos_token_id,
+                             eos=cfg.eos_token_id, pad=cfg.pad_token_id)
+
+    return generate
