@@ -60,6 +60,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resume_from", type=str, default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny 2/1/1-layer config for smoke tests")
+    p.add_argument("--dataset", type=str, default="vqacp",
+                   choices=["vqacp", "vqavs"])
 
 
 def setup_logging(output_dir: str) -> None:
@@ -120,10 +122,18 @@ def build_data(args, config):
     from ..data import vqacp
 
     tokenizer = vqacp.make_tokenizer(args.vocab_file)
-    ans2label, label2ans = vqacp.load_answer_vocab(args.dataroot)
-    ans_num = len(ans2label)
-    train = vqacp.load_entries(args.dataroot, "train", tokenizer, ans_num)
-    test = vqacp.load_entries(args.dataroot, "test", tokenizer, ans_num)
+    if getattr(args, "dataset", "vqacp") == "vqavs":
+        from ..data import vqavs
+
+        ans2label, label2ans = vqavs.load_answer_vocab(args.dataroot)
+        ans_num = len(ans2label)
+        train = vqavs.load_entries(args.dataroot, "train", tokenizer, ans_num)
+        test = vqavs.load_entries(args.dataroot, "test", tokenizer, ans_num)
+    else:
+        ans2label, label2ans = vqacp.load_answer_vocab(args.dataroot)
+        ans_num = len(ans2label)
+        train = vqacp.load_entries(args.dataroot, "train", tokenizer, ans_num)
+        test = vqacp.load_entries(args.dataroot, "test", tokenizer, ans_num)
     priors = vqacp.compute_bias_priors(train, ans_num)
     vqacp.attach_bias(train, priors, ans_num)
     vqacp.attach_bias(test, priors, ans_num)

@@ -78,7 +78,10 @@ def load_stage1_params(path, model, config, rng):
 
 
 def main(argv=None) -> None:
-    args = build_parser().parse_args(argv)
+    run(build_parser().parse_args(argv))
+
+
+def run(args) -> None:
     common.setup_logging(args.output_dir)
     common.dump_args(args, args.output_dir)
 

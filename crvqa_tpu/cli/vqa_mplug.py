@@ -1,0 +1,229 @@
+"""mPLUG driver: full-model or mask-training of the generative VQA model.
+
+Re-design of `mPLUG/vqa_mplug.py` (main :311-459, train :130-218,
+beam-search evaluation :247-287): replaces DeepSpeed/NCCL with a jitted step
+over the data mesh + ZeRO-sharded Adam moments, and the ruamel-yaml config
+with flags mirroring `MaskConfigs` (`mPLUG/masking/mask_config.py`) and the
+optimizer/schedular blocks of `configs/full_model_debias.yaml`.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import checkpoint as ckpt
+from ..core import torch_compat
+from ..masking import Masker, MaskerScheduler, ModalSparsity
+from ..masking.mplug_specs import mplug_mask_specs
+from ..models.mplug import MPlug, MPlugConfig
+from ..models.mplug.bert import MPlugBertConfig
+from ..models.mplug.vit import ViTConfig
+from ..parallel import MeshConfig, make_mesh, replicated_sharding
+from ..train import mplug_train
+from . import common
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("vqa_mplug")
+    common.add_common_args(p)
+    p.add_argument("--mode", type=str, default="mask", choices=["full", "mask"])
+    p.add_argument("--zero_rate", type=float, default=0.5)
+    p.add_argument("--init_sparsity", type=float, default=None)
+    p.add_argument("--final_sparsity_epoch", type=float, default=6)
+    p.add_argument("--masker_update_step", type=int, default=100)
+    p.add_argument("--threshold", type=float, default=1e-2)
+    p.add_argument("--init_scale", type=float, default=2e-2)
+    p.add_argument("--controlled_init", type=str, default="magnitude_soft")
+    p.add_argument("--lr1", type=float, default=3e-5)
+    p.add_argument("--lr2", type=float, default=5e-6)
+    p.add_argument("--min_lr", type=float, default=1e-6)
+    p.add_argument("--use_bias_reweight", type=common.str2bool, default=True)
+    p.add_argument("--distill", type=common.str2bool, default=False)
+    p.add_argument("--image_res", type=int, default=384)
+    p.add_argument("--beam_size", type=int, default=5)
+    p.add_argument("--max_answer_len", type=int, default=12)
+    p.add_argument("--train_files", type=str, nargs="*", default=None)
+    p.add_argument("--test_files", type=str, nargs="*", default=None)
+    p.add_argument("--vqa_root", type=str, default="")
+    p.add_argument("--init_ckpt", type=str, default=None)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    common.setup_logging(args.output_dir)
+    common.dump_args(args, args.output_dir)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.tiny:
+        config = MPlugConfig(bert=MPlugBertConfig.tiny(dtype=dtype),
+                             vit=ViTConfig.tiny(dtype=dtype),
+                             distill=args.distill)
+    else:
+        config = MPlugConfig(
+            bert=MPlugBertConfig(dtype=dtype),
+            vit=ViTConfig(image_res=args.image_res, dtype=dtype),
+            distill=args.distill)
+    model = MPlug(config)
+
+    from ..data.mplug_data import (
+        iterate_batches,
+        load_entries,
+        synthetic_mplug_batch,
+    )
+
+    if args.synthetic:
+        def train_batches(epoch):
+            for i in range(max(args.synthetic // args.train_batch_size, 1)):
+                yield synthetic_mplug_batch(
+                    batch_size=args.train_batch_size,
+                    image_res=config.vit.image_res,
+                    vocab_size=config.bert.vocab_size, seed=epoch * 1000 + i)
+
+        def eval_batches():
+            for i in range(max(args.synthetic // args.eval_batch_size, 1)):
+                yield synthetic_mplug_batch(
+                    batch_size=args.eval_batch_size,
+                    image_res=config.vit.image_res,
+                    vocab_size=config.bert.vocab_size, seed=90000 + i)
+
+        n_train = args.synthetic
+        tokenizer = None
+    else:
+        from ..data.vqacp import make_tokenizer
+
+        tokenizer = make_tokenizer(args.vocab_file)
+        train_entries = load_entries(args.train_files, tokenizer,
+                                     vqa_root=args.vqa_root)
+        test_entries = load_entries(args.test_files, tokenizer,
+                                    vqa_root=args.vqa_root)
+        n_train = len(train_entries)
+
+        def train_batches(epoch):
+            return iterate_batches(train_entries, args.train_batch_size,
+                                   config.vit.image_res, shuffle=True,
+                                   seed=args.seed + epoch, drop_last=True)
+
+        def eval_batches():
+            return iterate_batches(test_entries, args.eval_batch_size,
+                                   config.vit.image_res)
+
+    b0 = next(iter(train_batches(0)))
+    jb0 = {k: jnp.asarray(v) for k, v in b0.items() if k != "qid"}
+    params = model.init(jax.random.PRNGKey(args.seed), jb0["images"],
+                        jb0["question_ids"], jb0["question_mask"],
+                        jb0["answer_ids"], jb0["answer_mask"],
+                        jb0["weights"])["params"]
+    if args.init_ckpt:
+        params = ckpt.load_checkpoint(args.init_ckpt, params)
+
+    steps_per_epoch = max(n_train // args.train_batch_size, 1)
+    total_steps = int(steps_per_epoch * args.num_train_epochs)
+    cfg = mplug_train.MPlugTrainConfig(
+        mode=args.mode, lr1=args.lr1, lr2=args.lr2,
+        weight_decay=args.weight_decay or 0.02,
+        warmup_steps=args.warmup_steps or steps_per_epoch,
+        total_steps=total_steps, min_lr=args.min_lr,
+        max_grad_norm=args.max_grad_norm,
+        use_bias_reweight=args.use_bias_reweight, distill=args.distill)
+
+    masker = None
+    scheduler = None
+    if args.mode == "mask":
+        c = config.bert
+        specs = mplug_mask_specs(
+            vit_layers=config.vit.layers,
+            text_encoder_layers=c.text_encoder_layers,
+            fusion_layers=c.fusion_layers,
+            decoder_layers=c.text_decode_layers,
+            stride_layer=c.stride_layer, with_momentum=args.distill)
+        masker = Masker.create(
+            specs, ModalSparsity.uniform(args.zero_rate),
+            threshold=args.threshold, init_scale=args.init_scale,
+            controlled_init=args.controlled_init)
+        scheduler = MaskerScheduler(
+            final_sparsity=args.zero_rate, num_epochs=args.num_train_epochs,
+            init_sparsity=args.init_sparsity, lambdas_lr=1.0,
+            final_epoch=args.final_sparsity_epoch)
+        # dump the mask config like vqa_mplug.py:506-507
+        with open(os.path.join(args.output_dir, "mask_config.json"), "w") as f:
+            json.dump({"zero_rate": args.zero_rate, "threshold": args.threshold,
+                       "init_scale": args.init_scale,
+                       "controlled_init": args.controlled_init,
+                       "masker_update_step": args.masker_update_step}, f)
+
+    state, tx = mplug_train.init_state(model, params, cfg,
+                                       jax.random.PRNGKey(args.seed),
+                                       masker=masker)
+    mesh = make_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
+    state = jax.device_put(state, replicated_sharding(mesh))
+    from ..parallel.zero import shard_opt_state
+
+    state = state.replace(opt_state=shard_opt_state(state.opt_state, mesh))
+    shard_fn = common.make_shard_fn(mesh)
+    step_fn = mplug_train.make_train_step(model, cfg, tx, masker=masker,
+                                          mesh=mesh)
+    reset_fn = (mplug_train.make_threshold_reset(masker)
+                if masker is not None else None)
+    gen_fn = mplug_train.make_generate_step(model, cfg, masker=masker,
+                                            beam_size=args.beam_size,
+                                            max_len=args.max_answer_len)
+
+    if args.resume_from:
+        state = ckpt.load_checkpoint(args.resume_from, state)
+
+    if args.do_train:
+        for epoch in range(int(args.num_train_epochs)):
+            for batch in train_batches(epoch):
+                dev = shard_fn({k: v for k, v in batch.items() if k != "qid"})
+                state, loss = step_fn(state, dev)
+                step = int(state.step)
+                if masker is not None and step % args.masker_update_step == 0:
+                    _, target, _ = scheduler.step(epoch)
+                    state = reset_fn(state, float(target))
+                    report = jax.device_get(
+                        masker.sparsity_report(state.scores, state.thresholds))
+                    common.log_step(step, sparsity=float(report["all"]),
+                                    target=target)
+                if args.logging_steps and step % args.logging_steps == 0:
+                    common.log_step(step, loss=float(loss), epoch=epoch)
+                if args.save_steps and step % args.save_steps == 0:
+                    ckpt.save_checkpoint(
+                        os.path.join(args.output_dir, f"ckpt_{step}"), state,
+                        metadata={"step": step})
+                    ckpt.rotate_checkpoints(args.output_dir, keep=2)
+        if masker is not None:
+            state = reset_fn(state, None)
+            masks = jax.device_get(
+                masker.binary_masks(state.scores, state.thresholds))
+            torch_compat.export_mask_pt(
+                os.path.join(args.output_dir, "mask.pt"), masks, masker.specs)
+        ckpt.save_checkpoint(os.path.join(args.output_dir, "ckpt_final"), state)
+
+    if args.do_eval or args.do_predict:
+        results = []
+        for batch in eval_batches():
+            dev = shard_fn({k: v for k, v in batch.items() if k != "qid"})
+            ids, scores = gen_fn(state, dev)
+            ids = np.asarray(ids)
+            for row, qid in zip(ids, batch["qid"]):
+                if tokenizer is not None:
+                    toks = [int(t) for t in row[1:]]
+                    if config.eos_token_id in toks:
+                        toks = toks[: toks.index(config.eos_token_id)]
+                    answer = tokenizer.decode(toks).strip()
+                else:
+                    answer = " ".join(str(int(t)) for t in row[1:] if t != 0)
+                results.append({"question_id": int(qid), "answer": answer})
+        with open(os.path.join(args.output_dir, "vqa_result.json"), "w") as f:
+            json.dump(results, f)
+        common.log_step(int(state.step), num_predictions=len(results))
+
+
+if __name__ == "__main__":
+    main()

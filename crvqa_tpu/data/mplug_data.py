@@ -1,0 +1,153 @@
+"""mPLUG data pipeline — raw images + question/answer JSONs, fixed shapes.
+
+Re-design of `mPLUG/dataset/vqa_dataset.py` + `mPLUG/dataset/__init__.py`
+(vqa_collate_fn / vqa_bias_collate_fn :116-135): entries are
+{image, question, answer: [str], weights?, bias?} JSON records
+(`train_bias.json` carries per-answer bias); images are COCO files at 384²
+(normalized with the CLIP mean/std the reference transforms use).
+
+TPU-native reformulation: the reference's ragged per-question answer lists
+(collated into one flat tensor + a `k` count vector) become a fixed
+`answers_per_question` slot dimension with zero weights marking padding, so
+every batch compiles once.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+@dataclasses.dataclass
+class MPlugEntries:
+    question_ids: np.ndarray  # [N] int64 (running index for eval)
+    question_tokens: np.ndarray  # [N, Lq]
+    question_mask: np.ndarray  # [N, Lq]
+    answer_tokens: np.ndarray  # [N, A, La]
+    answer_mask: np.ndarray  # [N, A, La]
+    weights: np.ndarray  # [N, A]
+    bias: np.ndarray  # [N, A]
+    image_paths: list
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+
+def _tokenize_fixed(tokenizer, texts: Sequence[str], max_len: int,
+                    add_special: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    enc = tokenizer(list(texts), padding="max_length", truncation=True,
+                    max_length=max_len, add_special_tokens=add_special)
+    return (np.asarray(enc["input_ids"], np.int32),
+            np.asarray(enc["attention_mask"], np.float32))
+
+
+def load_entries(ann_files: Sequence[str], tokenizer, q_len: int = 25,
+                 a_len: int = 12, answers_per_question: int = 10,
+                 vqa_root: str = "") -> MPlugEntries:
+    """Parse the reference's annotation JSONs (`vqa_dataset.__getitem__`,
+    mPLUG/dataset/vqa_dataset.py:82-109): training entries carry answer
+    lists; each unique answer gets weight count/len(answers); `train_bias`
+    entries add a per-answer bias scalar."""
+    records = []
+    for f in ann_files:
+        with open(f) as fh:
+            records.extend(json.load(fh))
+    n, a_max = len(records), answers_per_question
+    q_tokens, q_mask = _tokenize_fixed(
+        tokenizer, [r["question"] for r in records], q_len)
+    ans_tokens = np.zeros((n, a_max, a_len), np.int32)
+    ans_mask = np.zeros((n, a_max, a_len), np.float32)
+    weights = np.zeros((n, a_max), np.float32)
+    bias = np.zeros((n, a_max), np.float32)
+    for i, r in enumerate(records):
+        answers = r.get("answer", [])
+        if isinstance(answers, str):
+            answers = [answers]
+        uniq: dict[str, float] = {}
+        for ans in answers:
+            uniq[ans] = uniq.get(ans, 0.0) + 1.0 / max(len(answers), 1)
+        items = list(uniq.items())[:a_max]
+        if items:
+            texts = [t for t, _ in items]
+            tk, tm = _tokenize_fixed(tokenizer, texts, a_len)
+            ans_tokens[i, : len(items)] = tk
+            ans_mask[i, : len(items)] = tm
+            weights[i, : len(items)] = [w for _, w in items]
+        rb = r.get("bias")
+        if rb is not None:
+            rb = np.atleast_1d(np.asarray(rb, np.float32))[: len(items)]
+            bias[i, : len(rb)] = rb
+    return MPlugEntries(
+        question_ids=np.asarray(
+            [r.get("question_id", i) for i, r in enumerate(records)], np.int64),
+        question_tokens=q_tokens, question_mask=q_mask,
+        answer_tokens=ans_tokens, answer_mask=ans_mask,
+        weights=weights, bias=bias,
+        image_paths=[os.path.join(vqa_root, r["image"]) for r in records],
+    )
+
+
+def load_images(paths: Sequence[str], image_res: int = 384) -> np.ndarray:
+    """Decode + resize + CLIP-normalize (the RandAugment train transforms of
+    `mPLUG/dataset/__init__.py:16-35` are future work; eval uses plain
+    resize+normalize). Requires PIL."""
+    from PIL import Image
+
+    out = np.zeros((len(paths), image_res, image_res, 3), np.float32)
+    for i, p in enumerate(paths):
+        img = Image.open(p).convert("RGB").resize((image_res, image_res))
+        out[i] = (np.asarray(img, np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    return out
+
+
+def synthetic_mplug_batch(batch_size: int = 2, image_res: int = 32,
+                          vocab_size: int = 128, q_len: int = 6, a_len: int = 5,
+                          answers_per_question: int = 3, seed: int = 0) -> dict:
+    rng = np.random.RandomState(seed)
+    return {
+        "images": rng.randn(batch_size, image_res, image_res, 3).astype(np.float32),
+        "question_ids": rng.randint(1, vocab_size,
+                                    (batch_size, q_len)).astype(np.int32),
+        "question_mask": np.ones((batch_size, q_len), np.float32),
+        "answer_ids": rng.randint(
+            1, vocab_size,
+            (batch_size, answers_per_question, a_len)).astype(np.int32),
+        "answer_mask": np.ones((batch_size, answers_per_question, a_len),
+                               np.float32),
+        "weights": rng.dirichlet(np.ones(answers_per_question),
+                                 batch_size).astype(np.float32),
+        "bias": rng.rand(batch_size, answers_per_question).astype(np.float32) * 0.5,
+        "qid": np.arange(batch_size, dtype=np.int64) + seed * batch_size,
+    }
+
+
+def iterate_batches(entries: MPlugEntries, batch_size: int,
+                    image_res: int = 384, shuffle: bool = False, seed: int = 0,
+                    drop_last: bool = False) -> Iterator[dict]:
+    n = len(entries)
+    order = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    for start in range(0, n, batch_size):
+        idx = order[start: start + batch_size]
+        if len(idx) < batch_size:
+            if drop_last:
+                return
+            idx = np.concatenate([idx, np.full(batch_size - len(idx), idx[-1])])
+        yield {
+            "images": load_images([entries.image_paths[i] for i in idx],
+                                  image_res),
+            "question_ids": entries.question_tokens[idx],
+            "question_mask": entries.question_mask[idx],
+            "answer_ids": entries.answer_tokens[idx],
+            "answer_mask": entries.answer_mask[idx],
+            "weights": entries.weights[idx],
+            "bias": entries.bias[idx],
+            "qid": entries.question_ids[idx],
+        }

@@ -166,21 +166,29 @@ class Masker:
         return traverse_util.unflatten_dict(flat)
 
     # --------------------------------------------------------------- threshold
-    def reset_thresholds(self, scores: Scores) -> Thresholds:
+    def reset_thresholds(self, scores: Scores,
+                         sparsity_override: Optional[float] = None
+                         ) -> Thresholds:
         """Recompute each module's threshold as the kth-value of its scores.
 
         Per-modality targets, exactly `Trainer.reset_threshold`
         (`mask_trainer_Robust_VQA.py:467-482`). With `global_prune`, a single
         kth-value over all scores (`global_mask_trainer_VQA` path).
+        `sparsity_override` serves schedule-driven targets (the mPLUG
+        MaskerScheduler path, `mPLUG/vqa_mplug.py:206-212` +
+        `mPLUG/masking/maskers.py:689-711`).
         """
         if self.global_prune:
             all_scores = jnp.concatenate([jnp.ravel(scores[s.key]) for s in self.specs])
-            sp = next(iter(self.zerorate_dict.values()))
+            sp = (sparsity_override if sparsity_override is not None
+                  else next(iter(self.zerorate_dict.values())))
             t = kth_smallest(all_scores, max(int(all_scores.size * sp), 1))
             return {s.key: t.astype(jnp.float32) for s in self.specs}
         return {
             s.key: sparsity_threshold(
-                scores[s.key], self.spec_sparsity(s)).astype(jnp.float32)
+                scores[s.key],
+                sparsity_override if sparsity_override is not None
+                else self.spec_sparsity(s)).astype(jnp.float32)
             for s in self.specs
         }
 

@@ -148,11 +148,15 @@ def make_train_step(model, config: MPlugTrainConfig,
 
 def make_threshold_reset(masker: Masker) -> Callable:
     """Periodic per-module kth-value reset driven every `masker_update_step`
-    steps by the caller (`vqa_mplug.py:206-212`)."""
+    steps by the caller (`vqa_mplug.py:206-212`). Accepts the current target
+    sparsity from the MaskerScheduler (gradual-warmup path)."""
 
-    @jax.jit
-    def reset(state: MPlugState) -> MPlugState:
-        return state.replace(thresholds=masker.reset_thresholds(state.scores))
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(1,))
+    def reset(state: MPlugState, target: Optional[float] = None) -> MPlugState:
+        return state.replace(
+            thresholds=masker.reset_thresholds(state.scores, target))
 
     return reset
 
