@@ -63,21 +63,26 @@ def main() -> None:
     cfg = stage2.Stage2Config(masker_type="lmh", total_steps=10_000,
                               hidden_size=config.hidden_size)
     state, tx = stage2.init_state(model, masker, params, cfg, jax.random.PRNGKey(1))
-    step = stage2.make_train_step(model, masker, tx, cfg)
+
+    # Multi-step on-device scan: one dispatch drives `window` steps, so the
+    # per-step host round trip vanishes (train/stage2.make_multi_step).
+    window = 8
+    multi = stage2.make_multi_step(model, masker, tx, cfg, window)
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (window,) + x.shape), batch)
 
     # compile + warmup; the float() forces real completion through the tunnel
-    for _ in range(2):
-        state, metrics = step(state, batch)
-        _ = float(metrics.loss)
+    state, losses, _ = multi(state, stacked)
+    _ = float(losses[-1])
 
-    iters = 15
+    windows = 4
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch)
-        _ = float(metrics.loss)  # synchronous fence (see module docstring)
+    for _ in range(windows):
+        state, losses, _ = multi(state, stacked)
+        _ = float(losses[-1])  # synchronous fence (see module docstring)
     dt = time.perf_counter() - t0
 
-    examples_per_sec = batch_size * iters / dt
+    examples_per_sec = batch_size * window * windows / dt
     print(json.dumps({
         "metric": "lxmert_stage2_mask_train_examples_per_sec_per_chip",
         "value": round(examples_per_sec, 2),

@@ -94,7 +94,7 @@ def merge_params(frozen: PyTree, train_params: PyTree,
 
 
 def make_train_step(model, masker: Masker, tx: optax.GradientTransformation,
-                    config: Stage2Config) -> Callable:
+                    config: Stage2Config, jit: bool = True) -> Callable:
     """Build the jitted stage-2 train step (`_training_step`,
     mask_trainer_Robust_VQA.py:801-886)."""
 
@@ -134,7 +134,31 @@ def make_train_step(model, masker: Masker, tx: optax.GradientTransformation,
             rng=rng,
         ), metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step, donate_argnums=(0,)) if jit else train_step
+
+
+def make_multi_step(model, masker: Masker, tx: optax.GradientTransformation,
+                    config: Stage2Config, n_steps: int) -> Callable:
+    """Scan `n_steps` train steps in ONE device dispatch.
+
+    TPU-native driver-loop optimization: the host round trip per step (25+ ms
+    through a tunneled chip; dataloader/log overhead on any host) disappears
+    — XLA runs the whole window on device. The batch argument is a stacked
+    pytree with leading dim n_steps; returns (state, per-step losses,
+    per-step scores). The reference's per-step Python loop
+    (`mask_trainer_Robust_VQA.py:610-623`) has no equivalent.
+    """
+    step = make_train_step(model, masker, tx, config, jit=False)
+
+    def multi(state: Stage2State, batches):
+        def body(st, batch):
+            st, m = step(st, batch)
+            return st, (m.loss, m.score)
+
+        state, (losses, scores) = jax.lax.scan(body, state, batches)
+        return state, losses, scores
+
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def make_threshold_reset(masker: Masker) -> Callable:

@@ -186,3 +186,28 @@ def test_checkpoint_roundtrip(setup):
         np.testing.assert_array_equal(
             np.asarray(restored.scores["lxmert/pooler/dense/kernel"]),
             np.asarray(state.scores["lxmert/pooler/dense/kernel"]))
+
+
+def test_multi_step_scan_matches_sequential(setup):
+    config, model, params, masker, batch = setup
+    cfg = stage2.Stage2Config(masker_type="normal", total_steps=10,
+                              hidden_size=config.hidden_size)
+    jb = _jb(batch)
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (3,) + x.shape), jb)
+
+    state, tx = stage2.init_state(model, masker, params, cfg, jax.random.PRNGKey(1))
+    multi = stage2.make_multi_step(model, masker, tx, cfg, 3)
+    state_m, losses, scores = multi(state, stacked)
+    assert losses.shape == (3,)
+    assert int(state_m.step) == 3
+
+    state_s, tx_s = stage2.init_state(model, masker, params, cfg,
+                                      jax.random.PRNGKey(1))
+    step = stage2.make_train_step(model, masker, tx_s, cfg)
+    seq_losses = []
+    for _ in range(3):
+        state_s, m = step(state_s, jb)
+        seq_losses.append(float(m.loss))
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(seq_losses),
+                               rtol=1e-4)

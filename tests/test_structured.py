@@ -1,0 +1,115 @@
+"""Structured masking tests: head/layer score shapes, expansion semantics,
+head binarizer global ranking, stage-2 training with a structured masker."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crvqa_tpu.data import synthetic_batch
+from crvqa_tpu.masking import ModalSparsity, lxmert_mask_specs
+from crvqa_tpu.masking.structured import (
+    StructuredMasker,
+    binarize_head_ste,
+    expand_head_mask_to_kernel,
+    magnitude_head_scores,
+)
+from crvqa_tpu.models import LxmertConfig, LxmertForVQA
+from crvqa_tpu.train import stage2
+
+
+def test_binarize_head_global_ranking():
+    scores = jnp.asarray([[0.9, 0.1, 0.8], [0.2, 0.7, 0.05]])
+    out = binarize_head_ste(scores, 3)  # mask lowest 3 of 6 heads globally
+    np.testing.assert_array_equal(out, [[1, 0, 1], [0, 1, 0]])
+    g = jax.grad(lambda s: jnp.sum(binarize_head_ste(s, 3) * 2.0))(scores)
+    np.testing.assert_array_equal(g, np.full((2, 3), 2.0))
+
+
+def test_expand_head_mask():
+    mask = jnp.asarray([1.0, 0.0])
+    full = expand_head_mask_to_kernel(mask, (4, 8))
+    assert full.shape == (4, 8)
+    np.testing.assert_array_equal(full[:, :4], np.ones((4, 4)))
+    np.testing.assert_array_equal(full[:, 4:], np.zeros((4, 4)))
+
+
+def _setup():
+    config = LxmertConfig.tiny()
+    model = LxmertForVQA(config)
+    batch = synthetic_batch(
+        batch_size=4, vocab_size=config.vocab_size, ans_num=config.ans_num,
+        feat_dim=config.visual_feat_dim, pos_dim=config.visual_pos_dim)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        input_ids=jnp.asarray(batch["input_ids"]),
+        visual_feats=jnp.asarray(batch["visual_feats"]),
+        visual_pos=jnp.asarray(batch["visual_pos"]))["params"]
+    specs = lxmert_mask_specs(config.l_layers, config.r_layers, config.x_layers)
+    masker = StructuredMasker.create(
+        specs, ModalSparsity.from_compression(0.3, 0.3, 0.3, 0.7),
+        controlled_init="magnitude",
+        structured_masking="heads",
+        # match only the q/k/v projections inside 'self'/'att' attention
+        # modules (the reference asserts 'self' in name for 'heads' masking,
+        # maskers_Robust.py:157) — NOT the attention output projections
+        structured_types=(".self.", ".att."),
+        num_heads=config.num_attention_heads)
+    return config, model, params, masker, batch
+
+
+def test_structured_score_shapes_and_apply():
+    config, model, params, masker, _ = _setup()
+    scores, thresholds = masker.init(params, jax.random.PRNGKey(2))
+    key = "lxmert/encoder/layer_0/attention/self/query/kernel"
+    assert scores[key].shape == (config.num_attention_heads,)
+    ffn_key = "lxmert/encoder/layer_0/intermediate/dense/kernel"
+    assert scores[ffn_key].shape == (config.hidden_size, config.intermediate_size)
+    masked = masker.apply_masks(params, scores, thresholds)
+    w = np.asarray(
+        params["lxmert"]["encoder"]["layer_0"]["attention"]["self"]["query"]["kernel"])
+    mw = np.asarray(
+        masked["lxmert"]["encoder"]["layer_0"]["attention"]["self"]["query"]["kernel"])
+    head_mask = np.asarray(scores[key]) > float(thresholds[key])
+    hs = config.head_size
+    for h in range(config.num_attention_heads):
+        block = mw[:, h * hs:(h + 1) * hs]
+        if head_mask[h]:
+            np.testing.assert_allclose(block, w[:, h * hs:(h + 1) * hs])
+        else:
+            np.testing.assert_array_equal(block, 0)
+
+
+def test_structured_stage2_training_step():
+    config, model, params, masker, batch = _setup()
+    cfg = stage2.Stage2Config(masker_type="normal", total_steps=10,
+                              hidden_size=config.hidden_size)
+    state, tx = stage2.init_state(model, masker, params, cfg, jax.random.PRNGKey(1))
+    step = stage2.make_train_step(model, masker, tx, cfg)
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "valid"}
+    s0 = {k: np.asarray(v).copy() for k, v in state.scores.items()}
+    for _ in range(2):
+        state, metrics = step(state, jb)
+    assert np.isfinite(float(metrics.loss))
+    # Some head scores must move. Not all will: if a module's q (or k) heads
+    # all initialize off, the partner projection's gradient is exactly zero
+    # (dL/dk = dL/dscores @ q with q == 0) — an inherent property of
+    # head-structured STE masking with random init. The reference never hits
+    # this because its shipped stage-2 configs assert structured masking OFF
+    # (prune_debias_VQA.py:840-842).
+    structured_keys = [sp.key for sp in masker.specs if masker._is_structured(sp)]
+    moved = sum(np.abs(np.asarray(state.scores[k]) - s0[k]).max() > 0
+                for k in structured_keys)
+    assert moved >= len(structured_keys) // 3
+    # unstructured (FFN) scores all move
+    ffn_keys = [sp.key for sp in masker.specs if not masker._is_structured(sp)]
+    ffn_moved = sum(np.abs(np.asarray(state.scores[k]) - s0[k]).max() > 0
+                    for k in ffn_keys)
+    assert ffn_moved > len(ffn_keys) * 0.8
+
+
+def test_magnitude_head_scores():
+    config, model, params, masker, _ = _setup()
+    att_specs = [s for s in masker.specs if masker._is_structured(s)]
+    hs = magnitude_head_scores(params, att_specs, config.num_attention_heads)
+    for s in att_specs:
+        assert hs[s.key].shape == (config.num_attention_heads,)
+        assert (np.asarray(hs[s.key]) > 0).all()
