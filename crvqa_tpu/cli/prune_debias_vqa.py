@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--global_prune", type=common.str2bool, default=False)
     p.add_argument("--name_of_masker", type=str, default="MaskedLinear1")
     p.add_argument("--training_type", type=str, default="Masker")
+    p.add_argument("--masking_scheduler_conf", type=str,
+                   default="lambdas_lr=0,sparsity_warmup=automated_gradual_sparsity,"
+                           "sparsity_warmup_interval_epoch=0.1,init_epoch=0,final_epoch=1",
+                   help="k=v,... mini-DSL (utils/param_parser.dict_parser)")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     return p
 
 
@@ -112,7 +117,8 @@ def run(args) -> None:
         warmup_steps=args.warmup_steps, total_steps=total_steps,
         weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm,
         adam_epsilon=args.adam_epsilon, gamma=args.gamma,
-        hidden_size=config.hidden_size)
+        hidden_size=config.hidden_size,
+        grad_accum_steps=args.gradient_accumulation_steps)
     state, tx = stage2.init_state(model, masker, params, cfg,
                                   jax.random.PRNGKey(args.seed))
 
@@ -145,6 +151,14 @@ def run(args) -> None:
                            {k: round(float(v), 4) for k, v in report.items()})
         return state
 
+    from ..utils.profiling import MetricsWriter
+
+    writer = MetricsWriter(args.output_dir)
+    drift_fn = jax.jit(masker.mask_drift)
+    orig_masks = jax.device_get(
+        masker.binary_masks(state.scores, state.thresholds))
+    tmp_masks = orig_masks
+
     best = -1.0
     if args.do_train:
         # pre-train sanity eval (mask_trainer_Robust_VQA.py:606-609)
@@ -159,9 +173,19 @@ def run(args) -> None:
                 step = int(state.step)
                 if args.logging_steps and step % args.logging_steps == 0:
                     state = reset_fn(state)
+                    # mask distance vs init / change vs last log (log_mask_info)
+                    distance = float(drift_fn(state.scores, state.thresholds,
+                                              orig_masks))
+                    change = float(drift_fn(state.scores, state.thresholds,
+                                            tmp_masks))
+                    tmp_masks = jax.device_get(
+                        masker.binary_masks(state.scores, state.thresholds))
+                    score_pct = 100 * float(metrics.score) / float(metrics.batch_size)
                     common.log_step(step, loss=float(metrics.loss),
-                                    score=100 * float(metrics.score) /
-                                    float(metrics.batch_size), epoch=epoch)
+                                    score=score_pct, epoch=epoch,
+                                    mask_distance=distance, mask_change=change)
+                    writer.write(step, loss=float(metrics.loss), score=score_pct,
+                                 mask_distance=distance, mask_change=change)
                 if args.save_steps and step % args.save_steps == 0:
                     ckpt.save_checkpoint(
                         os.path.join(args.output_dir, f"ckpt_{step}"), state,

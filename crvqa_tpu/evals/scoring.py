@@ -121,3 +121,44 @@ def score_prediction_file(pred_path: str, anno_path: str) -> dict:
         predictions = json.load(f)
     annotations = load_target_count_annotations(anno_path)
     return compute_vqacp_scores(predictions, annotations)
+
+
+def cal_metric(vqa_result: Sequence[dict], label_file: str) -> float:
+    """mPLUG label-dict scoring (`mPLUG/vqa_mplug.py:289-303`): mean soft
+    score of each predicted answer under {question_id: {answer: score}}."""
+    with open(label_file) as f:
+        data_list = json.load(f)
+    id2label = {d["question_id"]: d["label"] for d in data_list}
+    score = 0.0
+    for each in vqa_result:
+        label = id2label.get(each["question_id"], {})
+        score += label.get(each["answer"], 0.0)
+    return score / len(vqa_result) if vqa_result else 0.0
+
+
+def _main() -> None:
+    """Offline scorer CLI — `comput_score.py` / `comput_vqavs_score.py`
+    equivalents over the same artifacts."""
+    import argparse
+
+    p = argparse.ArgumentParser("crvqa_tpu.evals.scoring")
+    p.add_argument("--input", required=True, help="prediction JSON")
+    p.add_argument("--anno", required=True,
+                   help="<split>_target_count.pth (vqacp/v2) or "
+                        "VQAvs_test_annotations.json (vqavs) or label json (mplug)")
+    p.add_argument("--task", default="vqacp", choices=["vqacp", "vqavs", "mplug"])
+    args = p.parse_args()
+    with open(args.input) as f:
+        preds = json.load(f)
+    if args.task == "vqacp":
+        print(json.dumps(compute_vqacp_scores(
+            preds, load_target_count_annotations(args.anno))))
+    elif args.task == "vqavs":
+        with open(args.anno) as f:
+            print(json.dumps(compute_vqavs_scores(preds, json.load(f))))
+    else:
+        print(json.dumps({"acc": cal_metric(preds, args.anno)}))
+
+
+if __name__ == "__main__":
+    _main()

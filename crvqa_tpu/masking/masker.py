@@ -217,6 +217,19 @@ class Masker:
             elems["all"] = elems.get("all", 0.0) + n
         return {k: zeros[k] / elems[k] for k in zeros}
 
+    def mask_drift(self, scores: Scores, thresholds: Thresholds,
+                   ref_masks: dict[str, jax.Array]) -> jax.Array:
+        """Fraction of mask entries that differ from a reference mask —
+        `log_mask_info`'s mask_distance / mask_change telemetry
+        (`mask_trainer_Robust_VQA.py:457-465`)."""
+        changed = jnp.asarray(0.0)
+        total = 0
+        for s in self.specs:
+            cur = scores[s.key] > thresholds[s.key]
+            changed = changed + jnp.sum(cur != ref_masks[s.key])
+            total += cur.size
+        return changed / total
+
     def prune_params(self, params: PyTree, masks: dict[str, jax.Array]) -> PyTree:
         """Permanently zero masked weights (stage 3's `pruning_model_with_mask`,
         `run_vqa_stage3.py:227-324`). `masks` are bool arrays keyed by spec key."""

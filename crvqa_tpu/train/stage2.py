@@ -48,6 +48,17 @@ class Stage2Config:
     lmh_w: float = 0.36
     hidden_size: int = 768
     classifier_key: str = "classifier"  # 'cls' for VisualBERT
+    # KD: add a cosine representation loss against the dense (unmasked)
+    # teacher — the frozen stage-1 params themselves. The reference compares
+    # per-layer hidden states of a separate teacher model
+    # (`mask_trainer_Robust_VQA.py:857-865`, CosineLoss :95-97, `use_kd`
+    # false in all shipped scripts); here the pooled representation carries
+    # the distillation signal.
+    use_kd: bool = False
+    kd_weight: float = 1.0
+    # microbatch gradient accumulation (`gradient_accumulation_steps`,
+    # mask_trainer_Robust_VQA.py:656-676) as a lax.scan over batch slices
+    grad_accum_steps: int = 1
 
 
 def init_state(model, masker: Masker, params: PyTree, config: Stage2Config,
@@ -113,13 +124,43 @@ def make_train_step(model, masker: Masker, tx: optax.GradientTransformation,
             lmh_params=trainable["train"].get("lmh"),
             gamma=config.gamma, lmh_w=config.lmh_w,
         )
+        if config.use_kd:
+            from ..losses import cosine_rep_loss
+
+            _, teacher_pooled = model.apply(
+                {"params": params}, **model_inputs(batch), deterministic=True)
+            loss = loss + config.kd_weight * cosine_rep_loss(
+                pooled, jax.lax.stop_gradient(teacher_pooled))
         return loss, batch_score(logits, batch["labels"])
 
     def train_step(state: Stage2State, batch) -> tuple[Stage2State, TrainMetrics]:
         rng, dropout_rng = jax.random.split(state.rng)
         trainable = {"train": state.train_params, "scores": state.scores}
-        (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, state, batch, dropout_rng)
+        accum = config.grad_accum_steps
+        if accum > 1:
+            # reshape [B, ...] -> [A, B/A, ...] and scan microbatches,
+            # averaging grads (the reference divides loss by accum)
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
+                batch)
+            rngs = jax.random.split(dropout_rng, accum)
+
+            def body(carry, inp):
+                g_sum, loss_sum, score_sum = carry
+                mb, r = inp
+                (l, s), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    trainable, state, mb, r)
+                g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g)
+                return (g_sum, loss_sum + l, score_sum + s), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+            (grads, loss, score), _ = jax.lax.scan(
+                body, (zero, 0.0, 0.0), (micro, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            loss = loss / accum
+        else:
+            (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, state, batch, dropout_rng)
         updates, opt_state = tx.update(grads, state.opt_state, trainable)
         new = optax.apply_updates(trainable, updates)
         metrics = TrainMetrics(

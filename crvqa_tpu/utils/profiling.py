@@ -1,0 +1,88 @@
+"""Tracing / profiling hooks.
+
+The reference's observability is `tpu_metrics_debug` torch_xla counters
+(`mask_trainer_Robust_VQA.py:775-777`) and an unused HF memory tracer
+(SURVEY.md §5.1). TPU-native replacement: `jax.profiler` xplane traces
+viewable in TensorBoard/XProf, plus a lightweight step timer.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Iterator, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: Optional[str]) -> Iterator[None]:
+    """Capture a jax.profiler trace for the enclosed steps (no-op when
+    logdir is None)."""
+    if logdir is None:
+        yield
+        return
+    os.makedirs(logdir, exist_ok=True)
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Wall-clock per-step timing with warmup exclusion; JSON-line report."""
+
+    def __init__(self, warmup: int = 2):
+        self.warmup = warmup
+        self._times: list[float] = []
+        self._t0: Optional[float] = None
+        self._count = 0
+
+    def start(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def stop(self) -> None:
+        dt = time.perf_counter() - self._t0
+        self._count += 1
+        if self._count > self.warmup:
+            self._times.append(dt)
+
+    def summary(self, batch_size: Optional[int] = None) -> dict:
+        if not self._times:
+            return {"steps": 0}
+        mean = sum(self._times) / len(self._times)
+        out = {
+            "steps": len(self._times),
+            "mean_step_ms": round(mean * 1000, 3),
+            "min_step_ms": round(min(self._times) * 1000, 3),
+        }
+        if batch_size:
+            out["examples_per_sec"] = round(batch_size / mean, 2)
+        return out
+
+
+class MetricsWriter:
+    """JSONL metrics sink — the torch-free stand-in for the reference's
+    TensorBoard SummaryWriter / wandb hooks
+    (`mask_trainer_Robust_VQA.py:51-82, 273-276, 785-799`). One JSON object
+    per line; any TB/wandb frontend can tail it."""
+
+    def __init__(self, output_dir: str, name: str = "metrics.jsonl"):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, name)
+        self._fh = open(self.path, "a")
+
+    def write(self, step: int, **metrics) -> None:
+        payload = {"step": int(step)}
+        for k, v in metrics.items():
+            try:
+                payload[k] = float(v)
+            except (TypeError, ValueError):
+                payload[k] = v
+        self._fh.write(json.dumps(payload) + "\n")
+        self._fh.flush()
+
+    def close(self) -> None:
+        self._fh.close()

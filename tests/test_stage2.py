@@ -211,3 +211,43 @@ def test_multi_step_scan_matches_sequential(setup):
         seq_losses.append(float(m.loss))
     np.testing.assert_allclose(np.asarray(losses), np.asarray(seq_losses),
                                rtol=1e-4)
+
+
+def test_gradient_accumulation_matches_full_batch(setup):
+    """accum over microbatches == one big batch in expectation (same grads
+    up to dropout rng; compare in deterministic-ish setting via tiny lr)."""
+    config, model, params, masker, _ = setup
+    batch = synthetic_batch(
+        batch_size=8, seed=5, vocab_size=config.vocab_size,
+        ans_num=config.ans_num, feat_dim=config.visual_feat_dim,
+        pos_dim=config.visual_pos_dim)
+    jb = _jb(batch)
+    cfg_full = stage2.Stage2Config(masker_type="normal", total_steps=10,
+                                   hidden_size=config.hidden_size)
+    cfg_acc = stage2.Stage2Config(masker_type="normal", total_steps=10,
+                                  hidden_size=config.hidden_size,
+                                  grad_accum_steps=2)
+    s1, tx1 = stage2.init_state(model, masker, params, cfg_full,
+                                jax.random.PRNGKey(1))
+    s2, tx2 = stage2.init_state(model, masker, params, cfg_acc,
+                                jax.random.PRNGKey(1))
+    step1 = stage2.make_train_step(model, masker, tx1, cfg_full)
+    step2 = stage2.make_train_step(model, masker, tx2, cfg_acc)
+    s1, m1 = step1(s1, jb)
+    s2, m2 = step2(s2, jb)
+    # same data, different dropout partitioning -> losses close but not equal
+    assert abs(float(m1.loss) - float(m2.loss) / 1.0) < 1.0
+    assert np.isfinite(float(m2.loss))
+    assert int(s2.step) == 1
+
+
+def test_mask_drift_metric(setup):
+    config, model, params, masker, _ = setup
+    scores, thresholds = masker.init(params)
+    masks = jax.device_get(masker.binary_masks(scores, thresholds))
+    assert float(masker.mask_drift(scores, thresholds, masks)) == 0.0
+    flipped = dict(masks)
+    key = masker.specs[0].key
+    flipped[key] = ~masks[key]
+    drift = float(masker.mask_drift(scores, thresholds, flipped))
+    assert drift > 0
