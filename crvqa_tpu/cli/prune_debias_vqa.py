@@ -139,14 +139,13 @@ def run(args) -> None:
 
     def export_best(state):
         state = reset_fn(state)
-        masks = jax.device_get(masker.binary_masks(state.scores, state.thresholds))
+        masks = jax.device_get(masks_fn(state.scores, state.thresholds))
         torch_compat.export_mask_pt(
             os.path.join(args.output_dir, "mask.pt"), masks, masker.specs)
         torch_compat.export_classifier_bin(
             os.path.join(args.output_dir, "classifier4masker.bin"),
             jax.device_get(state.train_params["classifier"]))
-        report = jax.device_get(
-            masker.sparsity_report(state.scores, state.thresholds))
+        report = jax.device_get(report_fn(state.scores, state.thresholds))
         common.logger.info("zero rates: %s",
                            {k: round(float(v), 4) for k, v in report.items()})
         return state
@@ -155,8 +154,9 @@ def run(args) -> None:
 
     writer = MetricsWriter(args.output_dir)
     drift_fn = jax.jit(masker.mask_drift)
-    orig_masks = jax.device_get(
-        masker.binary_masks(state.scores, state.thresholds))
+    masks_fn = jax.jit(masker.binary_masks)
+    report_fn = jax.jit(masker.sparsity_report)
+    orig_masks = jax.device_get(masks_fn(state.scores, state.thresholds))
     tmp_masks = orig_masks
 
     best = -1.0
@@ -179,7 +179,7 @@ def run(args) -> None:
                     change = float(drift_fn(state.scores, state.thresholds,
                                             tmp_masks))
                     tmp_masks = jax.device_get(
-                        masker.binary_masks(state.scores, state.thresholds))
+                        masks_fn(state.scores, state.thresholds))
                     score_pct = 100 * float(metrics.score) / float(metrics.batch_size)
                     common.log_step(step, loss=float(metrics.loss),
                                     score=score_pct, epoch=epoch,

@@ -127,9 +127,11 @@ def main(argv=None) -> None:
         out = predict(eval_fn, state, eval_batches(), shard_fn=shard_fn)
         return vqa_accuracy(out["logits"], out["labels"]), out
 
+    masks_fn = jax.jit(masker.binary_masks)
+
     def export_best(state):
         state = reset_fn(state)
-        masks = jax.device_get(masker.binary_masks(state.scores, state.thresholds))
+        masks = jax.device_get(masks_fn(state.scores, state.thresholds))
         torch_compat.export_mask_pt(
             os.path.join(args.output_dir, "mask.pt"), masks, masker.specs)
         torch_compat.export_classifier_bin(

@@ -80,8 +80,9 @@ def main(argv=None) -> None:
                                      ("Lang", "Vis", "Fus", "P")))
 
     if args.training_type == "FT_randMask":
-        masks = jax.device_get(
-            magnitude_masks(params, list(masker.specs), masker.zerorate_dict))
+        masks = jax.device_get(jax.jit(
+            lambda p: magnitude_masks(p, list(masker.specs),
+                                      masker.zerorate_dict))(params))
     else:
         assert args.mask_pt, "--mask_pt required for FT_trainedMask"
         masks = torch_compat.import_mask_pt(args.mask_pt, masker.specs)

@@ -170,6 +170,9 @@ def main(argv=None) -> None:
                                           mesh=mesh)
     reset_fn = (mplug_train.make_threshold_reset(masker)
                 if masker is not None else None)
+    report_fn = (jax.jit(masker.sparsity_report)
+                 if masker is not None else None)
+    masks_fn = jax.jit(masker.binary_masks) if masker is not None else None
     gen_fn = mplug_train.make_generate_step(model, cfg, masker=masker,
                                             beam_size=args.beam_size,
                                             max_len=args.max_answer_len)
@@ -187,7 +190,7 @@ def main(argv=None) -> None:
                     _, target, _ = scheduler.step(epoch)
                     state = reset_fn(state, float(target))
                     report = jax.device_get(
-                        masker.sparsity_report(state.scores, state.thresholds))
+                        report_fn(state.scores, state.thresholds))
                     common.log_step(step, sparsity=float(report["all"]),
                                     target=target)
                 if args.logging_steps and step % args.logging_steps == 0:
@@ -199,8 +202,7 @@ def main(argv=None) -> None:
                     ckpt.rotate_checkpoints(args.output_dir, keep=2)
         if masker is not None:
             state = reset_fn(state, None)
-            masks = jax.device_get(
-                masker.binary_masks(state.scores, state.thresholds))
+            masks = jax.device_get(masks_fn(state.scores, state.thresholds))
             torch_compat.export_mask_pt(
                 os.path.join(args.output_dir, "mask.pt"), masks, masker.specs)
         ckpt.save_checkpoint(os.path.join(args.output_dir, "ckpt_final"), state)

@@ -89,7 +89,8 @@ def init_state(model, params: PyTree, config: MPlugTrainConfig,
     scores = thresholds = None
     if config.mode == "mask":
         assert masker is not None
-        scores, thresholds = masker.init(params, rng)
+        # one compiled program instead of hundreds of eager dispatches
+        scores, thresholds = jax.jit(masker.init)(params, rng)
         tx = make_two_group_adamw(config)
         opt_state = tx.init(scores)
     else:

@@ -71,7 +71,8 @@ def init_state(model, masker: Masker, params: PyTree, config: Stage2Config,
     (`mask_trainer_Robust_VQA.py:244-248`).
     """
     rng, init_rng, lmh_rng = jax.random.split(rng, 3)
-    scores, thresholds = masker.init(params, init_rng)
+    # one compiled program instead of ~170 eager kth-value dispatches
+    scores, thresholds = jax.jit(masker.init)(params, init_rng)
     # Copy params into fresh buffers: the train step donates its input state,
     # which would otherwise invalidate the caller's arrays. The classifier
     # moves to the trainable tree and OUT of the frozen tree (no aliasing).
