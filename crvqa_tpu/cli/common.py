@@ -137,7 +137,7 @@ def build_data(args, config):
     priors = vqacp.compute_bias_priors(train, ans_num)
     vqacp.attach_bias(train, priors, ans_num)
     vqacp.attach_bias(test, priors, ans_num)
-    features = vqacp.ImageFeatures(args.img_root)
+    features = vqacp.open_image_features(args.img_root)
 
     def train_batches(epoch: int) -> Iterator[dict]:
         return vqacp.iterate_batches(

@@ -141,7 +141,11 @@ def attach_bias(entries: VQAEntries, priors: dict[str, np.ndarray],
 
 class ImageFeatures:
     """36-box Faster-RCNN features keyed by image id
-    (`vqa_img_feature_trainval.pickle`, dataset_LXM.py:176-179)."""
+    (`vqa_img_feature_trainval.pickle`, dataset_LXM.py:176-179).
+
+    Python-pickle backend; `open_image_features` picks the native mmap store
+    (`crvqa_tpu.native.FeatureStore`) for `.bin` paths instead.
+    """
 
     def __init__(self, path: str):
         with open(path, "rb") as f:
@@ -153,6 +157,18 @@ class ImageFeatures:
         pos = np.stack([
             np.asarray(self._data[str(i)]["sp_feats"], np.float32) for i in image_ids])
         return feats, pos
+
+
+def open_image_features(path: str):
+    """Pick the feature backend: native mmap store for packed .bin files
+    (zero per-process RAM duplication, threaded C++ gather), pickle dict
+    otherwise. Convert once with
+    `python -m crvqa_tpu.native.feature_store <pickle> <out.bin>`."""
+    if path.endswith(".bin"):
+        from ..native import FeatureStore
+
+        return FeatureStore(path)
+    return ImageFeatures(path)
 
 
 def iterate_batches(entries: VQAEntries, features: ImageFeatures,
