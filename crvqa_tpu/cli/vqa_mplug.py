@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_files", type=str, nargs="*", default=None)
     p.add_argument("--vqa_root", type=str, default="")
     p.add_argument("--init_ckpt", type=str, default=None)
+    p.add_argument("--use_checkpoint", type=common.str2bool, default=False,
+                   help="activation checkpointing (remat) on transformer layers")
     return p
 
 
@@ -61,12 +63,12 @@ def main(argv=None) -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.tiny:
-        config = MPlugConfig(bert=MPlugBertConfig.tiny(dtype=dtype),
-                             vit=ViTConfig.tiny(dtype=dtype),
-                             distill=args.distill)
+        config = MPlugConfig(
+            bert=MPlugBertConfig.tiny(dtype=dtype, use_remat=args.use_checkpoint),
+            vit=ViTConfig.tiny(dtype=dtype), distill=args.distill)
     else:
         config = MPlugConfig(
-            bert=MPlugBertConfig(dtype=dtype),
+            bert=MPlugBertConfig(dtype=dtype, use_remat=args.use_checkpoint),
             vit=ViTConfig(image_res=args.image_res, dtype=dtype),
             distill=args.distill)
     model = MPlug(config)

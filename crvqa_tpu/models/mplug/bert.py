@@ -52,6 +52,10 @@ class MPlugBertConfig:
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
     dtype: Any = jnp.float32
+    # activation checkpointing (the reference's `use_checkpoint` +
+    # DeepSpeed partition_activations, mPLUG/configs/ds_config.json:12-16,
+    # model_vqa_mplug.py:149) -> flax nn.remat on each layer
+    use_remat: bool = False
 
     @property
     def head_size(self) -> int:
@@ -156,8 +160,9 @@ class TextEncoder(nn.Module):
         c = self.config
         h = BertEmbeddings(c, name="embeddings")(input_ids, deterministic)
         bias = extend_attention_mask(attention_mask)
+        layer_cls = nn.remat(BertLayer) if c.use_remat else BertLayer
         for i in range(c.text_encoder_layers):
-            h = BertLayer(c, has_cross=False, name=f"layer_{i}")(
+            h = layer_cls(c, has_cross=False, name=f"layer_{i}")(
                 h, bias, deterministic=deterministic)
         return h
 
@@ -221,10 +226,11 @@ class FusionEncoder(nn.Module):
         image_bias = extend_attention_mask(image_mask)
         text, image = text_embeds, image_embeds
         start = c.text_encoder_layers
+        layer_cls = nn.remat(FusionLayer) if c.use_remat else FusionLayer
         for rel in range(c.fusion_layers):
             stride = rel != 0 and rel % c.stride_layer == 0
-            text, image = FusionLayer(c, stride=stride,
-                                      name=f"layer_{start + rel}")(
+            text, image = layer_cls(c, stride=stride,
+                                    name=f"layer_{start + rel}")(
                 text, text_bias, image, image_bias, deterministic)
         return image, text
 
@@ -256,8 +262,9 @@ class TextDecoder(nn.Module):
         h = emb(input_ids, deterministic)
         self_bias = causal_mask_bias(input_ids.shape[1], attention_mask)
         enc_bias = extend_attention_mask(enc_mask)
+        layer_cls = nn.remat(BertLayer) if c.use_remat else BertLayer
         for i in range(c.text_decode_layers):
-            h = BertLayer(c, has_cross=True, name=f"layer_{i}")(
+            h = layer_cls(c, has_cross=True, name=f"layer_{i}")(
                 h, self_bias, enc_states, enc_bias, deterministic)
         # LM head: transform + tied decoder
         t = nn.Dense(c.hidden_size, dtype=c.dtype,
