@@ -99,3 +99,63 @@ def test_eval_gather_across_devices(mesh, setup):
     local = np.asarray(eval_step(state, {k: jnp.asarray(v) for k, v in batch.items()
                                          if k != "valid"}))
     np.testing.assert_allclose(sharded, local, atol=2e-4)
+
+
+def test_mplug_mask_step_with_zero_sharding(mesh):
+    """mPLUG mask-train step with ZeRO-sharded optimizer state on the
+    8-device mesh (the DeepSpeed ZeRO-2 analogue, parallel/zero.py)."""
+    from crvqa_tpu.masking.mplug_specs import mplug_mask_specs
+    from crvqa_tpu.models.mplug import MPlug, MPlugConfig
+    from crvqa_tpu.train import mplug_train
+    from crvqa_tpu.data.mplug_data import synthetic_mplug_batch
+    from crvqa_tpu.parallel.zero import shard_opt_state, zero_spec
+    from crvqa_tpu.masking import Masker, ModalSparsity
+
+    config = MPlugConfig.tiny()
+    model = MPlug(config)
+    b = synthetic_mplug_batch(batch_size=8, image_res=config.vit.image_res,
+                              vocab_size=config.bert.vocab_size)
+    jb = {k: jnp.asarray(v) for k, v in b.items() if k != "qid"}
+    params = model.init(jax.random.PRNGKey(0), jb["images"],
+                        jb["question_ids"], jb["question_mask"],
+                        jb["answer_ids"], jb["answer_mask"],
+                        jb["weights"])["params"]
+    c = config.bert
+    specs = mplug_mask_specs(
+        vit_layers=config.vit.layers, text_encoder_layers=c.text_encoder_layers,
+        fusion_layers=c.fusion_layers, decoder_layers=c.text_decode_layers,
+        stride_layer=c.stride_layer)
+    masker = Masker.create(specs, ModalSparsity.uniform(0.5),
+                           controlled_init="magnitude_soft")
+    cfg = mplug_train.MPlugTrainConfig(mode="mask", total_steps=10,
+                                       warmup_steps=1)
+    state, tx = mplug_train.init_state(model, params, cfg,
+                                       jax.random.PRNGKey(1), masker=masker)
+    from crvqa_tpu.parallel import replicated_sharding, shard_batch
+
+    state = jax.device_put(state, replicated_sharding(mesh))
+    state = state.replace(opt_state=shard_opt_state(state.opt_state, mesh))
+    step = mplug_train.make_train_step(model, cfg, tx, masker=masker, mesh=mesh)
+    dev_batch = shard_batch(mesh, {k: v for k, v in b.items() if k != "qid"})
+    state, loss = step(state, dev_batch)
+    assert np.isfinite(float(loss))
+    # tiny-config leaves fall below the ZeRO size threshold (legitimately
+    # replicated); the sharding rule itself must shard real-size leaves:
+    big = jnp.zeros((30522, 768))
+    assert "data" in str(zero_spec(big, 8))
+    small = jnp.zeros((4, 4))
+    assert zero_spec(small, 8) == jax.sharding.PartitionSpec()
+
+
+def test_stage1_data_parallel(mesh, setup):
+    from crvqa_tpu.train import stage1
+
+    config, model, params, masker, batch = setup
+    cfg = stage1.Stage1Config(ft_type="lmh", total_steps=10, warmup_steps=0,
+                              hidden_size=config.hidden_size)
+    state, tx = stage1.init_state(params, cfg, jax.random.PRNGKey(1))
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step = stage1.make_train_step(model, cfg, tx)
+    dev_batch = shard_batch(mesh, {k: v for k, v in batch.items() if k != "valid"})
+    state, metrics = step(state, dev_batch)
+    assert np.isfinite(float(metrics.loss))
