@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init_ckpt", type=str, default=None)
     p.add_argument("--use_checkpoint", type=common.str2bool, default=False,
                    help="activation checkpointing (remat) on transformer layers")
+    p.add_argument("--eval_method", type=str, default="beam",
+                   choices=["beam", "rank"],
+                   help="beam: generative decoding; rank: score a fixed "
+                        "answer list by LM loss (MPLUG.rank_answers)")
+    p.add_argument("--answer_list", type=str, default=None,
+                   help="answer_list.json for --eval_method rank")
     return p
 
 
@@ -211,8 +217,43 @@ def main(argv=None) -> None:
 
     if args.do_eval or args.do_predict:
         results = []
+        rank_fn = None
+        answers = None
+        if args.eval_method == "rank":
+            # answer-list re-ranking (`rank_answer`, model_vqa_mplug.py:188-245)
+            if args.answer_list:
+                with open(args.answer_list) as fh:
+                    answers = json.load(fh)
+                enc = tokenizer(answers, padding="max_length", truncation=True,
+                                max_length=args.max_answer_len)
+                alist_ids = jnp.asarray(enc["input_ids"], jnp.int32)
+                alist_mask = jnp.asarray(enc["attention_mask"], jnp.float32)
+            else:
+                # synthetic smoke path: rank over a tiny random list
+                answers = [f"ans_{i}" for i in range(8)]
+                alist_ids = jnp.arange(8 * 4, dtype=jnp.int32).reshape(8, 4)                     % config.bert.vocab_size
+                alist_mask = jnp.ones((8, 4), jnp.float32)
+
+            @jax.jit
+            def rank_fn(state, batch):
+                params = state.params
+                if cfg.mode == "mask" and state.scores is not None:
+                    params = masker.apply_masks(params, state.scores,
+                                                state.thresholds)
+                return model.apply({"params": params}, batch["images"],
+                                   batch["question_ids"], batch["question_mask"],
+                                   alist_ids, alist_mask,
+                                   method=model.rank_answers)
+
         for batch in eval_batches():
             dev = shard_fn({k: v for k, v in batch.items() if k != "qid"})
+            if rank_fn is not None:
+                losses = np.asarray(rank_fn(state, dev))
+                best = losses.argmin(axis=1)
+                for idx, qid in zip(best, batch["qid"]):
+                    results.append({"question_id": int(qid),
+                                    "answer": answers[int(idx)]})
+                continue
             ids, scores = gen_fn(state, dev)
             ids = np.asarray(ids)
             for row, qid in zip(ids, batch["qid"]):
