@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                            "sparsity_warmup_interval_epoch=0.1,init_epoch=0,final_epoch=1",
                    help="k=v,... mini-DSL (utils/param_parser.dict_parser)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help=">1 scans N train steps per device dispatch "
+                        "(stage2.make_multi_step) — removes per-step host "
+                        "overhead; logging granularity becomes N steps")
     return p
 
 
@@ -125,6 +129,9 @@ def run(args) -> None:
     mesh = make_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
     state = jax.device_put(state, replicated_sharding(mesh))
     shard_fn = common.make_shard_fn(mesh)
+    spd = max(args.steps_per_dispatch, 1)
+    if spd > 1:
+        multi_fn = stage2.make_multi_step(model, masker, tx, cfg, spd)
     step_fn = stage2.make_train_step(model, masker, tx, cfg)
     reset_fn = stage2.make_threshold_reset(masker)
     eval_fn = stage2.make_eval_step(model, masker)
@@ -167,9 +174,30 @@ def run(args) -> None:
             common.logger.info(
                 "pre-train eval acc %.2f (expected LOW right after mask "
                 "patching)", acc0)
+        import numpy as _np
+
+        pending = []
         for epoch in range(int(args.num_train_epochs)):
             for batch in train_batches(epoch):
-                state, metrics = step_fn(state, shard_fn(batch))
+                if spd > 1:
+                    pending.append(batch)
+                    if len(pending) < spd:
+                        continue
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    stacked = {
+                        k: jax.device_put(
+                            _np.stack([p[k] for p in pending]),
+                            NamedSharding(mesh, P(None, "data")))
+                        for k in pending[0] if k != "valid"}
+                    pending = []
+                    state, losses, scores_sum = multi_fn(state, stacked)
+                    metrics = stage2.TrainMetrics(
+                        loss=losses[-1], score=scores_sum[-1],
+                        batch_size=jnp.asarray(args.train_batch_size,
+                                               jnp.float32))
+                else:
+                    state, metrics = step_fn(state, shard_fn(batch))
                 step = int(state.step)
                 if args.logging_steps and step % args.logging_steps == 0:
                     state = reset_fn(state)
