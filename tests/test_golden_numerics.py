@@ -1,0 +1,55 @@
+"""Golden-numerics regression lock.
+
+Exact two-step stage-2 loss trajectories for every loss type on the tiny
+model + fixed seeds (CPU, highest matmul precision). These values were
+captured at round 1; if a refactor moves them beyond fp32 noise, the change
+altered training numerics and must be intentional (LMH parity alone is worth
+VQA-CP accuracy points — SURVEY.md §7 "hard parts").
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crvqa_tpu.data import synthetic_batch
+from crvqa_tpu.masking import Masker, ModalSparsity, lxmert_mask_specs
+from crvqa_tpu.models import LxmertConfig, LxmertForVQA
+from crvqa_tpu.train import stage2
+
+GOLDEN = {
+    "normal": (10.993243, 10.811928),
+    "lmh": (9.271314, 9.004271),
+    "lpf": (1.562753, 1.609949),
+    "rubi": (2.793493, 2.809630),
+}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = LxmertConfig.tiny()
+    model = LxmertForVQA(config)
+    b = synthetic_batch(batch_size=4, vocab_size=config.vocab_size,
+                        ans_num=config.ans_num, feat_dim=config.visual_feat_dim,
+                        pos_dim=config.visual_pos_dim)
+    jb = {k: jnp.asarray(v) for k, v in b.items() if k != "valid"}
+    params = model.init(jax.random.PRNGKey(0), input_ids=jb["input_ids"],
+                        visual_feats=jb["visual_feats"],
+                        visual_pos=jb["visual_pos"])["params"]
+    specs = lxmert_mask_specs(config.l_layers, config.r_layers, config.x_layers)
+    masker = Masker.create(specs, ModalSparsity.from_compression(.3, .3, .3, .7),
+                           controlled_init="magnitude")
+    return config, model, params, masker, jb
+
+
+@pytest.mark.parametrize("masker_type", list(GOLDEN))
+def test_two_step_loss_trajectory(setup, masker_type):
+    config, model, params, masker, jb = setup
+    cfg = stage2.Stage2Config(masker_type=masker_type, total_steps=10,
+                              hidden_size=config.hidden_size)
+    st, tx = stage2.init_state(model, masker, params, cfg, jax.random.PRNGKey(1))
+    step = stage2.make_train_step(model, masker, tx, cfg)
+    st, m1 = step(st, jb)
+    st, m2 = step(st, jb)
+    want1, want2 = GOLDEN[masker_type]
+    np.testing.assert_allclose(float(m1.loss), want1, rtol=5e-4)
+    np.testing.assert_allclose(float(m2.loss), want2, rtol=5e-4)
