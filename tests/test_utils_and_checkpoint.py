@@ -1,0 +1,96 @@
+"""Unit coverage: checkpoint retention/latest, MetricsWriter, StepTimer,
+cal_metric, torch-compat name mapping round trip."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crvqa_tpu.core import (
+    latest_checkpoint,
+    load_checkpoint,
+    rotate_checkpoints,
+    save_checkpoint,
+)
+from crvqa_tpu.core.torch_compat import (
+    flax_to_torch_state_dict,
+    torch_state_dict_to_flax,
+)
+from crvqa_tpu.evals import cal_metric
+from crvqa_tpu.utils.profiling import MetricsWriter, StepTimer
+
+
+def test_checkpoint_latest_and_rotation(tmp_path):
+    d = str(tmp_path)
+    for step in (10, 20, 30, 40):
+        save_checkpoint(os.path.join(d, f"ckpt_{step}"),
+                        {"x": jnp.full((2,), step)}, metadata={"step": step})
+    assert latest_checkpoint(d).endswith("ckpt_40")
+    rotate_checkpoints(d, keep=2)
+    remaining = sorted(n for n in os.listdir(d) if n.startswith("ckpt_")
+                       and not n.endswith(".json"))
+    assert remaining == ["ckpt_30", "ckpt_40"]
+    restored = load_checkpoint(os.path.join(d, "ckpt_40"),
+                               {"x": jnp.zeros((2,))})
+    np.testing.assert_array_equal(np.asarray(restored["x"]), [40, 40])
+
+
+def test_metrics_writer_jsonl(tmp_path):
+    w = MetricsWriter(str(tmp_path))
+    w.write(1, loss=1.5, tag="a")
+    w.write(2, loss=jnp.asarray(0.75))
+    w.close()
+    lines = [json.loads(l) for l in open(w.path)]
+    assert lines[0] == {"step": 1, "loss": 1.5, "tag": "a"}
+    assert lines[1]["loss"] == 0.75
+
+
+def test_step_timer():
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        t.start()
+        t.stop()
+    s = t.summary(batch_size=8)
+    assert s["steps"] == 3
+    assert s["examples_per_sec"] > 0
+
+
+def test_cal_metric(tmp_path):
+    label_file = tmp_path / "labels.json"
+    json.dump([
+        {"question_id": 1, "label": {"yes": 1.0, "no": 0.3}},
+        {"question_id": 2, "label": {"red": 0.6}},
+    ], open(label_file, "w"))
+    preds = [{"question_id": 1, "answer": "yes"},
+             {"question_id": 2, "answer": "blue"}]
+    assert abs(cal_metric(preds, str(label_file)) - 0.5) < 1e-9
+
+
+def test_torch_name_mapping_round_trip():
+    params = {
+        "encoder": {
+            "layer_3": {"attention": {"self": {"query": {
+                "kernel": np.arange(12.0).reshape(3, 4).astype(np.float32),
+                "bias": np.zeros(4, np.float32)}}}},
+            "LayerNorm": {"scale": np.ones(3, np.float32),
+                          "bias": np.zeros(3, np.float32)},
+        },
+        "emb": {"word_embeddings": {
+            "embedding": np.ones((5, 3), np.float32)}},
+        "clf": {"main_0": {"v": np.ones((3, 2), np.float32),
+                           "g": np.asarray([2.0], np.float32),
+                           "bias": np.zeros(2, np.float32)}},
+    }
+    sd = flax_to_torch_state_dict(params)
+    assert "encoder.layer.3.attention.self.query.weight" in sd
+    assert sd["encoder.layer.3.attention.self.query.weight"].shape == (4, 3)
+    assert "encoder.LayerNorm.weight" in sd
+    assert "emb.word_embeddings.weight" in sd
+    assert sd["clf.main.0.weight_g"].shape == ()
+    back = torch_state_dict_to_flax(sd, params)
+    np.testing.assert_array_equal(
+        back["encoder"]["layer_3"]["attention"]["self"]["query"]["kernel"],
+        params["encoder"]["layer_3"]["attention"]["self"]["query"]["kernel"])
+    np.testing.assert_array_equal(back["clf"]["main_0"]["g"],
+                                  params["clf"]["main_0"]["g"])
