@@ -62,6 +62,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="tiny 2/1/1-layer config for smoke tests")
     p.add_argument("--dataset", type=str, default="vqacp",
                    choices=["vqacp", "vqavs"])
+    p.add_argument("--data_ratio", type=float, default=1.0,
+                   help="subsample the train set (VQAFeatureDataset ratio)")
 
 
 def setup_logging(output_dir: str) -> None:

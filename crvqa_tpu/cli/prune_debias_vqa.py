@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                            "sparsity_warmup_interval_epoch=0.1,init_epoch=0,final_epoch=1",
                    help="k=v,... mini-DSL (utils/param_parser.dict_parser)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--layers_to_mask", type=str,
+                   default="0,1,2,3,4,5,6,7,8,9,10,11",
+                   help="comma-separated layer indices (prune_debias_VQA.py "
+                        "--layers_to_mask; intersected with each group's depth)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help=">1 scans N train steps per device dispatch "
                         "(stage2.make_multi_step) — removes per-step host "
@@ -103,7 +107,9 @@ def run(args) -> None:
     rng = jax.random.PRNGKey(args.seed)
     params = load_stage1_params(args.stage1_ckpt, model, config, rng)
 
-    specs = lxmert_mask_specs(config.l_layers, config.r_layers, config.x_layers)
+    layers = [int(x) for x in args.layers_to_mask.split(",") if x.strip() != ""]
+    specs = lxmert_mask_specs(config.l_layers, config.r_layers, config.x_layers,
+                              layers_to_mask=layers)
     sparsity = ModalSparsity.from_compression(
         args.Lang_comp, args.Vis_comp, args.Fus_comp, args.zero_rate)
     masker = Masker.create(

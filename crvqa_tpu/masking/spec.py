@@ -15,7 +15,7 @@ bit-compatible with the reference's `mask.pt` key naming
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Optional, Sequence
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,15 +90,18 @@ def lxmert_mask_specs(
     x_layers: int = 5,
     weight_types: Sequence[str] = LXMERT_WEIGHT_TYPES,
     ptl: str = "lxmert",
+    layers_to_mask: Optional[Sequence[int]] = None,
 ) -> list[MaskSpec]:
     """Enumerate all masked LXMERT weights.
 
     Mirrors `chain_module_names(model_type, layers_to_mask, weight_types)`
     (`prune_debias_VQA.py:300-310`): the reference iterates layer indices
-    0..11 and lets nonexistent module names fall through; here we clamp to
-    the per-group layer counts explicitly.
+    0..11 and lets nonexistent module names fall through; here
+    `layers_to_mask` (default: all) is intersected with each group's real
+    layer count explicitly.
     """
     layer_counts = {"layer": l_layers, "r_layers": r_layers, "x_layers": x_layers}
+    allowed = set(layers_to_mask) if layers_to_mask is not None else None
     specs: list[MaskSpec] = []
     for wt in weight_types:
         if wt in _LXMERT_TYPES:
@@ -124,6 +127,8 @@ def lxmert_mask_specs(
         else:
             group, subpath, modality = _LXMERT_LAYER_TYPES[wt]
             for l in range(layer_counts[group]):
+                if allowed is not None and l not in allowed:
+                    continue
                 specs.append(
                     MaskSpec(
                         path=(ptl, "encoder", f"{group}_{l}") + subpath + ("kernel",),
