@@ -58,3 +58,36 @@ def test_three_stage_pipeline(tmp_path):
     zeros = sum(int((~m).sum()) for m in mask.values())
     total = sum(m.numel() for m in mask.values())
     assert abs(zeros / total - 0.7) < 0.02
+
+
+@pytest.mark.slow
+def test_stage1_lmh_cli(tmp_path):
+    from crvqa_tpu.cli import run_vqa_stage1
+
+    out = tmp_path / "s1lmh"
+    run_vqa_stage1.main([
+        "--output_dir", str(out), "--FT_type", "lmh", "--label4save", "l",
+        "--tiny", "--synthetic", "32", "--train_batch_size", "8",
+        "--eval_batch_size", "8", "--num_train_epochs", "1",
+        "--logging_steps", "2", "--save_steps", "4", "--warmup_steps", "0",
+        "--dtype", "float32", "--do_train", "--do_eval",
+        "--evaluate_during_training", "--seed", "0"])
+    assert (out / "l_FTlmh_only.bin").exists()
+    assert (out / "test.json").exists()
+
+
+@pytest.mark.slow
+def test_vqavs_cli_synthetic(tmp_path):
+    from crvqa_tpu.cli import prune_debias_vqavs
+
+    out = tmp_path / "vqavs"
+    prune_debias_vqavs.main([
+        "--output_dir", str(out), "--tiny", "--synthetic", "32",
+        "--train_batch_size", "8", "--eval_batch_size", "8",
+        "--num_train_epochs", "1", "--logging_steps", "2",
+        "--save_steps", "4", "--warmup_steps", "0", "--dtype", "float32",
+        "--Masker_type", "lpf", "--do_train", "--do_eval",
+        "--evaluate_during_training", "--seed", "0"])
+    assert (out / "mask.pt").exists()
+    # the reference's (typo'd) VQA-VS prediction dump name is preserved
+    assert (out / "prefictions_VQAvs_test.json").exists()
