@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                            "sparsity_warmup_interval_epoch=0.1,init_epoch=0,final_epoch=1",
                    help="k=v,... mini-DSL (utils/param_parser.dict_parser)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--scan_layers", type=common.str2bool, default=False,
+                   help="scan-over-layers model variant (stacked layer "
+                        "params; ~5x smaller HLO, batched per-layer "
+                        "threshold resets; same numerics)")
     p.add_argument("--layers_to_mask", type=str,
                    default="0,1,2,3,4,5,6,7,8,9,10,11",
                    help="comma-separated layer indices (prune_debias_VQA.py "
@@ -105,11 +109,22 @@ def run(args) -> None:
         config = LxmertConfig(ans_num=args.ans_num, dtype=dtype)
     model = LxmertForVQA(config)
     rng = jax.random.PRNGKey(args.seed)
+    # checkpoints always interop through the unrolled layout
     params = load_stage1_params(args.stage1_ckpt, model, config, rng)
 
-    layers = [int(x) for x in args.layers_to_mask.split(",") if x.strip() != ""]
-    specs = lxmert_mask_specs(config.l_layers, config.r_layers, config.x_layers,
-                              layers_to_mask=layers)
+    if args.scan_layers:
+        from ..masking.spec import lxmert_scan_mask_specs
+        from ..models.lxmert_scan import ScanLxmertForVQA, stack_params
+
+        model = ScanLxmertForVQA(config)
+        params = stack_params(params, config)
+        specs = lxmert_scan_mask_specs(config.l_layers, config.r_layers,
+                                       config.x_layers)
+    else:
+        layers = [int(x) for x in args.layers_to_mask.split(",")
+                  if x.strip() != ""]
+        specs = lxmert_mask_specs(config.l_layers, config.r_layers,
+                                  config.x_layers, layers_to_mask=layers)
     sparsity = ModalSparsity.from_compression(
         args.Lang_comp, args.Vis_comp, args.Fus_comp, args.zero_rate)
     masker = Masker.create(

@@ -41,6 +41,13 @@ def export_mask_pt(path: str, masks: dict[str, np.ndarray],
     out = {}
     for spec in specs:
         m = np.asarray(masks[spec.key]).astype(bool)
+        if spec.stacked:
+            # stacked [L, in, out] -> per-layer torch entries (the template
+            # torch_name carries the '{}' layer slot)
+            for i in range(spec.stacked):
+                out[f"{spec.torch_name.format(i)}.weight"] = torch.from_numpy(
+                    np.ascontiguousarray(m[i].T))
+            continue
         if not spec.is_embedding:
             m = m.T  # flax (in, out) -> torch (out, in)
         out[f"{spec.torch_name}.weight"] = torch.from_numpy(m)
@@ -53,6 +60,11 @@ def import_mask_pt(path: str, specs: Sequence[MaskSpec]) -> dict[str, np.ndarray
     raw = torch.load(path, map_location="cpu", weights_only=False)
     masks = {}
     for spec in specs:
+        if spec.stacked:
+            layers = [raw[f"{spec.torch_name.format(i)}.weight"].numpy()
+                      .astype(bool).T for i in range(spec.stacked)]
+            masks[spec.key] = np.stack(layers)
+            continue
         t = raw[f"{spec.torch_name}.weight"]
         m = t.numpy().astype(bool)
         if not spec.is_embedding:

@@ -35,6 +35,21 @@ def _get_leaf(params: PyTree, path: tuple[str, ...]) -> jax.Array:
     return node
 
 
+def _bthr(spec: MaskSpec, thr: jax.Array, ndim: int) -> jax.Array:
+    """Reshape a stacked spec's per-layer thresholds [L] for broadcasting
+    against its [L, ...] scores; unstacked thresholds pass through."""
+    if spec.stacked:
+        return thr.reshape((spec.stacked,) + (1,) * (ndim - 1))
+    return thr
+
+
+def _per_layer_kth(x: jax.Array, k: int) -> jax.Array:
+    """Batched exact kth-smallest over the leading layer axis: one sort of
+    [L, n] instead of L separate sorts (the scan-over-layers win)."""
+    flat = x.reshape(x.shape[0], -1)
+    return jnp.sort(flat, axis=1)[:, k - 1]
+
+
 @dataclasses.dataclass(frozen=True)
 class Masker:
     """Static mask configuration + pure functions over (params, scores).
@@ -102,10 +117,33 @@ class Masker:
         for spec in self.specs:
             w = _get_leaf(params, spec.path)
             sp = self.spec_sparsity(spec)
-            n = w.size
-            k = max(int(n * sp), 1)
             key = spec.key
             rng, sub = jax.random.split(rng)
+            if spec.stacked:
+                # per-layer semantics over the leading axis
+                per_n = w.size // spec.stacked
+                k = max(int(per_n * sp), 1)
+                if self.controlled_init == "magnitude":
+                    kth = _per_layer_kth(jnp.abs(w), k)
+                    scores[key] = jnp.where(
+                        jnp.abs(w) > _bthr(spec, kth, w.ndim),
+                        2.0 * thr, 0.0).astype(jnp.float32)
+                    thresholds[key] = jnp.full((spec.stacked,), thr, jnp.float32)
+                elif self.controlled_init == "magnitude_soft":
+                    scores[key] = jnp.abs(w).astype(jnp.float32)
+                    thresholds[key] = _per_layer_kth(scores[key], k).astype(jnp.float32)
+                elif self.controlled_init is None:
+                    hi = (self.init_scale + thr) / sp - self.init_scale
+                    scores[key] = jax.random.uniform(
+                        sub, w.shape, jnp.float32, -self.init_scale, hi)
+                    thresholds[key] = jnp.full((spec.stacked,), thr, jnp.float32)
+                else:
+                    raise NotImplementedError(
+                        f"controlled_init={self.controlled_init!r} with "
+                        "stacked specs")
+                continue
+            n = w.size
+            k = max(int(n * sp), 1)
             if self.controlled_init is None:
                 # uniform random in (-init_scale, s) chosen so the expected
                 # initial binarized sparsity matches (get_init_scales,
@@ -161,7 +199,8 @@ class Masker:
         for spec in self.specs:
             key = spec.key
             w = flat[spec.path]
-            m = binarize(scores[key], thresholds[key]).astype(w.dtype)
+            t = _bthr(spec, thresholds[key], w.ndim)
+            m = binarize(scores[key], t).astype(w.dtype)
             flat[spec.path] = w * m
         return traverse_util.unflatten_dict(flat)
 
@@ -184,19 +223,25 @@ class Masker:
                   else next(iter(self.zerorate_dict.values())))
             t = kth_smallest(all_scores, max(int(all_scores.size * sp), 1))
             return {s.key: t.astype(jnp.float32) for s in self.specs}
-        return {
-            s.key: sparsity_threshold(
-                scores[s.key],
-                sparsity_override if sparsity_override is not None
-                else self.spec_sparsity(s)).astype(jnp.float32)
-            for s in self.specs
-        }
+        out: Thresholds = {}
+        for s in self.specs:
+            sp = (sparsity_override if sparsity_override is not None
+                  else self.spec_sparsity(s))
+            sc = scores[s.key]
+            if s.stacked:
+                k = max(int((sc.size // s.stacked) * sp), 1)
+                out[s.key] = _per_layer_kth(sc, k).astype(jnp.float32)
+            else:
+                out[s.key] = sparsity_threshold(sc, sp).astype(jnp.float32)
+        return out
 
     # ----------------------------------------------------------------- reports
     def binary_masks(self, scores: Scores, thresholds: Thresholds) -> dict[str, jax.Array]:
         """Bool masks keyed by spec key (True = kept weight)."""
         return {
-            s.key: scores[s.key] > thresholds[s.key] for s in self.specs
+            s.key: scores[s.key] > _bthr(s, thresholds[s.key],
+                                         scores[s.key].ndim)
+            for s in self.specs
         }
 
     def sparsity_report(self, scores: Scores, thresholds: Thresholds
@@ -209,7 +254,8 @@ class Masker:
         zeros: dict[str, jax.Array] = {}
         elems: dict[str, jax.Array] = {}
         for s in self.specs:
-            z = jnp.sum(scores[s.key] <= thresholds[s.key]).astype(jnp.float32)
+            t = _bthr(s, thresholds[s.key], scores[s.key].ndim)
+            z = jnp.sum(scores[s.key] <= t).astype(jnp.float32)
             n = jnp.asarray(scores[s.key].size, jnp.float32)
             zeros[s.modality] = zeros.get(s.modality, 0.0) + z
             elems[s.modality] = elems.get(s.modality, 0.0) + n
@@ -225,7 +271,8 @@ class Masker:
         changed = jnp.asarray(0.0)
         total = 0
         for s in self.specs:
-            cur = scores[s.key] > thresholds[s.key]
+            t = _bthr(s, thresholds[s.key], scores[s.key].ndim)
+            cur = scores[s.key] > t
             changed = changed + jnp.sum(cur != ref_masks[s.key])
             total += cur.size
         return changed / total

@@ -27,6 +27,9 @@ class MaskSpec:
     weight_type: str  # abbrev like 'lK', 'vlVQ', 'E', 'P'
     modality: str  # 'Lang' | 'Vis' | 'Fus' | 'P'
     is_embedding: bool = False
+    # >0: the leaf carries a leading layer axis of this length (scan-over-
+    # layers models); torch_name is then a '{}' template over the layer index
+    stacked: int = 0
 
     @property
     def key(self) -> str:
@@ -199,3 +202,35 @@ def specs_by_modality(specs: Sequence[MaskSpec]) -> dict[str, list[MaskSpec]]:
     for s in specs:
         out.setdefault(s.modality, []).append(s)
     return out
+
+
+def lxmert_scan_mask_specs(
+    l_layers: int = 9,
+    r_layers: int = 5,
+    x_layers: int = 5,
+    ptl: str = "lxmert",
+) -> list[MaskSpec]:
+    """Mask specs for `models/lxmert_scan.ScanLxmertForVQA`: one STACKED spec
+    per weight type per layer group (leaf shape [L, in, out]), plus the four
+    unstacked singletons. Per-layer kth-value semantics are preserved —
+    Masker batches the per-layer sorts over the leading axis."""
+    specs: list[MaskSpec] = []
+    for wt in ("E", "VV", "VB"):
+        subpath_fn, modality, tname, is_emb = _LXMERT_TYPES[wt]
+        specs.append(MaskSpec(
+            path=(ptl,) + subpath_fn(None) + (("embedding",) if is_emb else ("kernel",)),
+            torch_name=f"{ptl}.{tname}", weight_type=wt, modality=modality,
+            is_embedding=is_emb))
+    group_info = {"layer": ("layers_l", l_layers),
+                  "r_layers": ("layers_r", r_layers),
+                  "x_layers": ("layers_x", x_layers)}
+    for wt, (group, subpath, modality) in _LXMERT_LAYER_TYPES.items():
+        scan_name, length = group_info[group]
+        specs.append(MaskSpec(
+            path=(ptl, "encoder", scan_name, "body") + subpath + ("kernel",),
+            torch_name=f"{ptl}.encoder.{group}.{{}}." + ".".join(subpath),
+            weight_type=wt, modality=modality, stacked=length))
+    specs.append(MaskSpec(
+        path=(ptl, "pooler", "dense", "kernel"),
+        torch_name=f"{ptl}.pooler.dense", weight_type="P", modality="P"))
+    return specs
