@@ -91,3 +91,27 @@ def test_vqavs_cli_synthetic(tmp_path):
     assert (out / "mask.pt").exists()
     # the reference's (typo'd) VQA-VS prediction dump name is preserved
     assert (out / "prefictions_VQAvs_test.json").exists()
+
+
+@pytest.mark.slow
+def test_stage2_scan_layers_cli(tmp_path):
+    """--scan_layers end to end: stacked model + per-layer resets + export."""
+    from crvqa_tpu.cli import prune_debias_vqa
+
+    out = tmp_path / "scan"
+    prune_debias_vqa.main([
+        "--output_dir", str(out), "--tiny", "--synthetic", "32",
+        "--train_batch_size", "8", "--eval_batch_size", "8",
+        "--num_train_epochs", "1", "--logging_steps", "2",
+        "--save_steps", "4", "--warmup_steps", "0", "--dtype", "float32",
+        "--scan_layers", "true", "--Masker_type", "lmh",
+        "--do_train", "--do_eval", "--evaluate_during_training",
+        "--seed", "0"])
+    import torch
+
+    mask = torch.load(out / "mask.pt", weights_only=False)
+    # per-layer torch names despite the stacked internal layout
+    assert "lxmert.encoder.layer.1.attention.self.query.weight" in mask
+    zeros = sum(int((~m).sum()) for m in mask.values())
+    total = sum(m.numel() for m in mask.values())
+    assert abs(zeros / total - 0.7) < 0.02
