@@ -115,3 +115,32 @@ def test_stage2_scan_layers_cli(tmp_path):
     zeros = sum(int((~m).sum()) for m in mask.values())
     total = sum(m.numel() for m in mask.values())
     assert abs(zeros / total - 0.7) < 0.02
+
+
+@pytest.mark.slow
+def test_stage2_resume_from_checkpoint(tmp_path):
+    """Kill-and-resume: a second CLI invocation with --resume_from continues
+    from the saved step counter (the preemption-recovery story the reference
+    lacked, SURVEY.md §5.3)."""
+    from crvqa_tpu.cli import prune_debias_vqa
+    from crvqa_tpu.core import latest_checkpoint, load_metadata
+
+    out = tmp_path / "resume"
+    common = [
+        "--output_dir", str(out), "--tiny", "--synthetic", "32",
+        "--train_batch_size", "8", "--eval_batch_size", "8",
+        "--logging_steps", "2", "--save_steps", "2", "--warmup_steps", "0",
+        "--dtype", "float32", "--Masker_type", "normal", "--seed", "0",
+        "--do_train",
+    ]
+    prune_debias_vqa.main([*common, "--num_train_epochs", "1"])
+    ck = latest_checkpoint(str(out))
+    assert ck is not None
+    step0 = load_metadata(ck)["step"]
+    assert step0 >= 2
+
+    prune_debias_vqa.main([*common, "--num_train_epochs", "1",
+                           "--resume_from", ck])
+    ck2 = latest_checkpoint(str(out))
+    step1 = load_metadata(ck2)["step"]
+    assert step1 > step0  # continued counting from the restored step
