@@ -5,6 +5,7 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
     host_all_gather,
+    initialize_multihost,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "host_all_gather",
+    "initialize_multihost",
 ]

@@ -78,3 +78,25 @@ def host_all_gather(x: jax.Array) -> np.ndarray:
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host (DCN) process-group initialization.
+
+    TPU-native analogue of `utils.init_distributed_mode` / NCCL env wiring
+    (`mPLUG/utils.py:238`, SURVEY.md §5.8): on TPU pods
+    `jax.distributed.initialize` discovers peers from the environment; args
+    are only needed off-TPU. After this, `make_mesh` over `jax.devices()`
+    spans all hosts and XLA routes collectives over ICI/DCN automatically.
+    No-op when already initialized or single-process.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process context
