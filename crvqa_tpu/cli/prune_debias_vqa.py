@@ -201,6 +201,8 @@ def run(args) -> None:
         for epoch in range(int(args.num_train_epochs)):
             for batch in train_batches(epoch):
                 if spd > 1:
+                    # partial windows fall through to the single-step path at
+                    # epoch end (see the flush below)
                     pending.append(batch)
                     if len(pending) < spd:
                         continue
@@ -249,6 +251,10 @@ def run(args) -> None:
                                 os.path.join(args.output_dir, "test.json"),
                                 out["logits"], out["question_id"], label2ans)
                             state = export_best(state)
+            # flush a partial scan window through the single-step path
+            for leftover in pending:
+                state, metrics = step_fn(state, shard_fn(leftover))
+            pending = []
         state = export_best(state)
 
     if args.do_eval or args.do_predict:
