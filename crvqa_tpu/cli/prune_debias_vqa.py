@@ -149,6 +149,15 @@ def run(args) -> None:
 
     mesh = make_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
     state = jax.device_put(state, replicated_sharding(mesh))
+    if args.mesh_model > 1:
+        # tensor-parallel placement of the frozen backbone + mask scores
+        from ..parallel.tp import shard_params_tp, shard_scores_tp
+
+        state = state.replace(
+            frozen_params=shard_params_tp(
+                jax.device_get(state.frozen_params), mesh),
+            scores=shard_scores_tp(
+                jax.device_get(state.scores), masker.specs, mesh))
     shard_fn = common.make_shard_fn(mesh)
     spd = max(args.steps_per_dispatch, 1)
     if spd > 1:
