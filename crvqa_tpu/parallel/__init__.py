@@ -1,3 +1,5 @@
+from .tp import param_partition_spec, shard_params_tp, shard_scores_tp
+from .zero import shard_opt_state, constrain_opt_state
 from .mesh import (
     MeshConfig,
     make_mesh,
@@ -16,4 +18,6 @@ __all__ = [
     "shard_batch",
     "host_all_gather",
     "initialize_multihost",
+    "param_partition_spec", "shard_params_tp", "shard_scores_tp",
+    "shard_opt_state", "constrain_opt_state",
 ]
