@@ -13,7 +13,6 @@ import os
 from typing import Any, Optional
 
 import jax
-import numpy as np
 from flax import serialization
 
 PyTree = Any

@@ -16,7 +16,7 @@ hidden) on both sides. torch is CPU-only here and used purely for
 """
 from __future__ import annotations
 
-from typing import Any, Iterable, Sequence
+from typing import Any, Sequence
 
 import numpy as np
 
