@@ -71,18 +71,28 @@ class MultiHeadAttention(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, context, attention_bias=None, deterministic=True):
+    def __call__(self, hidden, context, attention_bias=None, deterministic=True,
+                 kv=None):
+        """`kv`: optional precomputed (k, v) head-split projections of the
+        context ([B, S, heads, head_size] each). Generation caches the
+        cross-attention K/V of the static encoder memory once instead of
+        recomputing them every decode step (see models/mplug/generator.py)."""
         d = self.num_heads * self.head_size
         dense = lambda name: nn.Dense(
             d, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         q = dense("query")(hidden)
-        k = dense("key")(context)
-        v = dense("value")(context)
 
         def split_heads(t):
             return t.reshape(t.shape[0], t.shape[1], self.num_heads, self.head_size)
 
-        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        if kv is None:
+            k = split_heads(dense("key")(context))
+            v = split_heads(dense("value")(context))
+        else:
+            # init/training always take the kv=None path, so the key/value
+            # params exist; the cache path simply doesn't touch them
+            k, v = kv
+        q = split_heads(q)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         scores = scores / jnp.sqrt(self.head_size).astype(jnp.float32)
         if attention_bias is not None:

@@ -118,12 +118,12 @@ class BertSelfBlock(nn.Module):
     name_prefix: str = "attention"
 
     @nn.compact
-    def __call__(self, x, context, bias, deterministic=True):
+    def __call__(self, x, context, bias, deterministic=True, kv=None):
         c = self.config
         att = MultiHeadAttention(
             c.num_attention_heads, c.head_size, c.attention_probs_dropout_prob,
             c.dtype, name="self",
-        )(x, context, bias, deterministic)
+        )(x, context, bias, deterministic, kv=kv)
         return AttentionOutput(
             c.hidden_size, c.hidden_dropout_prob, c.dtype, name="output",
         )(att, x, deterministic)
@@ -137,12 +137,12 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, self_bias=None, enc_states=None, enc_bias=None,
-                 deterministic=True):
+                 deterministic=True, cross_kv=None):
         c = self.config
         x = BertSelfBlock(c, name="attention")(x, x, self_bias, deterministic)
         if self.has_cross:
             x = BertSelfBlock(c, name="crossattention")(
-                x, enc_states, enc_bias, deterministic)
+                x, enc_states, enc_bias, deterministic, kv=cross_kv)
         inter = Intermediate(c.intermediate_size, c.hidden_act, c.dtype,
                              name="intermediate")(x)
         return FFNOutput(c.hidden_size, c.hidden_dropout_prob, c.dtype,
@@ -256,7 +256,10 @@ class TextDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, enc_states, enc_mask,
-                 deterministic=True):
+                 deterministic=True, cross_kv=None):
+        """`cross_kv`: optional per-layer list of precomputed cross-attention
+        (k, v) projections of `enc_states` — decode-time caching of the
+        static encoder memory (generator.precompute_cross_kv)."""
         c = self.config
         emb = BertEmbeddings(c, name="embeddings")
         h = emb(input_ids, deterministic)
@@ -265,7 +268,8 @@ class TextDecoder(nn.Module):
         layer_cls = nn.remat(BertLayer) if c.use_remat else BertLayer
         for i in range(c.text_decode_layers):
             h = layer_cls(c, has_cross=True, name=f"layer_{i}")(
-                h, self_bias, enc_states, enc_bias, deterministic)
+                h, self_bias, enc_states, enc_bias, deterministic,
+                cross_kv=None if cross_kv is None else cross_kv[i])
         # LM head: transform + tied decoder
         t = nn.Dense(c.hidden_size, dtype=c.dtype,
                      name="predictions_transform_dense")(h)

@@ -106,10 +106,12 @@ class MPlug(nn.Module):
         return jnp.sum(loss) / b
 
     def decode_logits(self, answer_ids, answer_mask, states, state_mask,
-                      deterministic=True):
-        """Decoder logits for generation / answer ranking."""
+                      deterministic=True, cross_kv=None):
+        """Decoder logits for generation / answer ranking. `cross_kv` caches
+        the per-layer cross-attention projections of the static states."""
         return self.text_decoder(answer_ids, answer_mask, states, state_mask,
-                                 deterministic=deterministic)
+                                 deterministic=deterministic,
+                                 cross_kv=cross_kv)
 
     def rank_answers(self, images, question_ids, question_mask,
                      answer_list_ids, answer_list_mask, deterministic=True):

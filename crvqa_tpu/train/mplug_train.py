@@ -167,7 +167,7 @@ def make_generate_step(model, config: MPlugTrainConfig,
                        beam_size: int = 5, max_len: int = 12) -> Callable:
     """Beam-search answer generation for evaluation
     (`vqa_mplug.py:247-287`)."""
-    from ..models.mplug.generator import beam_generate
+    from ..models.mplug.generator import beam_generate, precompute_cross_kv
 
     @jax.jit
     def generate(state: MPlugState, batch):
@@ -179,9 +179,16 @@ def make_generate_step(model, config: MPlugTrainConfig,
             {"params": params}, batch["images"], batch["question_ids"],
             batch["question_mask"], method=model.encode)
 
+        bc = model.config.bert
+        # per-beam memory + its cross-K/V projected ONCE for the whole decode
+        rep_states = jnp.repeat(states, beam_size, axis=0)
+        cross_kv = precompute_cross_kv(
+            params["text_decoder"], rep_states, bc.text_decode_layers,
+            bc.num_attention_heads, bc.head_size, dtype=bc.dtype)
+
         def decode(ids, mask, st, st_mask):
             return model.apply({"params": params}, ids, mask, st, st_mask,
-                               method=model.decode_logits)
+                               cross_kv=cross_kv, method=model.decode_logits)
 
         cfg = model.config
         return beam_generate(decode, states, state_mask, beam_size=beam_size,

@@ -192,3 +192,41 @@ def test_momentum_update_math():
     m = {"a": jnp.zeros((3,))}
     out = momentum_update(p, m, momentum=0.9)
     np.testing.assert_allclose(np.asarray(out["a"]), 0.1 * np.ones(3), rtol=1e-6)
+
+
+def test_cross_kv_cache_equivalence(setup):
+    """Decoding with precomputed cross-attention K/V must be numerically
+    identical to the in-module projections (same kernels, same math)."""
+    from crvqa_tpu.models.mplug.generator import precompute_cross_kv
+
+    config, model, params, jb = setup
+    states, state_mask = model.apply(
+        {"params": params}, jb["images"], jb["question_ids"],
+        jb["question_mask"], method=model.encode)
+    c = config.bert
+    kv = precompute_cross_kv(params["text_decoder"], states,
+                             c.text_decode_layers, c.num_attention_heads,
+                             c.head_size)
+    ids = jb["answer_ids"][:, 0]  # [B, L]
+    mask = jb["answer_mask"][:, 0]
+    plain = model.apply({"params": params}, ids, mask, states, state_mask,
+                        method=model.decode_logits)
+    cached = model.apply({"params": params}, ids, mask, states, state_mask,
+                         cross_kv=kv, method=model.decode_logits)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_generate_step_with_kv_cache(setup):
+    """mplug_train.make_generate_step (which now precomputes cross-K/V) still
+    produces valid beams."""
+    from crvqa_tpu.train import mplug_train
+
+    config, model, params, jb = setup
+    cfg = mplug_train.MPlugTrainConfig(mode="full", total_steps=10,
+                                       warmup_steps=1)
+    state, _ = mplug_train.init_state(model, params, cfg, jax.random.PRNGKey(1))
+    gen = mplug_train.make_generate_step(model, cfg, beam_size=3, max_len=5)
+    ids, scores = gen(state, jb)
+    assert ids.shape == (2, 5)
+    assert np.isfinite(np.asarray(scores)).all()
