@@ -43,11 +43,14 @@ def _bthr(spec: MaskSpec, thr: jax.Array, ndim: int) -> jax.Array:
     return thr
 
 
-def _per_layer_kth(x: jax.Array, k: int) -> jax.Array:
+def _per_layer_kth(x: jax.Array, k) -> jax.Array:
     """Batched exact kth-smallest over the leading layer axis: one sort of
-    [L, n] instead of L separate sorts (the scan-over-layers win)."""
+    [L, n] instead of L separate sorts (the scan-over-layers win). `k` may be
+    a Python int or a traced scalar (no recompile when a sparsity schedule
+    moves the target)."""
     flat = x.reshape(x.shape[0], -1)
-    return jnp.sort(flat, axis=1)[:, k - 1]
+    idx = jnp.clip(jnp.asarray(k, jnp.int32) - 1, 0, flat.shape[1] - 1)
+    return jnp.take(jnp.sort(flat, axis=1), idx, axis=1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -221,7 +224,8 @@ class Masker:
             all_scores = jnp.concatenate([jnp.ravel(scores[s.key]) for s in self.specs])
             sp = (sparsity_override if sparsity_override is not None
                   else next(iter(self.zerorate_dict.values())))
-            t = kth_smallest(all_scores, max(int(all_scores.size * sp), 1))
+            k = jnp.maximum(jnp.asarray(all_scores.size * sp, jnp.int32), 1)
+            t = kth_smallest(all_scores, k)
             return {s.key: t.astype(jnp.float32) for s in self.specs}
         out: Thresholds = {}
         for s in self.specs:
@@ -229,7 +233,10 @@ class Masker:
                   else self.spec_sparsity(s))
             sc = scores[s.key]
             if s.stacked:
-                k = max(int((sc.size // s.stacked) * sp), 1)
+                # int() truncation matches the reference's int(n*sp); jnp
+                # int32 cast truncates identically and admits a traced sp
+                k = jnp.maximum(
+                    jnp.asarray((sc.size // s.stacked) * sp, jnp.int32), 1)
                 out[s.key] = _per_layer_kth(sc, k).astype(jnp.float32)
             else:
                 out[s.key] = sparsity_threshold(sc, sp).astype(jnp.float32)

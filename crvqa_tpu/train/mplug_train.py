@@ -12,12 +12,12 @@ moments ZeRO-sharded over the `data` mesh axis.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
+from flax import struct, traverse_util
 
 from ..masking.masker import Masker
 
@@ -47,6 +47,50 @@ class MPlugTrainConfig:
     use_bias_reweight: bool = True  # the (1-bias)*loss debias term
     distill: bool = False
     momentum: float = 0.995
+    # Mask mode keeps these param-name substrings trainable alongside the
+    # scores: the reference skips `requires_grad=False` for any module whose
+    # name contains 'predictions' and (with train_classifier=True, the
+    # shipped default) 'classifier' (mPLUG/masking/maskers.py:620-626,
+    # mask_config.py:train_classifier). For MPlug that is the decoder LM head
+    # transform + the untied predictions bias (the tied decoder weight IS the
+    # frozen word embedding, same as torch where the shared tensor inherits
+    # the embedding freeze).
+    train_classifier: bool = True
+
+    @property
+    def head_substrings(self) -> tuple[str, ...]:
+        return ("predictions", "classifier") if self.train_classifier else (
+            "predictions",)
+
+
+def _path_parts(prefix: tuple[str, ...]) -> list[str]:
+    """Expand a pytree path whose components may themselves be '/'-joined
+    flat score keys into individual name parts."""
+    parts: list[str] = []
+    for p in prefix:
+        parts.extend(str(p).split("/"))
+    return parts
+
+
+def _map_with_path(tree, fn, prefix: tuple[str, ...] = ()):
+    if isinstance(tree, dict):
+        return {k: _map_with_path(v, fn, prefix + (k,)) for k, v in tree.items()}
+    return fn(_path_parts(prefix))
+
+
+def split_head_params(params: PyTree, substrings: Sequence[str]
+                      ) -> dict[str, jax.Array]:
+    """Flat '/'-keyed dict of the params that stay trainable in mask mode."""
+    flat = traverse_util.flatten_dict(params)
+    return {"/".join(k): v for k, v in flat.items()
+            if any(s in part for part in k for s in substrings)}
+
+
+def merge_head_params(params: PyTree, head: dict[str, jax.Array]) -> PyTree:
+    flat = dict(traverse_util.flatten_dict(params))
+    for k, v in head.items():
+        flat[tuple(k.split("/"))] = v
+    return traverse_util.unflatten_dict(flat)
 
 
 def _cosine(lr: float, warmup: int, total: int, min_lr: float):
@@ -55,30 +99,39 @@ def _cosine(lr: float, warmup: int, total: int, min_lr: float):
         decay_steps=max(total, warmup + 1), end_value=min_lr)
 
 
+def two_group_labels(tree) -> PyTree:
+    """'visual' for every leaf under visual_encoder (nested param trees AND
+    flat '/'-keyed score/head dicts), 'body' otherwise."""
+    return _map_with_path(
+        tree, lambda parts: "visual" if "visual_encoder" in parts else "body")
+
+
+def decay_mask(tree) -> PyTree:
+    """True where AdamW weight decay applies. The reference's no_decay list
+    is ["bias", "LayerNorm.weight"] by substring on the torch name
+    (optim_factory.py:141-171); the flax equivalent is any leaf whose name
+    contains 'bias' or is a LayerNorm 'scale'."""
+    return _map_with_path(
+        tree, lambda parts: not ("bias" in parts[-1] or parts[-1] == "scale"))
+
+
 def make_two_group_adamw(config: MPlugTrainConfig):
-    """Dual-LR AdamW: visual-encoder leaves at lr2, everything else lr1
+    """Dual-LR AdamW: visual-encoder leaves at lr2, everything else lr1, with
+    bias/LayerNorm excluded from weight decay
     (optim_factory.create_two_optimizer, mPLUG/optim/optim_factory.py:141-171).
     """
-
-    def label_fn(tree):
-        def walk(node, in_visual):
-            if isinstance(node, dict):
-                return {k: walk(v, in_visual or k == "visual_encoder")
-                        for k, v in node.items()}
-            return "visual" if in_visual else "body"
-
-        return walk(tree, False)
 
     def group(lr):
         return optax.adamw(
             learning_rate=_cosine(lr, config.warmup_steps, config.total_steps,
                                   config.min_lr),
-            weight_decay=config.weight_decay)
+            weight_decay=config.weight_decay, mask=decay_mask)
 
     return optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.multi_transform(
-            {"body": group(config.lr1), "visual": group(config.lr2)}, label_fn),
+            {"body": group(config.lr1), "visual": group(config.lr2)},
+            two_group_labels),
     )
 
 
@@ -87,14 +140,17 @@ def init_state(model, params: PyTree, config: MPlugTrainConfig,
                ) -> tuple[MPlugState, optax.GradientTransformation]:
     params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
     scores = thresholds = None
+    tx = make_two_group_adamw(config)
     if config.mode == "mask":
         assert masker is not None
         # one compiled program instead of hundreds of eager dispatches
         scores, thresholds = jax.jit(masker.init)(params, rng)
-        tx = make_two_group_adamw(config)
-        opt_state = tx.init(scores)
+        # scores train through the STE; the LM-head ('predictions') and
+        # classifier params stay trainable too (maskers.py:620-626)
+        opt_state = tx.init({
+            "scores": scores,
+            "head": split_head_params(params, config.head_substrings)})
     else:
-        tx = make_two_group_adamw(config)
         opt_state = tx.init(params)
     params_m = (jax.tree_util.tree_map(jnp.copy, params)
                 if config.distill else None)
@@ -111,7 +167,11 @@ def make_train_step(model, config: MPlugTrainConfig,
 
     def loss_fn(trainable, state: MPlugState, batch, dropout_rng):
         if config.mode == "mask":
-            params = masker.apply_masks(state.params, trainable,
+            # head params ('predictions'/'classifier') ride in the trainable
+            # tree so their grads update them directly — the analogue of the
+            # reference NOT freezing them (maskers.py:620-626)
+            params = merge_head_params(state.params, trainable["head"])
+            params = masker.apply_masks(params, trainable["scores"],
                                         state.thresholds)
         else:
             params = trainable
@@ -125,7 +185,12 @@ def make_train_step(model, config: MPlugTrainConfig,
 
     def train_step(state: MPlugState, batch):
         rng, dropout_rng = jax.random.split(state.rng)
-        trainable = state.scores if config.mode == "mask" else state.params
+        if config.mode == "mask":
+            trainable = {"scores": state.scores,
+                         "head": split_head_params(state.params,
+                                                   config.head_substrings)}
+        else:
+            trainable = state.params
         loss, grads = jax.value_and_grad(loss_fn)(
             trainable, state, batch, dropout_rng)
         updates, opt_state = tx.update(grads, state.opt_state, trainable)
@@ -134,7 +199,8 @@ def make_train_step(model, config: MPlugTrainConfig,
         new = optax.apply_updates(trainable, updates)
         kw = dict(step=state.step + 1, opt_state=opt_state, rng=rng)
         if config.mode == "mask":
-            kw["scores"] = new
+            kw["scores"] = new["scores"]
+            kw["params"] = merge_head_params(state.params, new["head"])
         else:
             kw["params"] = new
             if config.distill and state.params_m is not None:
@@ -150,15 +216,26 @@ def make_train_step(model, config: MPlugTrainConfig,
 def make_threshold_reset(masker: Masker) -> Callable:
     """Periodic per-module kth-value reset driven every `masker_update_step`
     steps by the caller (`vqa_mplug.py:206-212`). Accepts the current target
-    sparsity from the MaskerScheduler (gradual-warmup path)."""
+    sparsity from the MaskerScheduler (gradual-warmup path) as a TRACED
+    scalar — one compile covers the whole moving AGP schedule (compiles
+    through the axon tunnel cost minutes; kth_smallest already takes a
+    traced k)."""
 
-    from functools import partial
+    @jax.jit
+    def _reset_default(state: MPlugState) -> MPlugState:
+        return state.replace(thresholds=masker.reset_thresholds(state.scores))
 
-    @partial(jax.jit, static_argnums=(1,))
-    def reset(state: MPlugState, target: Optional[float] = None) -> MPlugState:
+    @jax.jit
+    def _reset_target(state: MPlugState, target: jax.Array) -> MPlugState:
         return state.replace(
             thresholds=masker.reset_thresholds(state.scores, target))
 
+    def reset(state: MPlugState, target: Optional[float] = None) -> MPlugState:
+        if target is None:
+            return _reset_default(state)
+        return _reset_target(state, jnp.asarray(target, jnp.float32))
+
+    reset._reset_target = _reset_target  # exposed for compile-count tests
     return reset
 
 

@@ -230,3 +230,97 @@ def test_generate_step_with_kv_cache(setup):
     ids, scores = gen(state, jb)
     assert ids.shape == (2, 5)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_mask_mode_trains_lm_head(setup):
+    """Mask training must update the decoder LM-head ('predictions') params
+    alongside the scores — the reference never freezes modules named
+    'predictions' (mPLUG/masking/maskers.py:620-626). Backbone stays frozen."""
+    config, model, params, jb = setup
+    c = config.bert
+    specs = mplug_mask_specs(
+        vit_layers=config.vit.layers, text_encoder_layers=c.text_encoder_layers,
+        fusion_layers=c.fusion_layers, decoder_layers=c.text_decode_layers,
+        stride_layer=c.stride_layer)
+    masker = Masker.create(specs, ModalSparsity.uniform(0.5),
+                           controlled_init="magnitude_soft")
+    cfg = mplug_train.MPlugTrainConfig(mode="mask", total_steps=10,
+                                       warmup_steps=1)
+    state, tx = mplug_train.init_state(model, params, cfg,
+                                       jax.random.PRNGKey(1), masker=masker)
+    dec0 = jax.device_get(state.params["text_decoder"])
+    step = mplug_train.make_train_step(model, cfg, tx, masker=masker)
+    for _ in range(2):
+        state, loss = step(state, jb)
+    dec1 = jax.device_get(state.params["text_decoder"])
+    # head moved
+    assert np.abs(dec1["predictions_transform_dense"]["kernel"]
+                  - dec0["predictions_transform_dense"]["kernel"]).max() > 0
+    assert np.abs(dec1["predictions_bias"] - dec0["predictions_bias"]).max() > 0
+    assert np.abs(dec1["predictions_transform_LayerNorm"]["scale"]
+                  - dec0["predictions_transform_LayerNorm"]["scale"]).max() > 0
+    # non-head decoder backbone frozen
+    np.testing.assert_array_equal(
+        dec0["layer_0"]["attention"]["self"]["query"]["kernel"],
+        dec1["layer_0"]["attention"]["self"]["query"]["kernel"])
+
+
+def test_two_group_labels_and_decay_mask(setup):
+    """Dual-LR grouping must catch visual-encoder leaves in BOTH nested param
+    trees and flat '/'-keyed score dicts (the round-1 bug labeled every flat
+    score 'body'); weight decay must skip bias/LayerNorm leaves
+    (optim_factory.py:141-171 no_decay)."""
+    config, model, params, jb = setup
+    labels = mplug_train.two_group_labels(params)
+    flat = traverse_util.flatten_dict(labels)
+    vis = [v for k, v in flat.items() if k[0] == "visual_encoder"]
+    body = [v for k, v in flat.items() if k[0] != "visual_encoder"]
+    assert set(vis) == {"visual"} and set(body) == {"body"}
+
+    # flat score-style keys
+    tree = {"scores": {"visual_encoder/resblocks_0/mlp_c_fc/kernel": 1.0,
+                       "text_decoder/layer_0/attention/self/query/kernel": 2.0},
+            "head": {"text_decoder/predictions_bias": 3.0}}
+    lab = mplug_train.two_group_labels(tree)
+    assert lab["scores"]["visual_encoder/resblocks_0/mlp_c_fc/kernel"] == "visual"
+    assert lab["scores"]["text_decoder/layer_0/attention/self/query/kernel"] == "body"
+    assert lab["head"]["text_decoder/predictions_bias"] == "body"
+
+    dm = mplug_train.decay_mask(
+        {"a": {"kernel": 1.0, "bias": 2.0},
+         "ln": {"scale": 3.0, "bias": 4.0},
+         "head": {"text_decoder/predictions_bias": 5.0},
+         "emb": {"embedding": 6.0}})
+    assert dm["a"]["kernel"] is True and dm["a"]["bias"] is False
+    assert dm["ln"]["scale"] is False and dm["ln"]["bias"] is False
+    assert dm["head"]["text_decoder/predictions_bias"] is False
+    assert dm["emb"]["embedding"] is True
+
+
+def test_threshold_reset_single_compile_across_targets(setup):
+    """A moving AGP schedule must NOT retrigger compilation: the target is a
+    traced scalar (VERDICT r1 item 6; compiles through the axon tunnel cost
+    minutes)."""
+    config, model, params, jb = setup
+    c = config.bert
+    specs = mplug_mask_specs(
+        vit_layers=config.vit.layers, text_encoder_layers=c.text_encoder_layers,
+        fusion_layers=c.fusion_layers, decoder_layers=c.text_decode_layers,
+        stride_layer=c.stride_layer)
+    masker = Masker.create(specs, ModalSparsity.uniform(0.5),
+                           controlled_init="magnitude_soft")
+    cfg = mplug_train.MPlugTrainConfig(mode="mask", total_steps=10,
+                                       warmup_steps=1)
+    state, _ = mplug_train.init_state(model, params, cfg,
+                                      jax.random.PRNGKey(1), masker=masker)
+    reset = mplug_train.make_threshold_reset(masker)
+    outs = {}
+    for t in (0.1, 0.3, 0.5, 0.62):
+        outs[t] = reset(state, t)
+    assert reset._reset_target._cache_size() == 1
+    # and the traced target is semantically live: different targets,
+    # different achieved sparsity
+    for t in (0.1, 0.5):
+        rep = jax.device_get(masker.sparsity_report(
+            outs[t].scores, outs[t].thresholds))
+        assert abs(float(rep["all"]) - t) < 0.03
