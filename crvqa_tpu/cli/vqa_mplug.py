@@ -59,6 +59,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "answer list by LM loss (MPLUG.rank_answers)")
     p.add_argument("--answer_list", type=str, default=None,
                    help="answer_list.json for --eval_method rank")
+    p.add_argument("--k_test", type=int, default=10,
+                   help="first-token shortlist size for rank eval "
+                        "(rank_answer k, model_vqa_mplug.py:196-213); "
+                        "0 scores the full list")
+    p.add_argument("--alpha", type=float, default=0.4,
+                   help="distillation mixing weight (full_model.yaml)")
+    p.add_argument("--alpha_warm_up", type=common.str2bool, default=True,
+                   help="ramp alpha over the first epoch (vqa_mplug.py:165-168)")
+    p.add_argument("--mask_classifier", type=common.str2bool, default=False,
+                   help="also mask the momentum twin's LM-head transform "
+                        "dense (mask_config.py:mask_classifier)")
     return p
 
 
@@ -138,18 +149,24 @@ def main(argv=None) -> None:
         warmup_steps=args.warmup_steps or steps_per_epoch,
         total_steps=total_steps, min_lr=args.min_lr,
         max_grad_norm=args.max_grad_norm,
-        use_bias_reweight=args.use_bias_reweight, distill=args.distill)
+        use_bias_reweight=args.use_bias_reweight, distill=args.distill,
+        alpha=args.alpha,
+        alpha_warmup_steps=steps_per_epoch if args.alpha_warm_up else 0)
 
     masker = None
     scheduler = None
     if args.mode == "mask":
         c = config.bert
+        # momentum twins live in state.params_m under the SAME tree paths, so
+        # the masker never needs _m-prefixed specs (they exist only for
+        # artifact-name parity at export time below)
         specs = mplug_mask_specs(
             vit_layers=config.vit.layers,
             text_encoder_layers=c.text_encoder_layers,
             fusion_layers=c.fusion_layers,
             decoder_layers=c.text_decode_layers,
-            stride_layer=c.stride_layer, with_momentum=args.distill)
+            stride_layer=c.stride_layer,
+            mask_classifier=args.mask_classifier)
         masker = Masker.create(
             specs, ModalSparsity.uniform(args.zero_rate),
             threshold=args.threshold, init_scale=args.init_scale,
@@ -211,8 +228,27 @@ def main(argv=None) -> None:
         if masker is not None:
             state = reset_fn(state, None)
             masks = jax.device_get(masks_fn(state.scores, state.thresholds))
+            export_specs = list(masker.specs)
+            export_masks = dict(masks)
+            if args.distill:
+                # reference mask.pt also carries the momentum twins' masks
+                # (chain_module_names adds _m modules, maskers.py:80-84); the
+                # twins' EMA'd scores binarize to the live masks, so export
+                # the live masks under the _m names
+                import dataclasses as _dc
+
+                for s in masker.specs:
+                    if s.momentum_only:
+                        continue
+                    tower, rest = s.torch_name.split(".", 1)
+                    twin = _dc.replace(
+                        s, path=(s.path[0] + "_m",) + s.path[1:],
+                        torch_name=f"{tower}_m.{rest}")
+                    export_specs.append(twin)
+                    export_masks[twin.key] = masks[s.key]
             torch_compat.export_mask_pt(
-                os.path.join(args.output_dir, "mask.pt"), masks, masker.specs)
+                os.path.join(args.output_dir, "mask.pt"), export_masks,
+                export_specs)
         ckpt.save_checkpoint(os.path.join(args.output_dir, "ckpt_final"), state)
 
     if args.do_eval or args.do_predict:
@@ -234,12 +270,22 @@ def main(argv=None) -> None:
                 alist_ids = jnp.arange(8 * 4, dtype=jnp.int32).reshape(8, 4)                     % config.bert.vocab_size
                 alist_mask = jnp.ones((8, 4), jnp.float32)
 
+            use_topk = 0 < args.k_test < len(answers)
+
             @jax.jit
             def rank_fn(state, batch):
                 params = state.params
                 if cfg.mode == "mask" and state.scores is not None:
                     params = masker.apply_masks(params, state.scores,
                                                 state.thresholds)
+                if use_topk:
+                    # first-token shortlist (k_test) + chain-rule re-rank —
+                    # B*(1+k) decoder rows instead of B*n_answers
+                    return model.apply(
+                        {"params": params}, batch["images"],
+                        batch["question_ids"], batch["question_mask"],
+                        alist_ids, alist_mask, k=args.k_test,
+                        method=model.rank_answers_topk)
                 return model.apply({"params": params}, batch["images"],
                                    batch["question_ids"], batch["question_mask"],
                                    alist_ids, alist_mask,
@@ -248,8 +294,11 @@ def main(argv=None) -> None:
         for batch in eval_batches():
             dev = shard_fn({k: v for k, v in batch.items() if k != "qid"})
             if rank_fn is not None:
-                losses = np.asarray(rank_fn(state, dev))
-                best = losses.argmin(axis=1)
+                out = rank_fn(state, dev)
+                if use_topk:
+                    best = np.asarray(out[0])[:, 0]  # re-ranked best first
+                else:
+                    best = np.asarray(out).argmin(axis=1)
                 for idx, qid in zip(best, batch["qid"]):
                     results.append({"question_id": int(qid),
                                     "answer": answers[int(idx)]})

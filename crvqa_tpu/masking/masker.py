@@ -190,16 +190,20 @@ class Masker:
 
     # ------------------------------------------------------------------- apply
     def apply_masks(self, params: PyTree, scores: Scores, thresholds: Thresholds,
-                    rng: Optional[jax.Array] = None) -> PyTree:
+                    rng: Optional[jax.Array] = None,
+                    momentum_tree: bool = False) -> PyTree:
         """Return a param tree with masked leaves replaced by w * binarize(s).
 
         Gradients w.r.t. `scores` flow through the STE; `params` is typically
         held constant by the caller's grad signature (stage 2) or trainable
-        (stages 1/3 use no masks).
+        (stages 1/3 use no masks). `momentum_tree=True` additionally applies
+        specs marked `momentum_only` (the mPLUG mask_classifier quirk).
         """
         binarize = self.binarizer(rng)
         flat = traverse_util.flatten_dict(params)
         for spec in self.specs:
+            if spec.momentum_only and not momentum_tree:
+                continue
             key = spec.key
             w = flat[spec.path]
             t = _bthr(spec, thresholds[key], w.ndim)

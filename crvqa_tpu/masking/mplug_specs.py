@@ -40,7 +40,8 @@ def _self_attn(prefix_path, prefix_torch, layer, what):
 def mplug_mask_specs(vit_layers: int = 12, text_encoder_layers: int = 6,
                      fusion_layers: int = 6, decoder_layers: int = 12,
                      stride_layer: int = 3,
-                     with_momentum: bool = False) -> list[MaskSpec]:
+                     with_momentum: bool = False,
+                     mask_classifier: bool = False) -> list[MaskSpec]:
     specs: list[MaskSpec] = []
 
     def add(path, torch, wt):
@@ -85,6 +86,17 @@ def mplug_mask_specs(vit_layers: int = 12, text_encoder_layers: int = 6,
                                      "text_decoder.bert.encoder", l,
                                      base if not wt.startswith("C") else wt)
             add(path, torch, wt)
+
+    if mask_classifier:
+        # the reference's `mask_classifier` flag adds exactly one module —
+        # the MOMENTUM twin's LM-head transform dense (a shipped quirk:
+        # `names_tobe_masked.add("text_decoder_m.cls.predictions.transform.
+        # dense")`, vqa_mplug.py:116-117). Off by default
+        # (mask_config.py:mask_classifier=False).
+        specs.append(MaskSpec(
+            path=("text_decoder", "predictions_transform_dense", "kernel"),
+            torch_name="text_decoder_m.cls.predictions.transform.dense",
+            weight_type="classifier", modality="Uni", momentum_only=True))
 
     if with_momentum:
         # momentum twins share spec shapes under a *_m tower prefix

@@ -30,6 +30,10 @@ class MaskSpec:
     # >0: the leaf carries a leading layer axis of this length (scan-over-
     # layers models); torch_name is then a '{}' template over the layer index
     stacked: int = 0
+    # mask applies only to the momentum-twin tree, not the live params (the
+    # mPLUG `mask_classifier` quirk masks text_decoder_m's head dense only,
+    # vqa_mplug.py:116-117)
+    momentum_only: bool = False
 
     @property
     def key(self) -> str:
@@ -154,7 +158,10 @@ _VISUALBERT_LAYER_TYPES: dict[str, tuple[str, ...]] = {
     "O": ("output", "dense"),
 }
 
+# Shipped driver selection (prune_debias_VQA_visualBERT.py:145); the masker's
+# full capability table also carries 'VP' (maskers_visualBert.py:24-36).
 VISUALBERT_WEIGHT_TYPES: tuple[str, ...] = ("K", "Q", "V", "AO", "I", "O", "P", "E")
+VISUALBERT_ALL_WEIGHT_TYPES: tuple[str, ...] = VISUALBERT_WEIGHT_TYPES + ("VP",)
 
 
 def visualbert_mask_specs(
@@ -180,6 +187,16 @@ def visualbert_mask_specs(
                     path=(ptl, "pooler", "dense", "kernel"),
                     torch_name=f"{ptl}.pooler.dense",
                     weight_type="P",
+                    modality="Uni",
+                )
+            )
+        elif wt == "VP":
+            # visual_projection (maskers_visualBert.py:36)
+            specs.append(
+                MaskSpec(
+                    path=(ptl, "embeddings", "visual_projection", "kernel"),
+                    torch_name=f"{ptl}.embeddings.visual_projection",
+                    weight_type="VP",
                     modality="Uni",
                 )
             )

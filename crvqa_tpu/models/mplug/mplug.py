@@ -32,6 +32,7 @@ from .bert import (
     TextDecoder,
     TextEncoder,
     lm_loss_per_sequence,
+    soft_label_distill_loss,
 )
 from .vit import ViTConfig, VisionTransformer
 
@@ -78,8 +79,24 @@ class MPlug(nn.Module):
         state_mask = jnp.concatenate([image_mask, question_mask], axis=1)
         return states, state_mask
 
+    def answer_logits(self, images, question_ids, question_mask, answer_ids,
+                      answer_mask, deterministic=True):
+        """Flat per-answer-slot decoder logits [B*A, L, V] — the
+        `return_logits=True` decoder path the momentum twins use to produce
+        soft labels (model_vqa_mplug.py:84-92, modeling_mplug.py:1903-1904)."""
+        states, state_mask = self.encode(images, question_ids, question_mask,
+                                         deterministic)
+        b, a, l = answer_ids.shape
+        rep_states = jnp.repeat(states, a, axis=0)
+        rep_mask = jnp.repeat(state_mask, a, axis=0)
+        return self.text_decoder(answer_ids.reshape(b * a, l),
+                                 answer_mask.reshape(b * a, l),
+                                 rep_states, rep_mask,
+                                 deterministic=deterministic)
+
     def __call__(self, images, question_ids, question_mask, answer_ids,
-                 answer_mask, weights, bias=None, deterministic=True):
+                 answer_mask, weights, bias=None, deterministic=True,
+                 soft_labels=None, alpha=0.0):
         """Training loss.
 
         answer_ids/answer_mask: [B, A, L] — A answer slots per question;
@@ -87,18 +104,21 @@ class MPlug(nn.Module):
         `weights` flattened list). Returns the scalar
         sum(weights * (1-bias) * per-answer-LM-loss) / B
         (model_vqa_mplug.py:112-116).
+
+        `soft_labels` [B*A, L-1, V] (softmax of the momentum twin's shifted
+        logits) mixes a distillation term at weight `alpha`:
+        (1-alpha)*CE + alpha*distill (modeling_mplug.py:1915-1917).
         """
         c = self.config
-        states, state_mask = self.encode(images, question_ids, question_mask,
-                                         deterministic)
         b, a, l = answer_ids.shape
-        rep_states = jnp.repeat(states, a, axis=0)
-        rep_mask = jnp.repeat(state_mask, a, axis=0)
+        logits = self.answer_logits(images, question_ids, question_mask,
+                                    answer_ids, answer_mask, deterministic)
         flat_ids = answer_ids.reshape(b * a, l)
-        flat_mask = answer_mask.reshape(b * a, l)
-        logits = self.text_decoder(flat_ids, flat_mask, rep_states, rep_mask,
-                                   deterministic=deterministic)
         per_answer = lm_loss_per_sequence(logits, flat_ids, c.pad_token_id)
+        if soft_labels is not None:
+            distill = soft_label_distill_loss(logits, soft_labels, flat_ids,
+                                              c.pad_token_id)
+            per_answer = (1.0 - alpha) * per_answer + alpha * distill
         w = weights.reshape(b * a)
         loss = w * per_answer
         if bias is not None:
@@ -136,6 +156,51 @@ class MPlug(nn.Module):
                                    deterministic=deterministic)
         losses = lm_loss_per_sequence(logits, tiled_ids, c.pad_token_id)
         return losses.reshape(b, k)
+
+    def rank_answers_topk(self, images, question_ids, question_mask,
+                          answer_list_ids, answer_list_mask, k: int = 10,
+                          deterministic=True):
+        """First-token top-k shortlist + chain-rule re-rank
+        (`rank_answer`, model_vqa_mplug.py:188-245): one bos-only decoder
+        pass scores every candidate's FIRST token, the k most probable
+        candidates get a full decoder pass, and final scores combine
+        log p(first) with the full-sequence losses exactly as the reference
+        does (including its double count of the first answer token). With the
+        real 3,129-answer list this is B*(1+k) decoder rows instead of
+        B*3129.
+
+        Returns (topk_ids [B, k] — indices into the answer list, re-ranked
+        best first; topk_probs [B, k]). `k` is static (lax.top_k + gather).
+        """
+        c = self.config
+        states, state_mask = self.encode(images, question_ids, question_mask,
+                                         deterministic)
+        b = states.shape[0]
+        n_ans, l = answer_list_ids.shape
+        # 1. bos-only pass: p(first token | states)
+        start_ids = jnp.full((b, 1), answer_list_ids[0, 0], jnp.int32)
+        start_mask = jnp.ones((b, 1), jnp.float32)
+        start_logits = self.text_decoder(start_ids, start_mask, states,
+                                         state_mask,
+                                         deterministic=deterministic)
+        first_tokens = answer_list_ids[:, 1]  # [n_ans]
+        prob_first = jax.nn.softmax(start_logits[:, 0, :], axis=-1)[
+            :, first_tokens]  # [B, n_ans]
+        topk_probs, topk_ids = jax.lax.top_k(prob_first, k)  # [B, k]
+        # 2. full decoder pass over the shortlist
+        short_ids = answer_list_ids[topk_ids.reshape(-1)]  # [B*k, L]
+        short_mask = answer_list_mask[topk_ids.reshape(-1)]
+        rep_states = jnp.repeat(states, k, axis=0)
+        rep_mask = jnp.repeat(state_mask, k, axis=0)
+        logits = self.text_decoder(short_ids, short_mask, rep_states, rep_mask,
+                                   deterministic=deterministic)
+        losses = lm_loss_per_sequence(logits, short_ids, c.pad_token_id)
+        # 3. chain-rule re-rank: log p(first) - full loss, softmaxed over k
+        log_probs_sum = jnp.log(topk_probs.reshape(-1)) - losses
+        rerank_probs = jax.nn.softmax(log_probs_sum.reshape(b, k), axis=-1)
+        rerank_probs, rerank_id = jax.lax.top_k(rerank_probs, k)
+        topk_ids = jnp.take_along_axis(topk_ids, rerank_id, axis=1)
+        return topk_ids, rerank_probs
 
 
 def momentum_update(params, params_m, momentum: float = 0.995):

@@ -20,6 +20,7 @@ import optax
 from flax import struct, traverse_util
 
 from ..masking.masker import Masker
+from ..models.mplug.mplug import momentum_update
 
 PyTree = Any
 
@@ -47,6 +48,12 @@ class MPlugTrainConfig:
     use_bias_reweight: bool = True  # the (1-bias)*loss debias term
     distill: bool = False
     momentum: float = 0.995
+    # distillation mixing weight; ramps 0 -> alpha over the first
+    # `alpha_warmup_steps` steps (= one epoch) exactly like the reference's
+    # `alpha * min(1, i/len(data_loader))` warm_up (vqa_mplug.py:165-168,
+    # full_model.yaml alpha: 0.4, warm_up: True)
+    alpha: float = 0.4
+    alpha_warmup_steps: int = 0  # 0 disables the ramp (warm_up: False)
     # Mask mode keeps these param-name substrings trainable alongside the
     # scores: the reference skips `requires_grad=False` for any module whose
     # name contains 'predictions' and (with train_classifier=True, the
@@ -165,7 +172,24 @@ def make_train_step(model, config: MPlugTrainConfig,
                     mesh=None) -> Callable:
     from ..parallel.zero import constrain_opt_state
 
-    def loss_fn(trainable, state: MPlugState, batch, dropout_rng):
+    def _soft_labels(state: MPlugState, batch):
+        """Momentum twins -> soft labels (model_vqa_mplug.py:65-92). In mask
+        mode the twins are masked with the LIVE scores/thresholds — the
+        reference EMAs the twins' own weight_mask params from the live ones
+        (momentum 0.995), so the binarized twin masks track the live masks
+        up to the EMA lag; we take the limit of that."""
+        params_m = state.params_m
+        if config.mode == "mask":
+            params_m = masker.apply_masks(params_m, state.scores,
+                                          state.thresholds,
+                                          momentum_tree=True)
+        logits_m = model.apply(
+            {"params": params_m}, batch["images"], batch["question_ids"],
+            batch["question_mask"], batch["answer_ids"], batch["answer_mask"],
+            deterministic=True, method=model.answer_logits)
+        return jax.nn.softmax(logits_m[:, :-1].astype(jnp.float32), axis=-1)
+
+    def loss_fn(trainable, state: MPlugState, batch, dropout_rng, soft, alpha):
         if config.mode == "mask":
             # head params ('predictions'/'classifier') ride in the trainable
             # tree so their grads update them directly — the analogue of the
@@ -180,11 +204,24 @@ def make_train_step(model, config: MPlugTrainConfig,
             {"params": params}, batch["images"], batch["question_ids"],
             batch["question_mask"], batch["answer_ids"], batch["answer_mask"],
             batch["weights"], bias=bias, deterministic=False,
-            rngs={"dropout": dropout_rng})
+            soft_labels=soft, alpha=alpha, rngs={"dropout": dropout_rng})
         return loss
 
     def train_step(state: MPlugState, batch):
         rng, dropout_rng = jax.random.split(state.rng)
+        soft = None
+        alpha = 0.0
+        if config.distill:
+            # EMA the twins BEFORE producing soft labels, like
+            # _momentum_update at the top of the distill branch
+            state = state.replace(params_m=momentum_update(
+                state.params, state.params_m, config.momentum))
+            soft = _soft_labels(state, batch)
+            alpha = jnp.asarray(config.alpha, jnp.float32)
+            if config.alpha_warmup_steps:
+                alpha = alpha * jnp.minimum(
+                    1.0, state.step.astype(jnp.float32)
+                    / config.alpha_warmup_steps)
         if config.mode == "mask":
             trainable = {"scores": state.scores,
                          "head": split_head_params(state.params,
@@ -192,7 +229,7 @@ def make_train_step(model, config: MPlugTrainConfig,
         else:
             trainable = state.params
         loss, grads = jax.value_and_grad(loss_fn)(
-            trainable, state, batch, dropout_rng)
+            trainable, state, batch, dropout_rng, soft, alpha)
         updates, opt_state = tx.update(grads, state.opt_state, trainable)
         if mesh is not None:
             opt_state = constrain_opt_state(opt_state, mesh)  # ZeRO-2 analogue
@@ -203,11 +240,6 @@ def make_train_step(model, config: MPlugTrainConfig,
             kw["params"] = merge_head_params(state.params, new["head"])
         else:
             kw["params"] = new
-            if config.distill and state.params_m is not None:
-                from ..models.mplug.mplug import momentum_update
-
-                kw["params_m"] = momentum_update(new, state.params_m,
-                                                 config.momentum)
         return state.replace(**kw), loss
 
     return jax.jit(train_step, donate_argnums=(0,))

@@ -324,3 +324,113 @@ def test_threshold_reset_single_compile_across_targets(setup):
         rep = jax.device_get(masker.sparsity_report(
             outs[t].scores, outs[t].thresholds))
         assert abs(float(rep["all"]) - t) < 0.03
+
+
+def test_distill_mask_train_step(setup):
+    """--distill wiring: momentum twins produce soft labels that mix into the
+    loss at weight alpha (model_vqa_mplug.py:84-116, modeling_mplug.py:
+    1915-1917). params_m must influence the loss and EMA toward params."""
+    config, model, params, jb = setup
+    c = config.bert
+    specs = mplug_mask_specs(
+        vit_layers=config.vit.layers, text_encoder_layers=c.text_encoder_layers,
+        fusion_layers=c.fusion_layers, decoder_layers=c.text_decode_layers,
+        stride_layer=c.stride_layer)
+    masker = Masker.create(specs, ModalSparsity.uniform(0.5),
+                           controlled_init="magnitude_soft")
+    cfg = mplug_train.MPlugTrainConfig(mode="mask", total_steps=10,
+                                       warmup_steps=1, distill=True,
+                                       alpha=0.4, alpha_warmup_steps=0)
+    state, tx = mplug_train.init_state(model, params, cfg,
+                                       jax.random.PRNGKey(1), masker=masker)
+    assert state.params_m is not None
+    step = mplug_train.make_train_step(model, cfg, tx, masker=masker)
+
+    def copy_state(s):  # the step donates its state arg
+        return jax.tree_util.tree_map(jnp.copy, s)
+
+    # perturbing params_m changes the loss -> twins are live in the graph
+    bumped = jax.tree_util.tree_map(lambda x: x + 0.05, state.params_m)
+    state_b = copy_state(state).replace(
+        params_m=jax.tree_util.tree_map(jnp.copy, bumped))
+    state1, loss_distill = step(copy_state(state), jb)
+    _, loss_bumped = step(state_b, jb)
+    assert abs(float(loss_distill) - float(loss_bumped)) > 1e-6
+
+    # alpha=0 config gives the pure-CE loss (distinct from the mixed loss)
+    cfg0 = dataclasses_replace(cfg, alpha=0.0)
+    step0 = mplug_train.make_train_step(model, cfg0, tx, masker=masker)
+    _, loss_ce = step0(copy_state(state), jb)
+    assert abs(float(loss_ce) - float(loss_distill)) > 1e-6
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
+
+
+def test_rank_answers_topk_matches_full(setup):
+    """With k = n_answers the shortlist is the whole list, so the re-ranked
+    best answer must equal the argmax of the dense chain-rule score
+    log p(first) - full_loss; and shapes hold at k<n."""
+    config, model, params, jb = setup
+    n_ans, al = 12, 5
+    rng = np.random.RandomState(7)
+    v = config.bert.vocab_size
+    alist = rng.randint(2, v, (n_ans, al)).astype(np.int32)
+    alist[:, 0] = 1  # shared bos
+    amask = np.ones((n_ans, al), np.float32)
+    args = (jnp.asarray(jb["images"]), jb["question_ids"], jb["question_mask"],
+            jnp.asarray(alist), jnp.asarray(amask))
+
+    ids_full, probs_full = model.apply({"params": params}, *args, k=n_ans,
+                                       method=model.rank_answers_topk)
+    # dense reference: chain-rule score per candidate
+    losses = model.apply({"params": params}, *args, method=model.rank_answers)
+    # recompute first-token probs exactly as rank_answers_topk does
+    states, state_mask = model.apply(
+        {"params": params}, jnp.asarray(jb["images"]), jb["question_ids"],
+        jb["question_mask"], method=model.encode)
+    start = model.apply({"params": params},
+                        jnp.full((states.shape[0], 1), int(alist[0, 0]), jnp.int32),
+                        jnp.ones((states.shape[0], 1), jnp.float32),
+                        states, state_mask, method=model.decode_logits)
+    pf = jax.nn.softmax(start[:, 0, :], axis=-1)[:, alist[:, 1]]
+    dense_score = jnp.log(pf) - losses
+    np.testing.assert_array_equal(np.asarray(ids_full[:, 0]),
+                                  np.asarray(dense_score.argmax(axis=1)))
+
+    ids_k, probs_k = model.apply({"params": params}, *args, k=4,
+                                 method=model.rank_answers_topk)
+    assert ids_k.shape == (states.shape[0], 4)
+    assert np.all(np.asarray(probs_k)[:, 0] >= np.asarray(probs_k)[:, -1])
+
+
+def test_mask_classifier_spec_momentum_only(setup):
+    """mask_classifier adds exactly one momentum-only spec targeting the
+    twin's LM-head transform dense (vqa_mplug.py:116-117); apply_masks must
+    skip it on the live tree and apply it on the twin tree."""
+    config, model, params, jb = setup
+    c = config.bert
+    kw = dict(vit_layers=config.vit.layers,
+              text_encoder_layers=c.text_encoder_layers,
+              fusion_layers=c.fusion_layers,
+              decoder_layers=c.text_decode_layers,
+              stride_layer=c.stride_layer)
+    base = mplug_mask_specs(**kw)
+    specs = mplug_mask_specs(mask_classifier=True, **kw)
+    assert len(specs) == len(base) + 1
+    extra = specs[-1]
+    assert extra.momentum_only
+    assert extra.torch_name == "text_decoder_m.cls.predictions.transform.dense"
+
+    masker = Masker.create(specs, ModalSparsity.uniform(0.5),
+                           controlled_init="magnitude_soft")
+    scores, thresholds = jax.jit(masker.init)(params)
+    live = masker.apply_masks(params, scores, thresholds)
+    twin = masker.apply_masks(params, scores, thresholds, momentum_tree=True)
+    w = np.asarray(params["text_decoder"]["predictions_transform_dense"]["kernel"])
+    np.testing.assert_array_equal(
+        np.asarray(live["text_decoder"]["predictions_transform_dense"]["kernel"]), w)
+    tw = np.asarray(twin["text_decoder"]["predictions_transform_dense"]["kernel"])
+    assert (tw == 0).mean() > 0.3  # masked on the twin tree

@@ -73,3 +73,18 @@ def test_stage2_uniform_sparsity_training(setup):
     eval_step = stage2.make_eval_step(model, masker, cfg)
     logits = eval_step(state, jb)
     assert logits.shape == (4, config.ans_num)
+
+
+def test_visualbert_vp_spec():
+    """'VP' (visual_projection) is part of the reference masker's capability
+    table (maskers_visualBert.py:36) even though the shipped driver omits it."""
+    from crvqa_tpu.masking.spec import (
+        VISUALBERT_ALL_WEIGHT_TYPES, visualbert_mask_specs)
+
+    specs = visualbert_mask_specs(num_layers=2,
+                                  weight_types=VISUALBERT_ALL_WEIGHT_TYPES)
+    vp = [s for s in specs if s.weight_type == "VP"]
+    assert len(vp) == 1
+    assert vp[0].path == ("visual_bert", "embeddings", "visual_projection",
+                          "kernel")
+    assert vp[0].torch_name == "visual_bert.embeddings.visual_projection"
