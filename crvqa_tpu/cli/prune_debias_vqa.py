@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                            "sparsity_warmup_interval_epoch=0.1,init_epoch=0,final_epoch=1",
                    help="k=v,... mini-DSL (utils/param_parser.dict_parser)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--accumulate_grads", type=common.str2bool, default=False,
+                   help="integrate |grad| per step into the optimizer state "
+                        "(the reference AdamW's state['sum'], "
+                        "optimization.py:100-101); dumped as grad_abs_sum.npz")
     p.add_argument("--scan_layers", type=common.str2bool, default=False,
                    help="scan-over-layers model variant (stacked layer "
                         "params; ~5x smaller HLO, batched per-layer "
@@ -143,7 +147,8 @@ def run(args) -> None:
         weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm,
         adam_epsilon=args.adam_epsilon, gamma=args.gamma,
         hidden_size=config.hidden_size,
-        grad_accum_steps=args.gradient_accumulation_steps)
+        grad_accum_steps=args.gradient_accumulation_steps,
+        accumulate_abs_grad=args.accumulate_grads)
     state, tx = stage2.init_state(model, masker, params, cfg,
                                   jax.random.PRNGKey(args.seed))
 
@@ -185,6 +190,18 @@ def run(args) -> None:
         report = jax.device_get(report_fn(state.scores, state.thresholds))
         common.logger.info("zero rates: %s",
                            {k: round(float(v), 4) for k, v in report.items()})
+        if args.accumulate_grads:
+            from flax import traverse_util
+
+            from ..train.common import abs_grad_sum
+
+            sums = abs_grad_sum(state.opt_state)
+            if sums is not None:
+                flat = {"/".join(k): np.asarray(v) for k, v in
+                        traverse_util.flatten_dict(
+                            jax.device_get(sums)).items()}
+                np.savez(os.path.join(args.output_dir, "grad_abs_sum.npz"),
+                         **flat)
         return state
 
     from ..utils.profiling import MetricsWriter

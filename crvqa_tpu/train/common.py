@@ -8,7 +8,7 @@ collectives over ICI.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,17 +32,101 @@ def linear_warmup_schedule(lr: float, warmup_steps: int, total_steps: int):
     return optax.linear_schedule(lr, 0.0, max(total_steps, 1))
 
 
+class HfAdamWState(NamedTuple):
+    """State for `hf_adamw`. `abs_grad_sum` mirrors the reference's
+    `state['sum']` integrated-|grad| accumulator (optimization.py:100-101);
+    None when accumulation is off."""
+
+    count: jax.Array
+    mu: Any
+    nu: Any
+    abs_grad_sum: Any
+
+
+def hf_adamw(learning_rate, b1: float = 0.9, b2: float = 0.999,
+             eps: float = 1e-6, weight_decay: float = 0.0,
+             correct_bias: bool = True, grad_mask=None,
+             accumulate_abs_grad: bool = False) -> optax.GradientTransformation:
+    """The reference's custom AdamW (root `optimization.py:8-129`), exactly:
+
+      m_t = b1*m + (1-b1)*g;  v_t = b2*v + (1-b2)*g^2
+      step = lr * sqrt(1-b2^t)/(1-b1^t)          (correct_bias)
+      p   -= step * m_t/(sqrt(v_t)+eps)          (eps OUTSIDE the bias
+                                                  correction — HF-v2 style,
+                                                  NOT torch.optim.AdamW's
+                                                  sqrt(v_hat)+eps)
+      p   -= lr * weight_decay * p               (decoupled decay)
+
+    plus the two extras the reference carries (optimization.py:81-101):
+    `grad_mask` multiplies gradients leaf-wise before every moment update,
+    and when grad_mask is None an `abs_grad_sum` accumulator integrates
+    |grad| per step (importance scoring for pruning research).
+    """
+    sched = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        sums = (jax.tree_util.tree_map(jnp.zeros_like, params)
+                if accumulate_abs_grad and grad_mask is None else None)
+        return HfAdamWState(count=jnp.zeros((), jnp.int32),
+                            mu=zeros,
+                            nu=jax.tree_util.tree_map(jnp.zeros_like, params),
+                            abs_grad_sum=sums)
+
+    def update(grads, state, params=None):
+        if grad_mask is not None:
+            grads = jax.tree_util.tree_map(jnp.multiply, grads, grad_mask)
+        count = state.count + 1
+        sums = state.abs_grad_sum
+        if sums is not None:
+            sums = jax.tree_util.tree_map(lambda s, g: s + jnp.abs(g),
+                                          sums, grads)
+        mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g,
+                                    state.mu, grads)
+        nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                                    state.nu, grads)
+        lr = sched(count)
+        c = count.astype(jnp.float32)
+        if correct_bias:
+            step_size = lr * jnp.sqrt(1.0 - b2 ** c) / (1.0 - b1 ** c)
+        else:
+            step_size = lr
+        updates = jax.tree_util.tree_map(
+            lambda m, v: -step_size * m / (jnp.sqrt(v) + eps), mu, nu)
+        if weight_decay > 0.0:
+            assert params is not None
+            updates = jax.tree_util.tree_map(
+                lambda u, p: u - lr * weight_decay * p, updates, params)
+        return updates, HfAdamWState(count=count, mu=mu, nu=nu,
+                                     abs_grad_sum=sums)
+
+    return optax.GradientTransformation(init, update)
+
+
+def abs_grad_sum(opt_state):
+    """Extract the |grad| accumulator from a (possibly chained) opt state
+    (`AdamW.get_accumulator`, optimization.py:54-64). Returns None if
+    accumulation was off."""
+    for s in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=lambda x: isinstance(x, HfAdamWState)):
+        if isinstance(s, HfAdamWState):
+            return s.abs_grad_sum
+    return None
+
+
 def make_adamw(lr: float, warmup_steps: int, total_steps: int,
                weight_decay: float = 0.0, max_grad_norm: float = 1.0,
-               eps: float = 1e-8, b1: float = 0.9, b2: float = 0.999):
+               eps: float = 1e-8, b1: float = 0.9, b2: float = 0.999,
+               grad_mask=None, accumulate_abs_grad: bool = False):
     """Stage-2 optimizer: root `optimization.py:AdamW` (bias-corrected Adam,
     decoupled weight decay, grads pre-clipped to max_grad_norm by the trainer
     loop at `mask_trainer_Robust_VQA.py:661-663`)."""
     return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(
+        hf_adamw(
             learning_rate=linear_warmup_schedule(lr, warmup_steps, total_steps),
             b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+            grad_mask=grad_mask, accumulate_abs_grad=accumulate_abs_grad,
         ),
     )
 

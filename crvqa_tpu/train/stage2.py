@@ -59,10 +59,14 @@ class Stage2Config:
     # microbatch gradient accumulation (`gradient_accumulation_steps`,
     # mask_trainer_Robust_VQA.py:656-676) as a lax.scan over batch slices
     grad_accum_steps: int = 1
+    # integrate |grad| per step into the optimizer state, the reference
+    # AdamW's `state['sum']` importance accumulator (optimization.py:100-101)
+    accumulate_abs_grad: bool = False
 
 
 def init_state(model, masker: Masker, params: PyTree, config: Stage2Config,
-               rng: jax.Array) -> tuple[Stage2State, optax.GradientTransformation]:
+               rng: jax.Array, grad_mask: Optional[PyTree] = None
+               ) -> tuple[Stage2State, optax.GradientTransformation]:
     """Freeze params, build scores via controlled init, split trainables.
 
     The classifier head stays dense + trainable (`maskers_Robust.py:584-588`
@@ -84,7 +88,9 @@ def init_state(model, masker: Masker, params: PyTree, config: Stage2Config,
         train_params["lmh"] = learned_mixin_init(lmh_rng, config.hidden_size)
     tx = make_adamw(config.learning_rate, config.warmup_steps,
                     config.total_steps, config.weight_decay,
-                    config.max_grad_norm, eps=config.adam_epsilon)
+                    config.max_grad_norm, eps=config.adam_epsilon,
+                    grad_mask=grad_mask,
+                    accumulate_abs_grad=config.accumulate_abs_grad)
     opt_state = tx.init({"train": train_params, "scores": scores})
     return Stage2State(
         step=jnp.zeros((), jnp.int32),

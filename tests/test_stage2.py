@@ -251,3 +251,86 @@ def test_mask_drift_metric(setup):
     flipped[key] = ~masks[key]
     drift = float(masker.mask_drift(scores, thresholds, flipped))
     assert drift > 0
+
+
+def test_hf_adamw_matches_torch_reference_math():
+    """Trajectory parity with the reference custom AdamW (optimization.py:
+    66-129): eps added to the UNCORRECTED sqrt(v), bias correction folded
+    into the step size, decoupled decay via p -= lr*wd*p. Oracle implemented
+    in torch from those formulas."""
+    import torch
+
+    from crvqa_tpu.train.common import hf_adamw
+
+    rng = np.random.RandomState(0)
+    p0 = rng.randn(5, 4).astype(np.float32)
+    grads = [rng.randn(5, 4).astype(np.float32) for _ in range(6)]
+    lr, b1, b2, eps, wd = 1e-2, 0.9, 0.999, 1e-6, 0.01
+
+    # torch oracle
+    p = torch.tensor(p0.copy())
+    m = torch.zeros_like(p)
+    v = torch.zeros_like(p)
+    for t, g_np in enumerate(grads, start=1):
+        g = torch.tensor(g_np)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        step_size = lr * (1 - b2 ** t) ** 0.5 / (1 - b1 ** t)
+        p = p - step_size * m / (v.sqrt() + eps)
+        p = p - lr * wd * p
+
+    tx = hf_adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+    jp = {"w": jnp.asarray(p0)}
+    st = tx.init(jp)
+    for g_np in grads:
+        upd, st = tx.update({"w": jnp.asarray(g_np)}, st, jp)
+        jp = jax.tree_util.tree_map(lambda x, u: x + u, jp, upd)
+    np.testing.assert_allclose(np.asarray(jp["w"]), p.numpy(),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_hf_adamw_grad_mask_and_abs_sum():
+    """grad_mask multiplies gradients leaf-wise (optimization.py:81-82);
+    with no grad_mask, abs_grad_sum integrates |grad| (:100-101)."""
+    from crvqa_tpu.train.common import abs_grad_sum, hf_adamw
+
+    g1 = {"w": jnp.asarray([[1.0, -2.0]]), "b": jnp.asarray([3.0])}
+    g2 = {"w": jnp.asarray([[-1.0, 1.0]]), "b": jnp.asarray([-1.0])}
+    p = jax.tree_util.tree_map(jnp.zeros_like, g1)
+
+    tx = hf_adamw(1e-2, accumulate_abs_grad=True)
+    st = tx.init(p)
+    _, st = tx.update(g1, st, p)
+    _, st = tx.update(g2, st, p)
+    sums = abs_grad_sum((st,))  # chained-state shape
+    np.testing.assert_allclose(np.asarray(sums["w"]), [[2.0, 3.0]])
+    np.testing.assert_allclose(np.asarray(sums["b"]), [4.0])
+
+    mask = {"w": jnp.asarray([[0.0, 1.0]]), "b": jnp.asarray([1.0])}
+    txm = hf_adamw(1e-2, grad_mask=mask)
+    stm = txm.init(p)
+    upd, stm = txm.update(g1, stm, p)
+    assert float(upd["w"][0, 0]) == 0.0  # masked grad -> no movement
+    assert abs(float(upd["w"][0, 1])) > 0
+    assert stm.abs_grad_sum is None  # reference skips sum when grad_mask set
+
+
+def test_stage2_accumulate_abs_grad_end_to_end(setup):
+    """Stage2Config.accumulate_abs_grad carries the accumulator through the
+    jitted train step."""
+    from crvqa_tpu.train.common import abs_grad_sum
+
+    config, model, params, masker, batch = setup
+    cfg = stage2.Stage2Config(masker_type="normal", total_steps=4,
+                              hidden_size=config.hidden_size,
+                              accumulate_abs_grad=True)
+    state, tx = stage2.init_state(model, masker, params, cfg,
+                                  jax.random.PRNGKey(0))
+    step = stage2.make_train_step(model, masker, tx, cfg)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, _ = step(state, jb)
+    state, _ = step(state, jb)
+    sums = abs_grad_sum(state.opt_state)
+    assert sums is not None
+    total = sum(float(jnp.sum(x)) for x in jax.tree_util.tree_leaves(sums))
+    assert total > 0
