@@ -70,6 +70,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask_classifier", type=common.str2bool, default=False,
                    help="also mask the momentum twin's LM-head transform "
                         "dense (mask_config.py:mask_classifier)")
+    p.add_argument("--add_ocr", type=common.str2bool, default=False,
+                   help="append OCR tokens to questions "
+                        "(vqa_dataset.py:57-67)")
+    p.add_argument("--add_object", type=common.str2bool, default=False,
+                   help="append object labels to questions "
+                        "(vqa_dataset.py:68-70)")
+    p.add_argument("--augment", type=common.str2bool, default=True,
+                   help="train-time RandomResizedCrop+HFlip+RandAugment(2,7) "
+                        "(dataset/__init__.py:28-35); eval always uses the "
+                        "plain resize transform")
     return p
 
 
@@ -118,15 +128,20 @@ def main(argv=None) -> None:
 
         tokenizer = make_tokenizer(args.vocab_file)
         train_entries = load_entries(args.train_files, tokenizer,
-                                     vqa_root=args.vqa_root)
+                                     vqa_root=args.vqa_root,
+                                     add_ocr=args.add_ocr,
+                                     add_object=args.add_object)
         test_entries = load_entries(args.test_files, tokenizer,
-                                    vqa_root=args.vqa_root)
+                                    vqa_root=args.vqa_root,
+                                    add_ocr=args.add_ocr,
+                                    add_object=args.add_object)
         n_train = len(train_entries)
 
         def train_batches(epoch):
             return iterate_batches(train_entries, args.train_batch_size,
                                    config.vit.image_res, shuffle=True,
-                                   seed=args.seed + epoch, drop_last=True)
+                                   seed=args.seed + epoch, drop_last=True,
+                                   augment=args.augment)
 
         def eval_batches():
             return iterate_batches(test_entries, args.eval_batch_size,

@@ -47,20 +47,56 @@ def _tokenize_fixed(tokenizer, texts: Sequence[str], max_len: int,
             np.asarray(enc["attention_mask"], np.float32))
 
 
+def pre_question(question: str, max_ques_words: int) -> str:
+    """Question text normalization (`pre_question`,
+    mPLUG/dataset/utils.py:3-16): strip punctuation, lowercase, split
+    dashes/slashes, truncate to max words."""
+    import re
+
+    question = re.sub(r"([,.'!?\"()*#:;~])", "", question.lower())
+    question = question.replace("-", " ").replace("/", " ").rstrip(" ")
+    words = question.split(" ")
+    if len(words) > max_ques_words:
+        question = " ".join(words[:max_ques_words])
+    return question
+
+
+def augment_question(record: dict, add_ocr: bool, add_object: bool,
+                     max_ques_words: int = 30) -> str:
+    """OCR/object-token question augmentation
+    (`vqa_dataset.__getitem__`, mPLUG/dataset/vqa_dataset.py:57-70):
+    `ocr` entries are [pos, token] pairs whose tokens append as
+    " [SEP] <pre_question'd ocr string>"; `object_label` is a '&&'-joined
+    string appended as " [SEP] <space-joined objects>"."""
+    question = record["question"]
+    if add_ocr and "ocr" in record:
+        tokens = [tok for _, tok in record["ocr"]]
+        if tokens:
+            question = (question + " [SEP] "
+                        + pre_question(" ".join(tokens), max_ques_words))
+    if add_object and "object_label" in record:
+        question = (question + " [SEP] "
+                    + " ".join(record["object_label"].split("&&")))
+    return question
+
+
 def load_entries(ann_files: Sequence[str], tokenizer, q_len: int = 25,
                  a_len: int = 12, answers_per_question: int = 10,
-                 vqa_root: str = "") -> MPlugEntries:
+                 vqa_root: str = "", add_ocr: bool = False,
+                 add_object: bool = False) -> MPlugEntries:
     """Parse the reference's annotation JSONs (`vqa_dataset.__getitem__`,
     mPLUG/dataset/vqa_dataset.py:82-109): training entries carry answer
     lists; each unique answer gets weight count/len(answers); `train_bias`
-    entries add a per-answer bias scalar."""
+    entries add a per-answer bias scalar. `add_ocr`/`add_object` splice OCR
+    and object tokens into the question text (:57-70)."""
     records = []
     for f in ann_files:
         with open(f) as fh:
             records.extend(json.load(fh))
     n, a_max = len(records), answers_per_question
     q_tokens, q_mask = _tokenize_fixed(
-        tokenizer, [r["question"] for r in records], q_len)
+        tokenizer,
+        [augment_question(r, add_ocr, add_object) for r in records], q_len)
     ans_tokens = np.zeros((n, a_max, a_len), np.int32)
     ans_mask = np.zeros((n, a_max, a_len), np.float32)
     weights = np.zeros((n, a_max), np.float32)
@@ -93,16 +129,21 @@ def load_entries(ann_files: Sequence[str], tokenizer, q_len: int = 25,
     )
 
 
-def load_images(paths: Sequence[str], image_res: int = 384) -> np.ndarray:
-    """Decode + resize + CLIP-normalize (the RandAugment train transforms of
-    `mPLUG/dataset/__init__.py:16-35` are future work; eval uses plain
-    resize+normalize). Requires PIL."""
+def load_images(paths: Sequence[str], image_res: int = 384,
+                rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Decode + transform. With `rng`, the train transform stack
+    (RandomResizedCrop + HFlip + RandomAugment(2,7),
+    `mPLUG/dataset/__init__.py:28-35`) runs deterministically from the
+    generator; without it, the test transform (resize+normalize). PIL."""
     from PIL import Image
+
+    from .augment import test_transform, train_transform
 
     out = np.zeros((len(paths), image_res, image_res, 3), np.float32)
     for i, p in enumerate(paths):
-        img = Image.open(p).convert("RGB").resize((image_res, image_res))
-        out[i] = (np.asarray(img, np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+        img = Image.open(p).convert("RGB")
+        out[i] = (train_transform(img, rng, image_res) if rng is not None
+                  else test_transform(img, image_res))
     return out
 
 
@@ -129,11 +170,13 @@ def synthetic_mplug_batch(batch_size: int = 2, image_res: int = 32,
 
 def iterate_batches(entries: MPlugEntries, batch_size: int,
                     image_res: int = 384, shuffle: bool = False, seed: int = 0,
-                    drop_last: bool = False) -> Iterator[dict]:
+                    drop_last: bool = False,
+                    augment: bool = False) -> Iterator[dict]:
     n = len(entries)
     order = np.arange(n)
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
+    aug_rng = np.random.default_rng(seed) if augment else None
     for start in range(0, n, batch_size):
         idx = order[start: start + batch_size]
         if len(idx) < batch_size:
@@ -142,7 +185,7 @@ def iterate_batches(entries: MPlugEntries, batch_size: int,
             idx = np.concatenate([idx, np.full(batch_size - len(idx), idx[-1])])
         yield {
             "images": load_images([entries.image_paths[i] for i in idx],
-                                  image_res),
+                                  image_res, rng=aug_rng),
             "question_ids": entries.question_tokens[idx],
             "question_mask": entries.question_mask[idx],
             "answer_ids": entries.answer_tokens[idx],
