@@ -55,6 +55,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--backbone_dtype", type=str, default="float32",
+                   choices=["bfloat16", "float32"],
+                   help="storage dtype of the frozen stage-2 backbone "
+                        "(bfloat16 halves the masked-apply HBM reads)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="run on N synthetic examples instead of real data")
     p.add_argument("--resume_from", type=str, default=None)

@@ -148,7 +148,8 @@ def run(args) -> None:
         adam_epsilon=args.adam_epsilon, gamma=args.gamma,
         hidden_size=config.hidden_size,
         grad_accum_steps=args.gradient_accumulation_steps,
-        accumulate_abs_grad=args.accumulate_grads)
+        accumulate_abs_grad=args.accumulate_grads,
+        backbone_dtype=args.backbone_dtype)
     state, tx = stage2.init_state(model, masker, params, cfg,
                                   jax.random.PRNGKey(args.seed))
 

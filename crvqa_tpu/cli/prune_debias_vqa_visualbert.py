@@ -108,7 +108,7 @@ def main(argv=None) -> None:
         warmup_steps=args.warmup_steps, total_steps=total_steps,
         max_grad_norm=args.max_grad_norm, adam_epsilon=args.adam_epsilon,
         gamma=args.gamma, hidden_size=config.hidden_size,
-        classifier_key="cls")
+        classifier_key="cls", backbone_dtype=args.backbone_dtype)
     state, tx = stage2.init_state(model, masker, params, cfg,
                                   jax.random.PRNGKey(args.seed))
 

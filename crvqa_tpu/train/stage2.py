@@ -62,6 +62,13 @@ class Stage2Config:
     # integrate |grad| per step into the optimizer state, the reference
     # AdamW's `state['sum']` importance accumulator (optimization.py:100-101)
     accumulate_abs_grad: bool = False
+    # storage dtype of the frozen backbone. The masked apply re-reads every
+    # frozen weight each step (masker.apply_masks); storing bf16 halves that
+    # HBM traffic. Scores, thresholds, and trainables stay fp32. 'float32'
+    # (default) matches the reference exactly; 'bfloat16' is the TPU-fast
+    # mode (weights quantize once at init — the model computes in bf16
+    # anyway when config.dtype is bf16).
+    backbone_dtype: str = "float32"
 
 
 def init_state(model, masker: Masker, params: PyTree, config: Stage2Config,
@@ -84,6 +91,10 @@ def init_state(model, masker: Masker, params: PyTree, config: Stage2Config,
     ck = config.classifier_key
     train_params = {"classifier": params[ck]}
     params = {k: v for k, v in params.items() if k != ck}
+    if config.backbone_dtype == "bfloat16":
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
     if config.masker_type in ("lmh", "poe"):
         train_params["lmh"] = learned_mixin_init(lmh_rng, config.hidden_size)
     tx = make_adamw(config.learning_rate, config.warmup_steps,
