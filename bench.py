@@ -37,6 +37,10 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# Dropout RNG: threefry2x32 costs ~13% of the step (measured 2508 -> 2842
+# ex/s); unsafe_rbg uses the TPU's RngBitGenerator. Fine for dropout; the
+# CLIs default to threefry for reproducibility with --prng_impl to opt in.
+jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
 REFERENCE_EXAMPLES_PER_SEC = 1000.0
 

@@ -104,6 +104,7 @@ def main(argv=None) -> None:
 
 def run(args) -> None:
     common.setup_logging(args.output_dir)
+    common.apply_prng_impl(args)
     common.dump_args(args, args.output_dir)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

@@ -54,6 +54,7 @@ def _to_visualbert_batch(batch: dict) -> dict:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     common.setup_logging(args.output_dir)
+    common.apply_prng_impl(args)
     common.dump_args(args, args.output_dir)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

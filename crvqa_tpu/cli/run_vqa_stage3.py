@@ -61,6 +61,7 @@ def see_weight_rate(masker, params, masks) -> float:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     common.setup_logging(args.output_dir)
+    common.apply_prng_impl(args)
     common.dump_args(args, args.output_dir)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

@@ -21,5 +21,6 @@ python -m crvqa_tpu.cli.prune_debias_vqa \
     --save_steps 1712 \
     --controlled_init magnitude \
     --seed "$SEED" \
+    --prng_impl unsafe_rbg \
     --do_train --do_eval --evaluate_during_training \
     --output_dir "$ROOT_DIR/out/$LABEL"

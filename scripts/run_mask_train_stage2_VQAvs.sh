@@ -23,5 +23,6 @@ python -m crvqa_tpu.cli.prune_debias_vqavs \
     --save_steps 1802 \
     --controlled_init magnitude \
     --seed "$SEED" \
+    --prng_impl unsafe_rbg \
     --do_train --do_eval --evaluate_during_training \
     --output_dir "$ROOT_DIR/out/$LABEL"

@@ -17,5 +17,6 @@ python -m crvqa_tpu.cli.run_vqa_stage1 \
     --logging_steps 100 \
     --save_steps 1712 \
     --seed "$SEED" \
+    --prng_impl unsafe_rbg \
     --do_train --do_eval --evaluate_during_training \
     --output_dir "$ROOT_DIR/out/stage1-$FT_TYPE-$SEED"

@@ -15,5 +15,6 @@ python -m crvqa_tpu.cli.run_vqa_stage3 \
     --per_gpu_train_batch_size 64 \
     --num_train_epochs 20 \
     --seed "$SEED" \
+    --prng_impl unsafe_rbg \
     --do_train --do_eval --evaluate_during_training \
     --output_dir "$STAGE2_DIR/stage3-$FT_TYPE"

@@ -17,5 +17,6 @@ python -m crvqa_tpu.cli.vqa_mplug \
     --masker_update_step 100 --controlled_init magnitude_soft \
     --use_bias_reweight true \
     --use_checkpoint true --dtype bfloat16 \
+    --prng_impl unsafe_rbg \
     --do_train --do_predict \
     --output_dir "$ROOT_DIR/out/mplug-full-debias-mask-debias"

@@ -16,5 +16,6 @@ python -m crvqa_tpu.cli.vqa_mplug \
     --distill true --alpha 0.4 --alpha_warm_up true \
     --use_bias_reweight false \
     --use_checkpoint true --dtype bfloat16 \
+    --prng_impl unsafe_rbg \
     --do_train --do_predict \
     --output_dir "$ROOT_DIR/out/mplug-full-model"

@@ -15,5 +15,6 @@ python -m crvqa_tpu.cli.vqa_mplug \
     --distill false \
     --use_bias_reweight true \
     --use_checkpoint true --dtype bfloat16 \
+    --prng_impl unsafe_rbg \
     --do_train --do_predict \
     --output_dir "$ROOT_DIR/out/mplug-full-model-debias"

@@ -144,3 +144,27 @@ def test_stage2_resume_from_checkpoint(tmp_path):
     ck2 = latest_checkpoint(str(out))
     step1 = load_metadata(ck2)["step"]
     assert step1 > step0  # continued counting from the restored step
+
+
+def test_prng_impl_flag(tmp_path):
+    """--prng_impl unsafe_rbg (the measured +13% TPU fast path) runs the full
+    stage-2 CLI; config restored afterwards so other tests keep threefry."""
+    import jax
+
+    from crvqa_tpu.cli import prune_debias_vqa
+
+    before = jax.config.jax_default_prng_impl
+    try:
+        out = tmp_path / "s2rbg"
+        prune_debias_vqa.main([
+            "--output_dir", str(out), "--tiny", "--synthetic", "16",
+            "--train_batch_size", "8", "--eval_batch_size", "8",
+            "--num_train_epochs", "1", "--warmup_steps", "0",
+            "--dtype", "float32", "--do_train", "--seed", "0",
+            "--Masker_type", "normal", "--zero_rate", "0.7",
+            "--controlled_init", "magnitude", "--prng_impl", "unsafe_rbg",
+        ])
+        assert jax.config.jax_default_prng_impl == "unsafe_rbg"
+        assert (out / "mask.pt").exists()
+    finally:
+        jax.config.update("jax_default_prng_impl", before)
