@@ -41,6 +41,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--classifier_bin", type=str, default=None,
                    help="stage-2 classifier4masker.bin")
     p.add_argument("--zero_rate", type=float, default=0.7)
+    # Structured alternative (reference `--structured --prune_head/--prune_ffn`
+    # with head_mask_dir/ffn_mask_dir .npy files, run_vqa_stage3.py:307-324,
+    # 766-772): physically compact the language branch instead of applying an
+    # unstructured mask.pt.
+    p.add_argument("--head_mask_npy", type=str, default=None,
+                   help="[L, H] 0/1 head mask .npy -> physical head pruning")
+    p.add_argument("--ffn_mask_npy", type=str, default=None,
+                   help="[L, intermediate] 0/1 FFN mask .npy -> neuron pruning")
     return p
 
 
@@ -75,27 +83,58 @@ def main(argv=None) -> None:
 
     params = load_stage1_params(args.stage1_ckpt, model, config,
                                 jax.random.PRNGKey(args.seed))
-    specs = lxmert_mask_specs(config.l_layers, config.r_layers, config.x_layers)
-    masker = Masker.create(
-        specs, ModalSparsity.uniform(args.zero_rate,
-                                     ("Lang", "Vis", "Fus", "P")))
 
-    if args.training_type == "FT_randMask":
-        masks = jax.device_get(jax.jit(
-            lambda p: magnitude_masks(p, list(masker.specs),
-                                      masker.zerorate_dict))(params))
+    structured = bool(args.head_mask_npy or args.ffn_mask_npy)
+    masks = None
+    masker = None
+    if structured:
+        # Physical compaction path — the TPU-native `prune_heads`/`prune_ffns`
+        # (masking/compaction.py). Replaces unstructured mask.pt pruning.
+        import dataclasses as _dc
+
+        from ..masking import compact_lang_ffns, compact_lang_heads
+
+        overrides = {}
+        if args.head_mask_npy:
+            head_mask = np.load(args.head_mask_npy)
+            common.logger.info("head zero rate: %.3f", float((head_mask == 0).mean()))
+            params, n_heads = compact_lang_heads(params, head_mask, config.head_size)
+            overrides["lang_num_heads"] = n_heads
+        if args.ffn_mask_npy:
+            ffn_mask = np.load(args.ffn_mask_npy)
+            common.logger.info("ffn zero rate: %.3f", float((ffn_mask == 0).mean()))
+            params, n_inter = compact_lang_ffns(params, ffn_mask)
+            overrides["lang_intermediate_size"] = n_inter
+        config = _dc.replace(config, **overrides)
+        model = LxmertForVQA(config)
+        if args.classifier_bin:
+            params = dict(params)
+            params["classifier"] = torch_compat.import_classifier_bin(
+                args.classifier_bin, params["classifier"])
     else:
-        assert args.mask_pt, "--mask_pt required for FT_trainedMask"
-        masks = torch_compat.import_mask_pt(args.mask_pt, masker.specs)
-    if args.classifier_bin:
-        params = dict(params)
-        params["classifier"] = torch_compat.import_classifier_bin(
-            args.classifier_bin, params["classifier"])
+        specs = lxmert_mask_specs(config.l_layers, config.r_layers, config.x_layers)
+        masker = Masker.create(
+            specs, ModalSparsity.uniform(args.zero_rate,
+                                         ("Lang", "Vis", "Fus", "P")))
 
-    rate = see_weight_rate(masker, params, masks)
-    common.logger.info("achieved zero rate after pruning: %.4f", rate)
+        if args.training_type == "FT_randMask":
+            masks = jax.device_get(jax.jit(
+                lambda p: magnitude_masks(p, list(masker.specs),
+                                          masker.zerorate_dict))(params))
+        else:
+            assert args.mask_pt, "--mask_pt required for FT_trainedMask"
+            masks = torch_compat.import_mask_pt(args.mask_pt, masker.specs)
+        if args.classifier_bin:
+            params = dict(params)
+            params["classifier"] = torch_compat.import_classifier_bin(
+                args.classifier_bin, params["classifier"])
 
-    params = masker.prune_params(params, {k: jnp.asarray(v) for k, v in masks.items()})
+        rate = see_weight_rate(masker, params, masks)
+        common.logger.info("achieved zero rate after pruning: %.4f", rate)
+
+        params = masker.prune_params(
+            params, {k: jnp.asarray(v) for k, v in masks.items()})
+        masks = {k: jnp.asarray(v) for k, v in masks.items()}
 
     train_batches, eval_batches, label2ans, n_train = common.build_data(args, config)
     steps_per_epoch = max(n_train // args.train_batch_size, 1)
@@ -107,8 +146,7 @@ def main(argv=None) -> None:
         max_grad_norm=args.max_grad_norm, adam_epsilon=args.adam_epsilon,
         gamma=args.gamma, hidden_size=config.hidden_size)
     state, tx = stage1.init_state(
-        params, cfg, jax.random.PRNGKey(args.seed),
-        masks={k: jnp.asarray(v) for k, v in masks.items()})
+        params, cfg, jax.random.PRNGKey(args.seed), masks=masks)
 
     mesh = make_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
     state = jax.device_put(state, replicated_sharding(mesh))

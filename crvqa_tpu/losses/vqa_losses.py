@@ -151,7 +151,20 @@ def rubi_loss(logits, bias, max_label):
 
 
 def cosine_rep_loss(student_rep, teacher_rep):
-    """KD representation loss (`mask_trainer_Robust_VQA.py:95-97`)."""
+    """KD representation loss (`mask_trainer_Robust_VQA.py:95-97`).
+
+    Full behavioral parity note: the reference's KD block
+    (`mask_trainer_Robust_VQA.py:857-865`) reads `student_reps =
+    outputs[-1][1:]` — but the model's training forward returns
+    `(loss, logits, pooled_output)` (`modeling_lxmert.py:360`), so
+    `outputs[-1]` is the [B, hidden] POOLED tensor and the `[1:]` slice +
+    per-"layer" zip actually iterates over batch rows (dropping row 0).
+    The reference KD therefore computes exactly a mean pooled-representation
+    cosine loss, which is what this function is applied to in
+    `train/stage2.py` (minus the drop-first-row artifact). There is no
+    per-layer hidden-state distillation to port; `use_kd` is false in every
+    shipped script.
+    """
     num = jnp.sum(student_rep * teacher_rep, axis=-1)
     den = jnp.linalg.norm(student_rep, axis=-1) * jnp.linalg.norm(teacher_rep, axis=-1)
     return jnp.mean(1.0 - num / jnp.maximum(den, 1e-8))

@@ -51,6 +51,12 @@ class LxmertConfig:
     ans_num: int = 2274  # VQA-CP v2 answer vocabulary (train_test_ans2label.pkl)
     initializer_range: float = 0.02
     dtype: Any = jnp.float32
+    # Structurally-compacted language branch (masking/compaction.py — the
+    # TPU-native analogue of HF prune_heads/prune_ffns used by the
+    # reference's stage-3 structured path, run_vqa_stage3.py:307-324).
+    # None = dense (num_attention_heads / intermediate_size).
+    lang_num_heads: Optional[int] = None
+    lang_intermediate_size: Optional[int] = None
 
     @property
     def head_size(self) -> int:
@@ -168,9 +174,14 @@ class LxmertEncoder(nn.Module):
                         intermediate_size=c.intermediate_size, act=c.hidden_act,
                         attn_dropout=c.attention_probs_dropout_prob,
                         hidden_dropout=c.hidden_dropout_prob, dtype=c.dtype)
+        lang_kw = dict(layer_kw)
+        if c.lang_num_heads is not None:
+            lang_kw["num_heads"] = c.lang_num_heads
+        if c.lang_intermediate_size is not None:
+            lang_kw["intermediate_size"] = c.lang_intermediate_size
         lang = lang_feats
         for i in range(c.l_layers):
-            lang = TransformerLayer(**layer_kw, name=f"layer_{i}")(
+            lang = TransformerLayer(**lang_kw, name=f"layer_{i}")(
                 lang, lang_bias, deterministic)
         for i in range(c.r_layers):
             visn = TransformerLayer(**layer_kw, name=f"r_layers_{i}")(

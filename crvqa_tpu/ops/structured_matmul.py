@@ -35,6 +35,12 @@ after gather/scatter overhead. The Pallas zero-copy kernel LOSES — its
 the gather it avoids. xla_compact is therefore the structured fast path;
 the Pallas variant stays as the measured reference point.
 
+For FIXED masks (stage-3 / eval of a finished checkpoint) the better
+integration is `masking/compaction.py`, which slices kept heads/neurons out
+of the params ONCE on host and runs the unchanged model at the smaller
+static shape — no per-call gather at all. The ops here remain the fast path
+when the mask is dynamic (mask-training eval, where scores still move).
+
 Gradients: compact forwards cannot carry the straight-through estimator —
 masked heads produce zero output but their SCORES still need gradients
 (d(w*B(s))/ds == w under STE), which the gather/scatter VJP would silently

@@ -168,3 +168,35 @@ def test_prng_impl_flag(tmp_path):
         assert (out / "mask.pt").exists()
     finally:
         jax.config.update("jax_default_prng_impl", before)
+
+
+@pytest.mark.slow
+def test_stage3_structured_compaction_cli(tmp_path):
+    """Structured stage-3 (reference run_vqa_stage3.py:766-772 alternative
+    branch): head + FFN mask .npy files physically compact the language
+    branch, then the pruned subnetwork fine-tunes end to end."""
+    from crvqa_tpu.cli import run_vqa_stage3
+    from crvqa_tpu.models import LxmertConfig
+
+    cfg = LxmertConfig.tiny()
+    rng = np.random.default_rng(0)
+    head_mask = np.ones((cfg.l_layers, cfg.num_attention_heads), np.float32)
+    head_mask[0, :2] = 0.0  # prune 2 of 4 heads in layer 0
+    ffn_mask = (rng.random((cfg.l_layers, cfg.intermediate_size)) < 0.6
+                ).astype(np.float32)
+    np.save(tmp_path / "head_mask.npy", head_mask)
+    np.save(tmp_path / "ffn_mask.npy", ffn_mask)
+
+    out = tmp_path / "s3struct"
+    run_vqa_stage3.main([
+        "--output_dir", str(out), "--FT_type", "normal",
+        "--training_type", "FT_trainedMask",
+        "--head_mask_npy", str(tmp_path / "head_mask.npy"),
+        "--ffn_mask_npy", str(tmp_path / "ffn_mask.npy"),
+        "--label4save", "t",
+        "--tiny", "--synthetic", "32", "--train_batch_size", "8",
+        "--eval_batch_size", "8", "--num_train_epochs", "1",
+        "--logging_steps", "2", "--save_steps", "4", "--warmup_steps", "0",
+        "--dtype", "float32", "--do_train", "--do_eval",
+        "--evaluate_during_training", "--seed", "0"])
+    assert (out / "test.json").exists()
