@@ -42,6 +42,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr1", type=float, default=3e-5)
     p.add_argument("--lr2", type=float, default=5e-6)
     p.add_argument("--min_lr", type=float, default=1e-6)
+    # yaml `schedular:` block (scheduler_factory.py:10; shipped configs use
+    # cosine; tanh/step are the other authored non-metric options)
+    p.add_argument("--sched", type=str, default="cosine",
+                   choices=["cosine", "tanh", "step"])
+    p.add_argument("--decay_rate", type=float, default=0.1)
+    p.add_argument("--decay_steps", type=int, default=0)
+    # yaml `optimizer:` block (optim_factory.py:56-127; shipped = adamW)
+    p.add_argument("--opt", type=str, default="adamw")
+    p.add_argument("--opt_momentum", type=float, default=0.9)
     p.add_argument("--use_bias_reweight", type=common.str2bool, default=True)
     p.add_argument("--distill", type=common.str2bool, default=False)
     p.add_argument("--image_res", type=int, default=384)
@@ -163,7 +172,9 @@ def main(argv=None) -> None:
         mode=args.mode, lr1=args.lr1, lr2=args.lr2,
         weight_decay=args.weight_decay or 0.02,
         warmup_steps=args.warmup_steps or steps_per_epoch,
-        total_steps=total_steps, min_lr=args.min_lr,
+        total_steps=total_steps, min_lr=args.min_lr, sched=args.sched,
+        decay_rate=args.decay_rate, decay_steps=args.decay_steps,
+        opt=args.opt, opt_momentum=args.opt_momentum,
         max_grad_norm=args.max_grad_norm,
         use_bias_reweight=args.use_bias_reweight, distill=args.distill,
         alpha=args.alpha,

@@ -44,6 +44,11 @@ class MPlugTrainConfig:
     warmup_steps: int = 1000
     total_steps: int = 100_000
     min_lr: float = 1e-6
+    sched: str = "cosine"  # cosine | tanh | step (scheduler_factory.py:10)
+    decay_rate: float = 0.1  # 'step' schedule only
+    decay_steps: int = 0  # 'step' schedule only
+    opt: str = "adamw"  # optim_factory.py:56-127 surface (yaml `opt:`)
+    opt_momentum: float = 0.9  # sgd/momentum/rmsprop only
     max_grad_norm: float = 1.0
     use_bias_reweight: bool = True  # the (1-bias)*loss debias term
     distill: bool = False
@@ -106,6 +111,52 @@ def _cosine(lr: float, warmup: int, total: int, min_lr: float):
         decay_steps=max(total, warmup + 1), end_value=min_lr)
 
 
+def make_lr_schedule(sched: str, lr: float, warmup: int, total: int,
+                     min_lr: float, decay_rate: float = 0.1,
+                     decay_steps: int = 0) -> optax.Schedule:
+    """The reference's timm scheduler factory as pure step schedules
+    (`mPLUG/scheduler/scheduler_factory.py:10-90`; only 'cosine' is used by
+    the shipped yaml configs). Step-granular where timm is epoch-granular.
+
+    - cosine: warmup-cosine to min_lr (CosineLRScheduler, single cycle).
+    - tanh:   lr_min + (lr-lr_min)/2 * (1 - tanh(lb*(1-tr) + ub*tr)) with
+      timm's lb=-6, ub=4 defaults (`tanh_lr.py:27-28,94`), linear warmup.
+    - step:   lr * decay_rate ** (t // decay_steps) (`step_lr.py:20-42`),
+      linear warmup.
+    - plateau: metric-driven (host-side state) — not expressible as a pure
+      step schedule; unused by every shipped config, so it raises.
+    """
+    if sched == "cosine":
+        return _cosine(lr, warmup, total, min_lr)
+    warmup = max(warmup, 1)
+    if sched == "tanh":
+        lb, ub = -6.0, 4.0
+        span = max(total - warmup, 1)
+
+        def tanh_sched(step):
+            t = jnp.asarray(step, jnp.float32)
+            warm = lr * t / warmup
+            tr = jnp.clip((t - warmup) / span, 0.0, 1.0)
+            decay = min_lr + 0.5 * (lr - min_lr) * (
+                1.0 - jnp.tanh(lb * (1.0 - tr) + ub * tr))
+            return jnp.where(t < warmup, warm, decay)
+
+        return tanh_sched
+    if sched == "step":
+        d = max(decay_steps, 1)
+
+        def step_sched(step):
+            t = jnp.asarray(step, jnp.float32)
+            warm = lr * t / warmup
+            decay = lr * decay_rate ** jnp.floor((t - warmup) / d)
+            return jnp.maximum(jnp.where(t < warmup, warm, decay), min_lr)
+
+        return step_sched
+    raise ValueError(f"unsupported sched '{sched}' (cosine|tanh|step; "
+                     "'plateau' is metric-driven and unused by any shipped "
+                     "reference config)")
+
+
 def two_group_labels(tree) -> PyTree:
     """'visual' for every leaf under visual_encoder (nested param trees AND
     flat '/'-keyed score/head dicts), 'body' otherwise."""
@@ -122,17 +173,60 @@ def decay_mask(tree) -> PyTree:
         tree, lambda parts: not ("bias" in parts[-1] or parts[-1] == "scale"))
 
 
+def _inner_optimizer(config: "MPlugTrainConfig", schedule) -> optax.GradientTransformation:
+    """One optimizer from the reference's timm factory surface
+    (`mPLUG/optim/optim_factory.py:56-127`; the shipped yamls use adamW
+    only). Torch's coupled L2 (weight_decay folded into the gradient before
+    momentum) is reproduced by `add_decayed_weights` BEFORE the transform;
+    adamW/lamb use their native decoupled decay. Fused/apex variants are the
+    same math (fusion is XLA's job here); adamp/sgdp/adahessian/rmsproptf
+    have no optax equivalent and raise."""
+    o = config.opt.lower().split("_")[-1]
+    wd = optax.add_decayed_weights(config.weight_decay, mask=decay_mask)
+    mom = config.opt_momentum
+    table = {
+        "sgd": lambda: optax.chain(wd, optax.sgd(schedule, momentum=mom,
+                                                 nesterov=True)),
+        "nesterov": lambda: optax.chain(wd, optax.sgd(schedule, momentum=mom,
+                                                      nesterov=True)),
+        "momentum": lambda: optax.chain(wd, optax.sgd(schedule, momentum=mom,
+                                                      nesterov=False)),
+        "adam": lambda: optax.chain(wd, optax.adam(schedule)),
+        "adamw": lambda: optax.adamw(schedule, weight_decay=config.weight_decay,
+                                     mask=decay_mask),
+        "fusedadam": lambda: optax.chain(wd, optax.adam(schedule)),
+        "fusedadamw": lambda: optax.adamw(
+            schedule, weight_decay=config.weight_decay, mask=decay_mask),
+        "nadam": lambda: optax.chain(wd, optax.nadam(schedule)),
+        "radam": lambda: optax.chain(wd, optax.radam(schedule)),
+        "adadelta": lambda: optax.chain(wd, optax.adadelta(schedule)),
+        "adafactor": lambda: optax.chain(wd, optax.adafactor(schedule)),
+        "rmsprop": lambda: optax.chain(wd, optax.rmsprop(
+            schedule, decay=0.9, momentum=mom)),
+        "novograd": lambda: optax.chain(wd, optax.novograd(schedule)),
+        "fusedlamb": lambda: optax.lamb(schedule,
+                                        weight_decay=config.weight_decay,
+                                        mask=decay_mask),
+        "lamb": lambda: optax.lamb(schedule, weight_decay=config.weight_decay,
+                                   mask=decay_mask),
+    }
+    if o not in table:
+        raise ValueError(f"unsupported opt '{config.opt}' "
+                         f"(one of {sorted(table)})")
+    return table[o]()
+
+
 def make_two_group_adamw(config: MPlugTrainConfig):
-    """Dual-LR AdamW: visual-encoder leaves at lr2, everything else lr1, with
-    bias/LayerNorm excluded from weight decay
+    """Dual-LR optimizer: visual-encoder leaves at lr2, everything else lr1,
+    with bias/LayerNorm excluded from weight decay
     (optim_factory.create_two_optimizer, mPLUG/optim/optim_factory.py:141-171).
+    The inner optimizer is `config.opt` (default adamW, the shipped choice).
     """
 
     def group(lr):
-        return optax.adamw(
-            learning_rate=_cosine(lr, config.warmup_steps, config.total_steps,
-                                  config.min_lr),
-            weight_decay=config.weight_decay, mask=decay_mask)
+        return _inner_optimizer(config, make_lr_schedule(
+            config.sched, lr, config.warmup_steps, config.total_steps,
+            config.min_lr, config.decay_rate, config.decay_steps))
 
     return optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
