@@ -38,6 +38,12 @@ class VisualBertConfig:
     initializer_range: float = 0.02
     layer_norm_eps: float = 1e-12
     dtype: Any = jnp.float32
+    # Structurally-compacted stack (masking/compaction.py): VisualBERT is the
+    # model HF `prune_heads`/`prune_ffns` actually dispatches to in the
+    # reference (BertModel._prune_heads walks `encoder.layer`,
+    # modeling_bert.py:677-693). None = dense.
+    compact_num_heads: Optional[int] = None
+    compact_intermediate_size: Optional[int] = None
 
     @property
     def head_size(self) -> int:
@@ -104,9 +110,11 @@ class VisualBertEncoder(nn.Module):
     @nn.compact
     def __call__(self, h, bias, deterministic=True):
         c = self.config
-        layer_kw = dict(num_heads=c.num_attention_heads, head_size=c.head_size,
-                        hidden_size=c.hidden_size,
-                        intermediate_size=c.intermediate_size, act=c.hidden_act,
+        layer_kw = dict(num_heads=c.compact_num_heads or c.num_attention_heads,
+                        head_size=c.head_size, hidden_size=c.hidden_size,
+                        intermediate_size=(c.compact_intermediate_size
+                                           or c.intermediate_size),
+                        act=c.hidden_act,
                         attn_dropout=c.attention_probs_dropout_prob,
                         hidden_dropout=c.hidden_dropout_prob, dtype=c.dtype)
         for i in range(c.num_hidden_layers):

@@ -140,3 +140,36 @@ def test_compacted_model_trains():
         grads["lxmert"]["encoder"]["layer_0"]["attention"]["self"]["query"]["kernel"])
     assert g.shape == (config.hidden_size, n_keep * config.head_size)
     assert np.abs(g).max() > 0
+
+
+def test_compact_visualbert_equivalence():
+    """Compaction generalizes to the single-stream BERT stack — the model HF
+    prune_heads actually dispatches to in the reference (BertModel._prune_heads,
+    modeling_bert.py:685-693). Same `layer_{i}` param naming, so the same
+    transform applies; `compact_num_heads` runs the compacted stack."""
+    from crvqa_tpu.models.visualbert import VisualBertConfig, VisualBertForVQA
+
+    config = VisualBertConfig.tiny()
+    model = VisualBertForVQA(config)
+    rng = np.random.default_rng(5)
+    input_ids = jnp.asarray(rng.integers(0, config.vocab_size, (4, 6)))
+    visual_embeds = jnp.asarray(
+        rng.normal(size=(4, 3, config.visual_embedding_dim)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), input_ids=input_ids,
+                        visual_embeds=visual_embeds)["params"]
+
+    head_mask = np.array([[1, 0, 1, 1], [0, 1, 1, 0]], dtype=np.float32)
+    dense = apply_dense_head_mask(params, head_mask, config.head_size)
+    ref = np.asarray(model.apply({"params": dense}, input_ids=input_ids,
+                                 visual_embeds=visual_embeds,
+                                 deterministic=True)[0])
+
+    cparams, n_keep = compact_lang_heads(params, head_mask, config.head_size,
+                                         pad_to_multiple=1)
+    cconfig = dataclasses.replace(config, compact_num_heads=n_keep)
+    out = np.asarray(
+        VisualBertForVQA(cconfig).apply({"params": cparams},
+                                        input_ids=input_ids,
+                                        visual_embeds=visual_embeds,
+                                        deterministic=True)[0])
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
