@@ -22,9 +22,17 @@ figure, not just device time.
 
 vs_baseline divides by 1000 examples/sec — an estimate of the PyTorch
 reference's stage-2 throughput on its single-GPU setup (the repo publishes no
-throughput numbers; 1000 ex/s ≈ 4 it/s at bs 256 for a ~210M-param
-masked-forward model on a V100-class card). >1.0 means faster than the
-reference estimate.
+throughput numbers). The estimate is deliberately GENEROUS to the reference:
+the step costs ~21 GFLOP/example (fwd+bwd over ~210M masked params at seq
+14+36), so a V100's 15.7 TFLOP/s fp32 peak caps it at ~750 ex/s even at 100%
+utilization (the shipped configs run fp32 — apex fp16 is off), and a realistic
+35% utilization lands near 260 ex/s. 1000 ex/s ≈ a fp16 V100 run at ~17% MFU
+or an A100-class card. >1.0 therefore understates the real speedup.
+
+Window size 32 (steps per on-device scan dispatch) is measured on-chip:
+2906 ex/s at window 8 vs 3002 at window 32 (+3.3%); overlapping the loss
+fetch with the next dispatch (lag-1) measured as noise (+-0.5%) at both
+windows, so the simple synchronous fence stays (benchmarks/bench_window.py).
 """
 from __future__ import annotations
 
@@ -72,7 +80,7 @@ def _window_flops(compiled) -> float:
         return 0.0
 
 
-def measure(backbone_dtype: str, window: int = 8, windows: int = 4) -> dict:
+def measure(backbone_dtype: str, window: int = 32, windows: int = 4) -> dict:
     from crvqa_tpu.data import synthetic_batch
     from crvqa_tpu.masking import Masker, ModalSparsity, lxmert_mask_specs
     from crvqa_tpu.models import LxmertConfig, LxmertForVQA

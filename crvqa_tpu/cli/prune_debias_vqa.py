@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">1 scans N train steps per device dispatch "
                         "(stage2.make_multi_step) — removes per-step host "
                         "overhead; logging granularity becomes N steps")
+    p.add_argument("--zero_opt", type=common.str2bool, default=False,
+                   help="ZeRO-shard the Adam moments of the mask scores over "
+                        "the data mesh axis (parallel/zero.py; the DeepSpeed "
+                        "ZeRO-2 analogue the reference applies to mPLUG)")
     return p
 
 
@@ -165,11 +169,19 @@ def run(args) -> None:
                 jax.device_get(state.frozen_params), mesh),
             scores=shard_scores_tp(
                 jax.device_get(state.scores), masker.specs, mesh))
+    zero_mesh = None
+    if args.zero_opt:
+        from ..parallel.zero import shard_opt_state
+
+        zero_mesh = mesh
+        state = state.replace(opt_state=shard_opt_state(
+            jax.device_get(state.opt_state), mesh))
     shard_fn = common.make_shard_fn(mesh)
     spd = max(args.steps_per_dispatch, 1)
     if spd > 1:
-        multi_fn = stage2.make_multi_step(model, masker, tx, cfg, spd)
-    step_fn = stage2.make_train_step(model, masker, tx, cfg)
+        multi_fn = stage2.make_multi_step(model, masker, tx, cfg, spd,
+                                          mesh=zero_mesh)
+    step_fn = stage2.make_train_step(model, masker, tx, cfg, mesh=zero_mesh)
     reset_fn = stage2.make_threshold_reset(masker)
     eval_fn = stage2.make_eval_step(model, masker)
 

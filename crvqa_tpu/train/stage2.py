@@ -123,9 +123,17 @@ def merge_params(frozen: PyTree, train_params: PyTree,
 
 
 def make_train_step(model, masker: Masker, tx: optax.GradientTransformation,
-                    config: Stage2Config, jit: bool = True) -> Callable:
+                    config: Stage2Config, jit: bool = True,
+                    mesh=None) -> Callable:
     """Build the jitted stage-2 train step (`_training_step`,
-    mask_trainer_Robust_VQA.py:801-886)."""
+    mask_trainer_Robust_VQA.py:801-886).
+
+    `mesh` (optional): ZeRO-shard the Adam moments of the 210M mask scores
+    over the `data` axis (parallel/zero.py — the DeepSpeed ZeRO-2 analogue
+    the reference only applies to mPLUG; here it buys the same
+    optimizer-state memory scaling for the LXMERT path). Pair with
+    `parallel.zero.shard_opt_state` at init.
+    """
 
     def loss_fn(trainable, state: Stage2State, batch, dropout_rng):
         params = merge_params(state.frozen_params, trainable["train"],
@@ -180,6 +188,10 @@ def make_train_step(model, masker: Masker, tx: optax.GradientTransformation,
             (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 trainable, state, batch, dropout_rng)
         updates, opt_state = tx.update(grads, state.opt_state, trainable)
+        if mesh is not None:
+            from ..parallel.zero import constrain_opt_state
+
+            opt_state = constrain_opt_state(opt_state, mesh)
         new = optax.apply_updates(trainable, updates)
         metrics = TrainMetrics(
             loss=loss, score=score,
@@ -197,7 +209,7 @@ def make_train_step(model, masker: Masker, tx: optax.GradientTransformation,
 
 
 def make_multi_step(model, masker: Masker, tx: optax.GradientTransformation,
-                    config: Stage2Config, n_steps: int) -> Callable:
+                    config: Stage2Config, n_steps: int, mesh=None) -> Callable:
     """Scan `n_steps` train steps in ONE device dispatch.
 
     TPU-native driver-loop optimization: the host round trip per step (25+ ms
@@ -207,7 +219,7 @@ def make_multi_step(model, masker: Masker, tx: optax.GradientTransformation,
     per-step scores). The reference's per-step Python loop
     (`mask_trainer_Robust_VQA.py:610-623`) has no equivalent.
     """
-    step = make_train_step(model, masker, tx, config, jit=False)
+    step = make_train_step(model, masker, tx, config, jit=False, mesh=mesh)
 
     def multi(state: Stage2State, batches):
         def body(st, batch):
