@@ -1,0 +1,52 @@
+"""Measure the fused attention kernel end-to-end in the stage-2 step.
+
+Baseline is the XLA einsum path (bench_window.py w32 config, ~3000 ex/s);
+the fused kernel (ops/fused_attention.py) targets the ~19% of device time
+the profile attributed to attention transpose copies.
+
+Usage: python benchmarks/bench_fused_attention.py   (real chip)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+
+def run(fused: bool, window: int = 32, windows: int = 4) -> float:
+    from crvqa_tpu.models import layers
+
+    layers.FUSED_ATTENTION = fused
+    from bench_window import build
+
+    compiled, state, stacked, bs = build(window)
+    state, losses, _ = compiled(state, stacked)
+    _ = float(losses[-1])
+    t0 = time.perf_counter()
+    for _ in range(windows):
+        state, losses, _ = compiled(state, stacked)
+        _ = float(losses[-1])
+    dt = time.perf_counter() - t0
+    return bs * window * windows / dt
+
+
+def main() -> None:
+    results = {}
+    for fused in (False, True):
+        key = "fused" if fused else "xla"
+        results[key] = round(run(fused), 1)
+        print(f"# {key}: {results[key]} ex/s", file=sys.stderr)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,29 @@ ACT2FN: dict[str, Callable] = {
     "tanh": jnp.tanh,
 }
 
+# Attention einsum spelling. The math is identical; the spelling steers
+# XLA's layout assignment for the batched dots. The profile
+# (benchmarks/profile_stage2.py) showed the default 'bqhd' spelling costs
+# ~146 transpose copies (~15.8 ms, 19%) per stage-2 step on v5e —
+# bf16[256,12,64,36] copies materializing v in [B,H,D,S] for the ctx dot.
+#   'bqhd' — heads stay in dim 2, einsum directly from the split layout.
+#   'bhqd' — explicit one-shot transpose to [B,H,S,D] after the split,
+#            dots run with leading batch dims.
+#   'bqhk' — scores/ctx keep the q-major layout throughout.
+# Read at trace time; benchmarks/bench_attention_layout.py measures all
+# three end-to-end and the default tracks the measured winner.
+ATTN_LAYOUT = "bqhd"
+
+# Fused short-seq attention kernel (ops/fused_attention.py): consumes q/k/v
+# in the projection layout and keeps scores/probs in VMEM, eliminating the
+# transpose copies XLA's batched dots materialize (~19% of the stage-2 step;
+# see the kernel docstring for the measured story). Trace-time switches:
+# FUSED_ATTENTION enables it on the self/cross attention path (kv-cache
+# generation paths keep the XLA einsums), FUSED_ATTENTION_INTERPRET runs the
+# kernel interpreted (CPU tests).
+FUSED_ATTENTION = False
+FUSED_ATTENTION_INTERPRET = False
+
 
 class WeightNormDense(nn.Module):
     """Dense with torch-style weight normalization, dim=None (scalar g).
@@ -85,6 +108,25 @@ class MultiHeadAttention(nn.Module):
         def split_heads(t):
             return t.reshape(t.shape[0], t.shape[1], self.num_heads, self.head_size)
 
+        if kv is None and FUSED_ATTENTION:
+            from ..ops.fused_attention import fused_attention_seeded
+
+            k = dense("key")(context)
+            v = dense("value")(context)
+            if attention_bias is None:
+                bias2d = jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
+            else:  # [B, 1, 1, Sk] additive -> [B, Sk]
+                bias2d = attention_bias.astype(jnp.float32)[:, 0, 0, :]
+            rate = 0.0 if deterministic else self.dropout_rate
+            if rate > 0.0:
+                key_data = jax.random.key_data(self.make_rng("dropout"))
+                seed = key_data.ravel()[:1].astype(jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            return fused_attention_seeded(
+                q, k, v, bias2d, seed, self.num_heads, self.head_size,
+                rate, FUSED_ATTENTION_INTERPRET)
+
         if kv is None:
             k = split_heads(dense("key")(context))
             v = split_heads(dense("value")(context))
@@ -93,13 +135,28 @@ class MultiHeadAttention(nn.Module):
             # params exist; the cache path simply doesn't touch them
             k, v = kv
         q = split_heads(q)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        layout = ATTN_LAYOUT
+        if layout == "bhqd":
+            q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        elif layout == "bqhk":
+            scores = jnp.einsum("bqhd,bkhd->bqhk", q, k).astype(jnp.float32)
+        else:  # 'bqhd' default
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         scores = scores / jnp.sqrt(self.head_size).astype(jnp.float32)
         if attention_bias is not None:
-            scores = scores + attention_bias.astype(jnp.float32)
+            bias = attention_bias.astype(jnp.float32)
+            if layout == "bqhk":  # bias is [B, 1, 1, K]: same broadcast
+                bias = bias.reshape(bias.shape[0], 1, 1, bias.shape[-1])
+            scores = scores + bias
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        if layout == "bhqd":
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3)
+        elif layout == "bqhk":
+            ctx = jnp.einsum("bqhk,bkhd->bqhd", probs, v)
+        else:
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         return ctx.reshape(ctx.shape[0], ctx.shape[1], d)
 
 

@@ -1,0 +1,268 @@
+"""Fused multi-head attention for short sequences (Pallas TPU).
+
+Why this kernel exists: the stage-2 profile (benchmarks/profile_stage2.py)
+showed ~19% of device time in transpose copies around XLA's batched
+attention dots — bf16[B,H,D,S] materializations of v (and its gradients)
+for the `bhqk,bkhd->bqhd` contraction, ~146 copies x ~100us per train step
+at bs 256. All three einsum spellings measured identically
+(benchmarks/bench_attention_layout.py: 2994/3002/3008 ex/s — noise), so the
+copies are inherent to XLA's batched-dot lowering at these shapes. This
+kernel consumes q/k/v in their natural projection layout [B, S, H*D],
+slices heads out of the LANE dimension in VMEM (no HBM-visible transpose
+anywhere), and fuses scale + additive mask bias + fp32 softmax + dropout +
+the probs@v contraction into one pass.
+
+Scope: LXMERT-sized attention — Sq/Sk <= ~128 (14 text tokens / 36 boxes,
+`dataset_LXM.py:189,259`), head_size 64, bf16 activations. FLOPs here are
+~1% of the model; the win is memory locality, not arithmetic.
+
+Backward is flash-style recompute (no [B,H,Sq,Sk] residuals): the bwd
+kernel re-derives scores/probs from q/k/v and regenerates the SAME dropout
+mask by reseeding the per-core PRNG identically (same seed, same (b,h)
+generation order), then computes dq/dk/dv with five small dots per (b,h).
+
+Numerics: scores and softmax in fp32 (matching `MultiHeadAttention`'s fp32
+softmax policy); dots accumulate fp32 via preferred_element_type.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _keep_mask(shape, rate: float, seed, b, h: int):
+    """Bernoulli(1-rate) keep mask from a counter-based hash.
+
+    Each element's bit is a pure function of (seed, batch row, head, i, j) —
+    a 2-round xorshift-multiply avalanche over the coordinates. This makes
+    the flash-style backward trivially regenerate the forward's mask with no
+    reliance on PRNG generation order, and it runs identically in interpret
+    mode (pltpu.prng_* are TPU-compiled-only)."""
+    i = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    key = (seed.astype(jnp.uint32) * jnp.uint32(2654435761)
+           + jnp.asarray(b, jnp.uint32) * jnp.uint32(97531)
+           + jnp.uint32(h * 1000003))
+    x = i * jnp.uint32(374761393) + j * jnp.uint32(668265263) + key
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(1274126177)
+    x = x ^ (x >> 16)
+    # P(x >= rate * 2^32) = 1 - rate
+    threshold = jnp.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
+    return x >= threshold
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                num_heads: int, head_size: int, rate: float, bb: int):
+    prog = pl.program_id(0)
+    seed = seed_ref[0] + prog * 7919
+    scale = 1.0 / (head_size ** 0.5)
+
+    def body(b, _):
+        qb = q_ref[b]  # [Sq, H*D] bf16
+        kb = k_ref[b]
+        vb = v_ref[b]
+        bias_b = bias_ref[pl.ds(b, 1), :]  # [1, Sk] fp32 additive
+        for h in range(num_heads):
+            sl = slice(h * head_size, (h + 1) * head_size)
+            qh = qb[:, sl]
+            kh = kb[:, sl]
+            vh = vb[:, sl]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [Sq, Sk]
+            s = s * scale + bias_b
+            p = jax.nn.softmax(s, axis=-1)
+            if rate > 0.0:
+                keep = _keep_mask(p.shape, rate, seed, b, h)
+                p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+            ctx = jax.lax.dot_general(
+                p.astype(qh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [Sq, D]
+            o_ref[b, :, sl] = ctx.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bb, body, 0)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, *,
+                num_heads: int, head_size: int, rate: float, bb: int):
+    prog = pl.program_id(0)
+    seed = seed_ref[0] + prog * 7919  # identical key derivation as forward
+    scale = 1.0 / (head_size ** 0.5)
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    def body(b, _):
+        qb = q_ref[b]
+        kb = k_ref[b]
+        vb = v_ref[b]
+        gb = g_ref[b]
+        bias_b = bias_ref[pl.ds(b, 1), :]  # [1, Sk]
+        for h in range(num_heads):
+            sl = slice(h * head_size, (h + 1) * head_size)
+            qh = qb[:, sl]
+            kh = kb[:, sl]
+            vh = vb[:, sl]
+            gh = gb[:, sl].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * scale + bias_b
+            p = jax.nn.softmax(s, axis=-1)  # pre-dropout probs, fp32
+            if rate > 0.0:
+                keep = _keep_mask(p.shape, rate, seed, b, h)
+                drop = jnp.where(keep, inv_keep, 0.0)  # fwd: p_tilde = p*drop
+            else:
+                drop = 1.0
+            p_t = p * drop
+            # dv = p_tilde^T @ g
+            dv = jax.lax.dot_general(
+                p_t.astype(gh.dtype), gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [Sk, D]
+            # dp_tilde = g @ v^T ; dp = dp_tilde * drop
+            dp = jax.lax.dot_general(
+                gh, vh.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * drop  # [Sq, Sk]
+            # softmax vjp: ds = (dp - sum(dp * p)) * p
+            ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
+            ds = (ds * scale).astype(qh.dtype)
+            dq = jax.lax.dot_general(
+                ds, kh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [Sq, D]
+            dk = jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [Sk, D]
+            dq_ref[b, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[b, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[b, :, sl] = dv.astype(dv_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bb, body, 0)
+
+
+def _pick_bb(batch: int, sk: int) -> int:
+    """Batch-tile size: keep the 8 resident tiles comfortably in VMEM."""
+    for bb in (32, 16, 8, 4, 2, 1):
+        if batch % bb == 0:
+            return bb
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    bias: jax.Array, num_heads: int, head_size: int,
+                    rate: float, interpret: bool = False) -> jax.Array:
+    """softmax(q k^T / sqrt(d) + bias) (dropout) @ v, per head, fused.
+
+    q [B, Sq, H*D] bf16/fp32; k, v [B, Sk, H*D]; bias [B, Sk] fp32 additive
+    (0 for valid keys, -10000 for padding — `extend_attention_mask`). The
+    dropout seed rides in via `fused_attention_seeded`; this entry uses
+    seed 0 (rate 0 in eval paths makes it moot).
+    """
+    return _fa_fwd(q, k, v, bias, num_heads, head_size, rate, interpret,
+                   jnp.zeros((1,), jnp.int32))[0]
+
+
+def _call(kernel, outs, q, k, v, bias, g, seed, num_heads, head_size, rate,
+          interpret):
+    batch, sq, d = q.shape
+    sk = k.shape[1]
+    bb = _pick_bb(batch, sk)
+    grid = (batch // bb,)
+    # index maps receive (grid idx, scalar-prefetch ref)
+    row = lambda s: pl.BlockSpec((bb, s, d), lambda i, seed: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    in_specs = [row(sq), row(sk), row(sk),
+                pl.BlockSpec((bb, sk), lambda i, seed: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [q, k, v, bias]
+    if g is not None:
+        in_specs.append(row(sq))
+        args.append(g)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+        out_specs=tuple(row(s) for s in outs),
+    )
+    out_shape = tuple(jax.ShapeDtypeStruct((batch, s, d), q.dtype)
+                      for s in outs)
+    fn = pl.pallas_call(
+        functools.partial(kernel, num_heads=num_heads, head_size=head_size,
+                          rate=rate, bb=bb),
+        grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+    )
+    res = fn(seed, *args)
+    return res if isinstance(res, (tuple, list)) else (res,)
+
+
+def _fa_fwd(q, k, v, bias, num_heads, head_size, rate, interpret, seed):
+    (o,) = _call(_fwd_kernel, (q.shape[1],), q, k, v, bias, None, seed,
+                 num_heads, head_size, rate, interpret)
+    return o, (q, k, v, bias, seed)
+
+
+def _fa_bwd(num_heads, head_size, rate, interpret, res, g):
+    q, k, v, bias, seed = res
+    sq, sk = q.shape[1], k.shape[1]
+    dq, dk, dv = _call(_bwd_kernel, (sq, sk, sk), q, k, v, bias,
+                       g.astype(q.dtype), seed, num_heads, head_size, rate,
+                       interpret)
+    # bias comes from the padding mask — no grad path needed, but custom_vjp
+    # requires a float cotangent of the right shape
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(bias))
+
+
+fused_attention.defvjp(
+    lambda q, k, v, bias, nh, hs, rate, interp: _fa_fwd(
+        q, k, v, bias, nh, hs, rate, interp, jnp.zeros((1,), jnp.int32)),
+    _fa_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_attention_seeded(q, k, v, bias, seed, num_heads, head_size,
+                           rate, interpret=False):
+    """fused_attention with an explicit int32[1] dropout seed (train path)."""
+    return _fa_fwd(q, k, v, bias, num_heads, head_size, rate, interpret,
+                   seed)[0]
+
+
+def _fas_fwd(q, k, v, bias, seed, num_heads, head_size, rate, interpret):
+    o, res = _fa_fwd(q, k, v, bias, num_heads, head_size, rate, interpret,
+                     seed)
+    return o, res
+
+
+def _fas_bwd(num_heads, head_size, rate, interpret, res, g):
+    import numpy as np
+
+    dq, dk, dv, dbias = _fa_bwd(num_heads, head_size, rate, interpret, res, g)
+    seed = res[4]
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)  # int primal
+    return dq, dk, dv, dbias, dseed
+
+
+fused_attention_seeded.defvjp(_fas_fwd, _fas_bwd)
+
+
+def reference_attention(q, k, v, bias, num_heads, head_size, rate=0.0,
+                        keep_mask=None):
+    """XLA reference (same math as models/layers.MultiHeadAttention) for
+    the equivalence tests."""
+    b, sq, d = q.shape
+    sk = k.shape[1]
+    qh = q.reshape(b, sq, num_heads, head_size)
+    kh = k.reshape(b, sk, num_heads, head_size)
+    vh = v.reshape(b, sk, num_heads, head_size)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)
+    s = s / (head_size ** 0.5) + bias[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    if keep_mask is not None:
+        p = jnp.where(keep_mask, p / (1.0 - rate), 0.0)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), vh)
+    return ctx.reshape(b, sq, d)
