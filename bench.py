@@ -81,6 +81,12 @@ def _window_flops(compiled) -> float:
 
 
 def measure(backbone_dtype: str, window: int = 32, windows: int = 4) -> dict:
+    # Fused short-seq attention kernel: measured 3260 vs 2997 ex/s (+8.8%)
+    # on v5e (benchmarks/bench_fused_attention.py) — the profile's ~19%
+    # attention-transpose-copy time collapses into VMEM-resident dots.
+    from crvqa_tpu.models import layers as _layers
+
+    _layers.FUSED_ATTENTION = True
     from crvqa_tpu.data import synthetic_batch
     from crvqa_tpu.masking import Masker, ModalSparsity, lxmert_mask_specs
     from crvqa_tpu.models import LxmertConfig, LxmertForVQA

@@ -64,6 +64,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="dropout PRNG. unsafe_rbg uses the TPU "
                         "RngBitGenerator: +13%% stage-2 throughput measured "
                         "(fine for dropout; threefry = reproducible default)")
+    p.add_argument("--fused_attention", type=str2bool, default=False,
+                   help="fused short-seq attention kernel "
+                        "(ops/fused_attention.py): measured +8.8%% stage-2 "
+                        "throughput on v5e (3260 vs 2997 ex/s). Runs "
+                        "interpreted off-TPU (tests)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="run on N synthetic examples instead of real data")
     p.add_argument("--resume_from", type=str, default=None)
@@ -84,6 +89,14 @@ def apply_prng_impl(args: argparse.Namespace) -> None:
     impl = getattr(args, "prng_impl", None)
     if impl and impl != "threefry2x32":
         jax.config.update("jax_default_prng_impl", impl)
+    if getattr(args, "fused_attention", False):
+        from ..models import layers
+
+        layers.FUSED_ATTENTION = True
+        # Mosaic kernels need a TPU; anywhere else run interpreted so the
+        # flag stays testable on the virtual CPU mesh
+        layers.FUSED_ATTENTION_INTERPRET = (
+            jax.devices()[0].platform != "tpu")
 
 
 def setup_logging(output_dir: str) -> None:

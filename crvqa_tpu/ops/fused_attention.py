@@ -7,10 +7,12 @@ for the `bhqk,bkhd->bqhd` contraction, ~146 copies x ~100us per train step
 at bs 256. All three einsum spellings measured identically
 (benchmarks/bench_attention_layout.py: 2994/3002/3008 ex/s — noise), so the
 copies are inherent to XLA's batched-dot lowering at these shapes. This
-kernel consumes q/k/v in their natural projection layout [B, S, H*D],
-slices heads out of the LANE dimension in VMEM (no HBM-visible transpose
-anywhere), and fuses scale + additive mask bias + fp32 softmax + dropout +
-the probs@v contraction into one pass.
+kernel consumes q/k/v in their natural projection layout [B, S, H*D] and
+keeps everything in VMEM with a "lane-blocked" formulation (see
+_fwd_kernel's docstring): k/v tiled along sublanes with an iota head mask
+form block-diagonal operands, so per batch row the whole multi-head
+attention is three MXU-shaped 2D dots with NO relayout — fusing scale +
+mask bias + fp32 segmented softmax + dropout + the context contraction.
 
 Scope: LXMERT-sized attention — Sq/Sk <= ~128 (14 text tokens / 36 boxes,
 `dataset_LXM.py:189,259`), head_size 64, bf16 activations. FLOPs here are
@@ -18,8 +20,7 @@ Scope: LXMERT-sized attention — Sq/Sk <= ~128 (14 text tokens / 36 boxes,
 
 Backward is flash-style recompute (no [B,H,Sq,Sk] residuals): the bwd
 kernel re-derives scores/probs from q/k/v and regenerates the SAME dropout
-mask by reseeding the per-core PRNG identically (same seed, same (b,h)
-generation order), then computes dq/dk/dv with five small dots per (b,h).
+mask from its counter-based hash (a pure function of coordinates).
 
 Numerics: scores and softmax in fp32 (matching `MultiHeadAttention`'s fp32
 softmax policy); dots accumulate fp32 via preferred_element_type.
@@ -27,7 +28,6 @@ softmax policy); dots accumulate fp32 via preferred_element_type.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -57,98 +57,175 @@ def _keep_mask(shape, rate: float, seed, b, h: int):
     return x >= threshold
 
 
+def _head_lane_mask(rows: int, sk: int, d_model: int, head_size: int,
+                    dtype):
+    """[rows, d_model] mask with 1 where row-block h == lane-block h.
+
+    Row r of the sublane-tiled k/v copy belongs to head r // sk; lane l
+    belongs to head l // head_size. The mask turns the vertical tiling of
+    k/v into the block-diagonal operand the lane-blocked dots need."""
+    rowh = jax.lax.broadcasted_iota(jnp.int32, (rows, d_model), 0) // sk
+    colh = jax.lax.broadcasted_iota(jnp.int32, (rows, d_model), 1) // head_size
+    return (rowh == colh).astype(dtype)
+
+
+def _seg_mask(cols: int, sk: int, dtype):
+    """[cols, cols] same-head-block indicator for segmented softmax sums."""
+    a = jax.lax.broadcasted_iota(jnp.int32, (cols, cols), 0) // sk
+    b = jax.lax.broadcasted_iota(jnp.int32, (cols, cols), 1) // sk
+    return (a == b).astype(dtype)
+
+
+def _tile_rows(t, num_heads: int):
+    """[S, d] -> [H*S, d] by vertical (sublane) concatenation."""
+    return jnp.concatenate([t] * num_heads, axis=0)
+
+
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
                 num_heads: int, head_size: int, rate: float, bb: int):
+    """Lane-blocked forward: per batch row, THREE MXU-shaped dots and no
+    relayout anywhere.
+
+    Let km = tile(k, H) * headmask  ([H*Sk, d_model], block-diagonal: row
+    block h keeps only head h's lanes). Then
+
+        s[q, h*Sk+k'] = sum_l q[q, l] * km[h*Sk+k', l]     (contract d_model)
+
+    computes every per-head score with ONE [Sq, d] x [H*Sk, d]^T dot —
+    every output entry is a valid (head, key) score, no cross-head garbage.
+    Per-block softmax normalizers come from a segmented-sum dot with the
+    same-block indicator, and the context dot lands directly in the output
+    layout: ctx = p @ vm  ([Sq, H*Sk] x [H*Sk, d_model]).
+
+    History: revision 1 looped (b, h) over [S, head_size] dots — measured
+    2427 ex/s vs 3002 XLA (latency-bound, 384 sequential tiny dots per
+    program). Revision 2 stacked heads via reshape/transpose — rejected by
+    Mosaic ("unsupported shape cast": lane->sublane reshape). This revision
+    uses only sublane concats, iota masks, and 2D dots.
+    """
     prog = pl.program_id(0)
     seed = seed_ref[0] + prog * 7919
     scale = 1.0 / (head_size ** 0.5)
+    sk = k_ref.shape[1]
+    d_model = num_heads * head_size
+    rows = num_heads * sk
+    headmask = _head_lane_mask(rows, sk, d_model, head_size, k_ref.dtype)
+    seg = _seg_mask(rows, sk, jnp.float32)
 
     def body(b, _):
-        qb = q_ref[b]  # [Sq, H*D] bf16
-        kb = k_ref[b]
-        vb = v_ref[b]
-        bias_b = bias_ref[pl.ds(b, 1), :]  # [1, Sk] fp32 additive
-        for h in range(num_heads):
-            sl = slice(h * head_size, (h + 1) * head_size)
-            qh = qb[:, sl]
-            kh = kb[:, sl]
-            vh = vb[:, sl]
-            s = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [Sq, Sk]
-            s = s * scale + bias_b
-            p = jax.nn.softmax(s, axis=-1)
-            if rate > 0.0:
-                keep = _keep_mask(p.shape, rate, seed, b, h)
-                p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
-            ctx = jax.lax.dot_general(
-                p.astype(qh.dtype), vh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [Sq, D]
-            o_ref[b, :, sl] = ctx.astype(o_ref.dtype)
+        qb = q_ref[b]                       # [Sq, d_model]
+        km = _tile_rows(k_ref[b], num_heads) * headmask   # [H*Sk, d_model]
+        vm = _tile_rows(v_ref[b], num_heads) * headmask
+        bias_b = bias_ref[pl.ds(b, 1), :]   # [1, H*Sk]
+        s = jax.lax.dot_general(
+            qb, km, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [Sq, H*Sk]
+        s = s * scale + bias_b
+        # per-(row, head-block) softmax: a per-row constant shift is valid
+        # for every block, so the global row max stabilizes all blocks
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        denom = jax.lax.dot_general(
+            e, seg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # blocksum, bcast
+        p = e / denom
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate, seed, b, 0)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        ctx = jax.lax.dot_general(
+            p.astype(qb.dtype), vm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [Sq, d_model]
+        o_ref[b] = ctx.astype(o_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, bb, body, 0)
 
 
+def _sum_head_blocks(dm, num_heads: int, sk: int, headmask):
+    """[H*Sk, d_model] block-diag gradient -> [Sk, d_model]: sum the H
+    sublane blocks (each already zero outside its head's lanes)."""
+    dmm = dm * headmask
+    out = dmm[0:sk, :]
+    for h in range(1, num_heads):
+        out = out + dmm[h * sk:(h + 1) * sk, :]
+    return out
+
+
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, *,
                 num_heads: int, head_size: int, rate: float, bb: int):
+    """Lane-blocked backward (flash-style recompute): five MXU dots per
+    batch row; dk/dv fold the tiled-copy gradients back with masked
+    sublane-block sums. Off-block entries never exist in this formulation,
+    so no gradient masking beyond the head-lane mask is needed."""
     prog = pl.program_id(0)
     seed = seed_ref[0] + prog * 7919  # identical key derivation as forward
     scale = 1.0 / (head_size ** 0.5)
     inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    sk = k_ref.shape[1]
+    d_model = num_heads * head_size
+    rows = num_heads * sk
+    headmask = _head_lane_mask(rows, sk, d_model, head_size, k_ref.dtype)
+    headmask_f = headmask.astype(jnp.float32)
+    seg = _seg_mask(rows, sk, jnp.float32)
 
     def body(b, _):
         qb = q_ref[b]
-        kb = k_ref[b]
-        vb = v_ref[b]
+        km = _tile_rows(k_ref[b], num_heads) * headmask
+        vm = _tile_rows(v_ref[b], num_heads) * headmask
         gb = g_ref[b]
-        bias_b = bias_ref[pl.ds(b, 1), :]  # [1, Sk]
-        for h in range(num_heads):
-            sl = slice(h * head_size, (h + 1) * head_size)
-            qh = qb[:, sl]
-            kh = kb[:, sl]
-            vh = vb[:, sl]
-            gh = gb[:, sl].astype(jnp.float32)
-            s = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            s = s * scale + bias_b
-            p = jax.nn.softmax(s, axis=-1)  # pre-dropout probs, fp32
-            if rate > 0.0:
-                keep = _keep_mask(p.shape, rate, seed, b, h)
-                drop = jnp.where(keep, inv_keep, 0.0)  # fwd: p_tilde = p*drop
-            else:
-                drop = 1.0
-            p_t = p * drop
-            # dv = p_tilde^T @ g
-            dv = jax.lax.dot_general(
-                p_t.astype(gh.dtype), gh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [Sk, D]
-            # dp_tilde = g @ v^T ; dp = dp_tilde * drop
-            dp = jax.lax.dot_general(
-                gh, vh.astype(jnp.float32), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * drop  # [Sq, Sk]
-            # softmax vjp: ds = (dp - sum(dp * p)) * p
-            ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
-            ds = (ds * scale).astype(qh.dtype)
-            dq = jax.lax.dot_general(
-                ds, kh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [Sq, D]
-            dk = jax.lax.dot_general(
-                ds, qh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [Sk, D]
-            dq_ref[b, :, sl] = dq.astype(dq_ref.dtype)
-            dk_ref[b, :, sl] = dk.astype(dk_ref.dtype)
-            dv_ref[b, :, sl] = dv.astype(dv_ref.dtype)
+        bias_b = bias_ref[pl.ds(b, 1), :]
+        s = jax.lax.dot_general(
+            qb, km, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s * scale + bias_b
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        denom = jax.lax.dot_general(
+            e, seg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = e / denom                        # pre-dropout probs [Sq, H*Sk]
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate, seed, b, 0)
+            drop = jnp.where(keep, inv_keep, 0.0)
+        else:
+            drop = 1.0
+        p_t = p * drop
+        # dvm = p_tilde^T @ g  -> fold tiled blocks back to [Sk, d_model]
+        dvm = jax.lax.dot_general(
+            p_t.astype(gb.dtype), gb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [H*Sk, d_model]
+        dv_ref[b] = _sum_head_blocks(
+            dvm, num_heads, sk, headmask_f).astype(dv_ref.dtype)
+        # dp = (g @ vm^T) * drop
+        dp = jax.lax.dot_general(
+            gb, vm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * drop   # [Sq, H*Sk]
+        # segmented softmax vjp: ds = (dp - blocksum(dp * p)) * p
+        blocksum = jax.lax.dot_general(
+            dp * p, seg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = ((dp - blocksum) * p * scale).astype(qb.dtype)
+        dq = jax.lax.dot_general(
+            ds, km, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [Sq, d_model]
+        dq_ref[b] = dq.astype(dq_ref.dtype)
+        # dkm = ds^T @ q -> fold blocks
+        dkm = jax.lax.dot_general(
+            ds, qb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [H*Sk, d_model]
+        dk_ref[b] = _sum_head_blocks(
+            dkm, num_heads, sk, headmask_f).astype(dk_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, bb, body, 0)
 
 
 def _pick_bb(batch: int, sk: int) -> int:
-    """Batch-tile size: keep the 8 resident tiles comfortably in VMEM."""
-    for bb in (32, 16, 8, 4, 2, 1):
+    """Batch-tile size: the bwd kernel keeps 8 double-buffered [bb, S, H*D]
+    tiles + three [H*S, H*S] fp32 intermediates resident; bb=16 stays well
+    inside the 16 MB VMEM at the LXMERT shapes."""
+    for bb in (16, 8, 4, 2, 1):
         if batch % bb == 0:
             return bb
     return 1
@@ -175,13 +252,16 @@ def _call(kernel, outs, q, k, v, bias, g, seed, num_heads, head_size, rate,
     sk = k.shape[1]
     bb = _pick_bb(batch, sk)
     grid = (batch // bb,)
+    # bias arrives [B, Sk]; the stacked-head kernels consume it pre-tiled
+    # to [B, H*Sk] (lane tiling is cheap in XLA, awkward in-kernel)
+    bias_t = jnp.tile(bias, (1, num_heads))
     # index maps receive (grid idx, scalar-prefetch ref)
     row = lambda s: pl.BlockSpec((bb, s, d), lambda i, seed: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
     in_specs = [row(sq), row(sk), row(sk),
-                pl.BlockSpec((bb, sk), lambda i, seed: (i, 0),
+                pl.BlockSpec((bb, num_heads * sk), lambda i, seed: (i, 0),
                              memory_space=pltpu.VMEM)]
-    args = [q, k, v, bias]
+    args = [q, k, v, bias_t]
     if g is not None:
         in_specs.append(row(sq))
         args.append(g)

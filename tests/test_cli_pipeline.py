@@ -200,3 +200,26 @@ def test_stage3_structured_compaction_cli(tmp_path):
         "--dtype", "float32", "--do_train", "--do_eval",
         "--evaluate_during_training", "--seed", "0"])
     assert (out / "test.json").exists()
+
+
+def test_fused_attention_flag(tmp_path):
+    """--fused_attention runs the stage-2 CLI through the Pallas kernel
+    (interpreted on the CPU mesh); flag restored afterwards."""
+    from crvqa_tpu.cli import prune_debias_vqa
+    from crvqa_tpu.models import layers
+
+    try:
+        out = tmp_path / "s2fused"
+        prune_debias_vqa.main([
+            "--output_dir", str(out), "--tiny", "--synthetic", "16",
+            "--train_batch_size", "8", "--eval_batch_size", "8",
+            "--num_train_epochs", "1", "--warmup_steps", "0",
+            "--dtype", "float32", "--do_train", "--seed", "0",
+            "--Masker_type", "normal", "--zero_rate", "0.7",
+            "--controlled_init", "magnitude", "--fused_attention", "true",
+        ])
+        assert layers.FUSED_ATTENTION and layers.FUSED_ATTENTION_INTERPRET
+        assert (out / "mask.pt").exists()
+    finally:
+        layers.FUSED_ATTENTION = False
+        layers.FUSED_ATTENTION_INTERPRET = False
