@@ -30,6 +30,9 @@ LOGDIR = "/tmp/crvqa_profile"
 
 
 def build(window: int = 32):
+    from crvqa_tpu.models import layers as _layers
+
+    _layers.FUSED_ATTENTION = os.environ.get("PROFILE_FUSED", "1") == "1"
     from crvqa_tpu.data import synthetic_batch
     from crvqa_tpu.masking import Masker, ModalSparsity, lxmert_mask_specs
     from crvqa_tpu.models import LxmertConfig, LxmertForVQA

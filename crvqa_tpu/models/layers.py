@@ -108,7 +108,13 @@ class MultiHeadAttention(nn.Module):
         def split_heads(t):
             return t.reshape(t.shape[0], t.shape[1], self.num_heads, self.head_size)
 
-        if kv is None and FUSED_ATTENTION:
+        # the lane-blocked kernel builds [H*Sk, H*Sk] / [H*Sk, H*D] masks in
+        # VMEM — only profitable (and only safe) for short contexts. LXMERT
+        # (H*Sk <= 432) and mPLUG text towers (<= 960) qualify; mPLUG's
+        # image cross-attention (Sk = 577 patches) falls back to XLA.
+        fits = (context.shape[1] * self.num_heads <= 1024
+                and hidden.shape[1] * self.num_heads <= 1024)
+        if kv is None and FUSED_ATTENTION and fits:
             from ..ops.fused_attention import fused_attention_seeded
 
             k = dense("key")(context)
