@@ -176,3 +176,37 @@ def test_stage2_step_with_fused_attention_learns():
     finally:
         layers.FUSED_ATTENTION = False
         layers.FUSED_ATTENTION_INTERPRET = False
+
+
+def test_long_context_falls_back_to_xla(monkeypatch):
+    """Dispatch guard: contexts with H*S > 1024 (e.g. mPLUG's 577-patch image
+    cross-attention, 12*577) must NOT enter the lane-blocked kernel — its
+    [H*Sk, H*Sk] indicator masks would blow VMEM. Short contexts still do."""
+    from crvqa_tpu.models import layers
+    from crvqa_tpu.ops import fused_attention as fa_mod
+
+    calls = []
+    real = fa_mod.fused_attention_seeded
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(layers, "FUSED_ATTENTION", True)
+    monkeypatch.setattr(layers, "FUSED_ATTENTION_INTERPRET", True)
+    monkeypatch.setattr(fa_mod, "fused_attention_seeded", spy)
+
+    mod = layers.MultiHeadAttention(num_heads=H, head_size=D)
+    rng = np.random.default_rng(0)
+    short = jnp.asarray(rng.normal(size=(2, 36, H * D)).astype(np.float32))
+    long = jnp.asarray(rng.normal(size=(2, 300, H * D)).astype(np.float32))
+
+    p = mod.init(jax.random.PRNGKey(0), short, short)
+    before = len(calls)
+    mod.apply(p, short, short)          # 4*36 = 144 <= 1024: kernel engages
+    assert len(calls) == before + 1
+    p2 = mod.init(jax.random.PRNGKey(0), long, long)
+    before = len(calls)
+    out = mod.apply(p2, long, long)     # 4*300 = 1200 > 1024: XLA fallback
+    assert len(calls) == before
+    assert out.shape == (2, 300, H * D)
