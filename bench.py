@@ -84,6 +84,8 @@ def measure(backbone_dtype: str, window: int = 32, windows: int = 4) -> dict:
     # Fused short-seq attention kernel: measured 3260 vs 2997 ex/s (+8.8%)
     # on v5e (benchmarks/bench_fused_attention.py) — the profile's ~19%
     # attention-transpose-copy time collapses into VMEM-resident dots.
+    # Backward uses the stored-probs residual (ops/fused_attention.BWD_IMPL
+    # default "stored"): 3422.7 vs 3253.8 ex/s recompute (+5.2%, --bwd sweep).
     from crvqa_tpu.models import layers as _layers
 
     _layers.FUSED_ATTENTION = True

@@ -22,10 +22,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
 
-def run(fused: bool, window: int = 32, windows: int = 4) -> float:
+def run(fused: bool, window: int = 32, windows: int = 4,
+        bwd_impl: str = "stored") -> float:
     from crvqa_tpu.models import layers
+    from crvqa_tpu.ops import fused_attention as fa
 
     layers.FUSED_ATTENTION = fused
+    fa.BWD_IMPL = bwd_impl
     from bench_window import build
 
     compiled, state, stacked, bs = build(window)
@@ -41,10 +44,16 @@ def run(fused: bool, window: int = 32, windows: int = 4) -> float:
 
 def main() -> None:
     results = {}
-    for fused in (False, True):
-        key = "fused" if fused else "xla"
-        results[key] = round(run(fused), 1)
-        print(f"# {key}: {results[key]} ex/s", file=sys.stderr)
+    if "--bwd" in sys.argv:
+        # backward-implementation sweep (all through the fused kernel)
+        for impl in ("recompute", "stored", "stored_folddot"):
+            results[impl] = round(run(True, bwd_impl=impl), 1)
+            print(f"# {impl}: {results[impl]} ex/s", file=sys.stderr)
+    else:
+        for fused in (False, True):
+            key = "fused" if fused else "xla"
+            results[key] = round(run(fused), 1)
+            print(f"# {key}: {results[key]} ex/s", file=sys.stderr)
     print(json.dumps(results))
 
 

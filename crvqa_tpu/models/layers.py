@@ -43,6 +43,12 @@ ATTN_LAYOUT = "bqhd"
 FUSED_ATTENTION = False
 FUSED_ATTENTION_INTERPRET = False
 
+# Bidirectional cross-attention batching (LxmertXLayer): project q/k/v and
+# the output dense ONCE over the [lang; visn] concatenation instead of two
+# calls of the shared `visual_attention` module — same math and params,
+# half the dispatches at double the rows. Read at trace time.
+JOINT_CROSS_ATTENTION = False
+
 
 class WeightNormDense(nn.Module):
     """Dense with torch-style weight normalization, dim=None (scalar g).
@@ -95,11 +101,19 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, context, attention_bias=None, deterministic=True,
-                 kv=None):
+                 kv=None, joint_split=None, joint_biases=None):
         """`kv`: optional precomputed (k, v) head-split projections of the
         context ([B, S, heads, head_size] each). Generation caches the
         cross-attention K/V of the static encoder memory once instead of
-        recomputing them every decode step (see models/mplug/generator.py)."""
+        recomputing them every decode step (see models/mplug/generator.py).
+
+        `joint_split`/`joint_biases`: bidirectional cross-attention over
+        SHARED weights (LxmertXLayer's one `visual_attention` called for
+        both directions, modeling_lxmert.py:947-958). `hidden` is the
+        [lang; visn] concatenation; q/k/v are projected ONCE over the
+        concat (half the projection dispatches, double their rows), then
+        rows [:split] attend keys [split:] and vice versa. `joint_biases`
+        = (lang_bias, visn_bias) additive masks; `context` is ignored."""
         d = self.num_heads * self.head_size
         dense = lambda name: nn.Dense(
             d, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
@@ -108,17 +122,38 @@ class MultiHeadAttention(nn.Module):
         def split_heads(t):
             return t.reshape(t.shape[0], t.shape[1], self.num_heads, self.head_size)
 
-        # the lane-blocked kernel builds [H*Sk, H*Sk] / [H*Sk, H*D] masks in
-        # VMEM — only profitable (and only safe) for short contexts. LXMERT
-        # (H*Sk <= 432) and mPLUG text towers (<= 960) qualify; mPLUG's
-        # image cross-attention (Sk = 577 patches) falls back to XLA.
-        fits = (context.shape[1] * self.num_heads <= 1024
-                and hidden.shape[1] * self.num_heads <= 1024)
-        if kv is None and FUSED_ATTENTION and fits:
+        if joint_split is not None:
+            s = joint_split
+            k = dense("key")(hidden)
+            v = dense("value")(hidden)
+            lang_bias, visn_bias = joint_biases
+            ctx_l = self._attend(q[:, :s], k[:, s:], v[:, s:], visn_bias,
+                                 deterministic)
+            ctx_v = self._attend(q[:, s:], k[:, :s], v[:, :s], lang_bias,
+                                 deterministic)
+            return jnp.concatenate([ctx_l, ctx_v], axis=1)
+
+        if kv is None:
+            return self._attend(q, dense("key")(context),
+                                dense("value")(context), attention_bias,
+                                deterministic)
+        # init/training always take the kv=None path, so the key/value
+        # params exist; the cache path simply doesn't touch them
+        k, v = kv
+        return self._attend_heads(split_heads(q), k, v, attention_bias,
+                                  deterministic)
+
+    def _attend(self, q, k, v, attention_bias, deterministic):
+        """Dispatch on flat [B, S, H*D] projections: the lane-blocked fused
+        kernel builds [H*Sk, H*Sk] / [H*Sk, H*D] masks in VMEM — only
+        profitable (and only safe) for short contexts. LXMERT (H*Sk <= 432)
+        and mPLUG text towers (<= 960) qualify; mPLUG's image
+        cross-attention (Sk = 577 patches) falls back to XLA."""
+        fits = (k.shape[1] * self.num_heads <= 1024
+                and q.shape[1] * self.num_heads <= 1024)
+        if FUSED_ATTENTION and fits:
             from ..ops.fused_attention import fused_attention_seeded
 
-            k = dense("key")(context)
-            v = dense("value")(context)
             if attention_bias is None:
                 bias2d = jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
             else:  # [B, 1, 1, Sk] additive -> [B, Sk]
@@ -133,14 +168,16 @@ class MultiHeadAttention(nn.Module):
                 q, k, v, bias2d, seed, self.num_heads, self.head_size,
                 rate, FUSED_ATTENTION_INTERPRET)
 
-        if kv is None:
-            k = split_heads(dense("key")(context))
-            v = split_heads(dense("value")(context))
-        else:
-            # init/training always take the kv=None path, so the key/value
-            # params exist; the cache path simply doesn't touch them
-            k, v = kv
-        q = split_heads(q)
+        def split_heads(t):
+            return t.reshape(t.shape[0], t.shape[1], self.num_heads, self.head_size)
+
+        return self._attend_heads(split_heads(q), split_heads(k),
+                                  split_heads(v), attention_bias,
+                                  deterministic)
+
+    def _attend_heads(self, q, k, v, attention_bias, deterministic):
+        """XLA einsum attention on head-split [B, S, H, D] projections."""
+        d = self.num_heads * self.head_size
         layout = ATTN_LAYOUT
         if layout == "bhqd":
             q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
@@ -222,11 +259,17 @@ class CrossAttentionLayer(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, ctx_attention_bias=None, deterministic=True):
+    def __call__(self, x, context, ctx_attention_bias=None, deterministic=True,
+                 joint_split=None, joint_biases=None):
+        """joint mode (see MultiHeadAttention): `x` is the [lang; visn]
+        concat, `context` ignored; the output dense + LayerNorm run once
+        over the concat (per-row ops — identical to two calls of the same
+        shared module)."""
         att = MultiHeadAttention(
             self.num_heads, self.head_size, self.attn_dropout,
             self.dtype, self.param_dtype, name="att",
-        )(x, context, ctx_attention_bias, deterministic)
+        )(x, context, ctx_attention_bias, deterministic,
+          joint_split=joint_split, joint_biases=joint_biases)
         return AttentionOutput(
             self.hidden_size, self.hidden_dropout, self.dtype, self.param_dtype,
             name="output",

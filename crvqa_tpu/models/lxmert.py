@@ -137,9 +137,20 @@ class LxmertXLayer(nn.Module):
                   hidden_size=c.hidden_size,
                   attn_dropout=c.attention_probs_dropout_prob,
                   hidden_dropout=c.hidden_dropout_prob, dtype=c.dtype)
+        from . import layers as _layers
+
         cross = CrossAttentionLayer(**kw, name="visual_attention")
-        lang_att = cross(lang, visn, visn_bias, deterministic)
-        visn_att = cross(visn, lang, lang_bias, deterministic)
+        if _layers.JOINT_CROSS_ATTENTION:
+            # one projection set over the [lang; visn] concat; same shared
+            # params, half the dispatches (layers.JOINT_CROSS_ATTENTION)
+            s = lang.shape[1]
+            joint = cross(jnp.concatenate([lang, visn], axis=1), None,
+                          deterministic=deterministic, joint_split=s,
+                          joint_biases=(lang_bias, visn_bias))
+            lang_att, visn_att = joint[:, :s], joint[:, s:]
+        else:
+            lang_att = cross(lang, visn, visn_bias, deterministic)
+            visn_att = cross(visn, lang, lang_bias, deterministic)
 
         lang_att = SelfAttentionLayer(**kw, name="lang_self_att")(
             lang_att, lang_bias, deterministic)

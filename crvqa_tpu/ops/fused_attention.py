@@ -18,9 +18,21 @@ Scope: LXMERT-sized attention — Sq/Sk <= ~128 (14 text tokens / 36 boxes,
 `dataset_LXM.py:189,259`), head_size 64, bf16 activations. FLOPs here are
 ~1% of the model; the win is memory locality, not arithmetic.
 
-Backward is flash-style recompute (no [B,H,Sq,Sk] residuals): the bwd
-kernel re-derives scores/probs from q/k/v and regenerates the SAME dropout
-mask from its counter-based hash (a pure function of coordinates).
+Backward (BWD_IMPL, default "stored"): the fwd-for-grad kernel writes the
+pre-dropout probability matrix p [B, Sq, H*Sk] f32 as a residual, and the
+bwd kernel consumes it — removing the two recompute dots (scores + segmented
+denominator) and the exp/max VPU work from the backward. At LXMERT batch
+sizes the residual costs ~0.5 GB/step of HBM traffic (~0.6 ms) against
+~2/7 of the backward's MXU work; measured end-to-end on v5e
+(benchmarks/bench_fused_attention.py --bwd): recompute 3253.8, stored
+3422.7 (+5.2%), stored_folddot 3323.5 ex/s. The flash-style recompute
+variant ("recompute") stays selectable for the measurement table; both
+regenerate the SAME dropout mask from the counter-based hash (a pure
+function of coordinates). "stored_folddot" folds the tiled dk/dv block
+gradients with one MXU selector dot instead of H sequential sublane adds —
+measured slower (the [Sk, H*Sk] selector dot costs more than the adds
+save), kept for the record. Primal-only calls (eval) always use the
+no-residual forward.
 
 Numerics: scores and softmax in fp32 (matching `MultiHeadAttention`'s fp32
 softmax policy); dots accumulate fp32 via preferred_element_type.
@@ -33,6 +45,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Backward implementation: "stored" (default; fwd saves probs residual),
+# "recompute" (flash-style, no residual), "stored_folddot" (stored + MXU
+# selector-dot block fold). Read at trace time.
+BWD_IMPL = "stored"
 
 
 def _keep_mask(shape, rate: float, seed, b, h: int):
@@ -141,6 +158,119 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     jax.lax.fori_loop(0, bb, body, 0)
 
 
+def _fwd_kernel_savep(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, p_out,
+                      *, num_heads: int, head_size: int, rate: float, bb: int):
+    """Forward-for-grad: identical math to `_fwd_kernel`, additionally
+    writing the pre-dropout probabilities p [Sq, H*Sk] f32 as a residual so
+    the stored-p backward skips the score/denominator recompute."""
+    prog = pl.program_id(0)
+    seed = seed_ref[0] + prog * 7919
+    scale = 1.0 / (head_size ** 0.5)
+    sk = k_ref.shape[1]
+    d_model = num_heads * head_size
+    rows = num_heads * sk
+    headmask = _head_lane_mask(rows, sk, d_model, head_size, k_ref.dtype)
+    seg = _seg_mask(rows, sk, jnp.float32)
+
+    def body(b, _):
+        qb = q_ref[b]
+        km = _tile_rows(k_ref[b], num_heads) * headmask
+        vm = _tile_rows(v_ref[b], num_heads) * headmask
+        bias_b = bias_ref[pl.ds(b, 1), :]
+        s = jax.lax.dot_general(
+            qb, km, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s * scale + bias_b
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        denom = jax.lax.dot_general(
+            e, seg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = e / denom
+        p_out[b] = p
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate, seed, b, 0)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        ctx = jax.lax.dot_general(
+            p.astype(qb.dtype), vm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[b] = ctx.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bb, body, 0)
+
+
+def _fold_selector(sk: int, rows: int):
+    """[Sk, H*Sk] indicator S[k', h*Sk+k'] = 1: folds the H sublane blocks
+    of a (head-masked) tiled gradient with one MXU dot instead of H
+    sequential adds."""
+    ki = jax.lax.broadcasted_iota(jnp.int32, (sk, rows), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (sk, rows), 1)
+    return (r % sk == ki).astype(jnp.float32)
+
+
+def _bwd_kernel_stored(seed_ref, q_ref, k_ref, v_ref, p_ref, g_ref,
+                       dq_ref, dk_ref, dv_ref, *,
+                       num_heads: int, head_size: int, rate: float, bb: int,
+                       fold_dot: bool):
+    """Stored-p backward: five MXU dots per batch row (no score/denominator
+    recompute — p arrives as the forward's residual; the dropout mask is
+    regenerated from the counter hash, identical to the forward's)."""
+    prog = pl.program_id(0)
+    seed = seed_ref[0] + prog * 7919
+    scale = 1.0 / (head_size ** 0.5)
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    sk = k_ref.shape[1]
+    d_model = num_heads * head_size
+    rows = num_heads * sk
+    headmask = _head_lane_mask(rows, sk, d_model, head_size, k_ref.dtype)
+    headmask_f = headmask.astype(jnp.float32)
+    seg = _seg_mask(rows, sk, jnp.float32)
+    sel = _fold_selector(sk, rows) if fold_dot else None
+
+    def fold(dm):
+        if fold_dot:
+            return jax.lax.dot_general(
+                sel, dm * headmask_f, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return _sum_head_blocks(dm, num_heads, sk, headmask_f)
+
+    def body(b, _):
+        qb = q_ref[b]
+        km = _tile_rows(k_ref[b], num_heads) * headmask
+        vm = _tile_rows(v_ref[b], num_heads) * headmask
+        gb = g_ref[b]
+        p = p_ref[b]                         # pre-dropout probs [Sq, H*Sk]
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate, seed, b, 0)
+            drop = jnp.where(keep, inv_keep, 0.0)
+        else:
+            drop = 1.0
+        p_t = p * drop
+        dvm = jax.lax.dot_general(
+            p_t.astype(gb.dtype), gb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [H*Sk, d_model]
+        dv_ref[b] = fold(dvm).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            gb, vm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * drop   # [Sq, H*Sk]
+        blocksum = jax.lax.dot_general(
+            dp * p, seg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = ((dp - blocksum) * p * scale).astype(qb.dtype)
+        dq = jax.lax.dot_general(
+            ds, km, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_ref[b] = dq.astype(dq_ref.dtype)
+        dkm = jax.lax.dot_general(
+            ds, qb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_ref[b] = fold(dkm).astype(dk_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bb, body, 0)
+
+
 def _sum_head_blocks(dm, num_heads: int, sk: int, headmask):
     """[H*Sk, d_model] block-diag gradient -> [Sk, d_model]: sum the H
     sublane blocks (each already zero outside its head's lanes)."""
@@ -242,56 +372,89 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     dropout seed rides in via `fused_attention_seeded`; this entry uses
     seed 0 (rate 0 in eval paths makes it moot).
     """
-    return _fa_fwd(q, k, v, bias, num_heads, head_size, rate, interpret,
-                   jnp.zeros((1,), jnp.int32))[0]
+    return _fa_primal(q, k, v, bias, num_heads, head_size, rate, interpret,
+                      jnp.zeros((1,), jnp.int32))
 
 
-def _call(kernel, outs, q, k, v, bias, g, seed, num_heads, head_size, rate,
-          interpret):
-    batch, sq, d = q.shape
-    sk = k.shape[1]
-    bb = _pick_bb(batch, sk)
+def _call(kernel, ins, outs, args, seed, num_heads, head_size, rate,
+          interpret, **kernel_kw):
+    """ins/outs: (seq, width, dtype) per tensor; args align with ins.
+    The int32[1] dropout seed rides as the scalar-prefetch operand."""
+    batch = args[0].shape[0]
+    bb = _pick_bb(batch, 0)
     grid = (batch // bb,)
-    # bias arrives [B, Sk]; the stacked-head kernels consume it pre-tiled
-    # to [B, H*Sk] (lane tiling is cheap in XLA, awkward in-kernel)
-    bias_t = jnp.tile(bias, (1, num_heads))
     # index maps receive (grid idx, scalar-prefetch ref)
-    row = lambda s: pl.BlockSpec((bb, s, d), lambda i, seed: (i, 0, 0),
-                                 memory_space=pltpu.VMEM)
-    in_specs = [row(sq), row(sk), row(sk),
-                pl.BlockSpec((bb, num_heads * sk), lambda i, seed: (i, 0),
-                             memory_space=pltpu.VMEM)]
-    args = [q, k, v, bias_t]
-    if g is not None:
-        in_specs.append(row(sq))
-        args.append(g)
+    spec = lambda s, w: pl.BlockSpec((bb, s, w) if s else (bb, w),
+                                     (lambda i, seed: (i, 0, 0)) if s
+                                     else (lambda i, seed: (i, 0)),
+                                     memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
-        out_specs=tuple(row(s) for s in outs),
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[spec(s, w) for s, w, _ in ins],
+        out_specs=tuple(spec(s, w) for s, w, _ in outs),
     )
-    out_shape = tuple(jax.ShapeDtypeStruct((batch, s, d), q.dtype)
-                      for s in outs)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((batch, s, w) if s else (batch, w), dt)
+        for s, w, dt in outs)
     fn = pl.pallas_call(
         functools.partial(kernel, num_heads=num_heads, head_size=head_size,
-                          rate=rate, bb=bb),
+                          rate=rate, bb=bb, **kernel_kw),
         grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
     )
     res = fn(seed, *args)
     return res if isinstance(res, (tuple, list)) else (res,)
 
 
-def _fa_fwd(q, k, v, bias, num_heads, head_size, rate, interpret, seed):
-    (o,) = _call(_fwd_kernel, (q.shape[1],), q, k, v, bias, None, seed,
+def _qkvb(q, k, v, bias, num_heads):
+    """Common q/k/v/bias input descriptors; bias arrives [B, Sk] and the
+    stacked-head kernels consume it pre-tiled to [B, H*Sk] (lane tiling is
+    cheap in XLA, awkward in-kernel)."""
+    d = q.shape[2]
+    sq, sk = q.shape[1], k.shape[1]
+    ins = [(sq, d, q.dtype), (sk, d, k.dtype), (sk, d, v.dtype),
+           (0, num_heads * sk, jnp.float32)]
+    args = [q, k, v, jnp.tile(bias, (1, num_heads))]
+    return ins, args, sq, sk, d
+
+
+def _fa_primal(q, k, v, bias, num_heads, head_size, rate, interpret, seed):
+    """No-residual forward — eval / non-differentiated calls."""
+    ins, args, sq, sk, d = _qkvb(q, k, v, bias, num_heads)
+    (o,) = _call(_fwd_kernel, ins, ((sq, d, q.dtype),), args, seed,
                  num_heads, head_size, rate, interpret)
-    return o, (q, k, v, bias, seed)
+    return o
+
+
+def _fa_fwd(q, k, v, bias, num_heads, head_size, rate, interpret, seed):
+    """Forward-for-grad: BWD_IMPL selects whether probs are saved."""
+    ins, args, sq, sk, d = _qkvb(q, k, v, bias, num_heads)
+    if BWD_IMPL == "recompute":
+        (o,) = _call(_fwd_kernel, ins, ((sq, d, q.dtype),), args, seed,
+                     num_heads, head_size, rate, interpret)
+        return o, (q, k, v, bias, seed, None)
+    o, p = _call(_fwd_kernel_savep, ins,
+                 ((sq, d, q.dtype), (sq, num_heads * sk, jnp.float32)),
+                 args, seed, num_heads, head_size, rate, interpret)
+    return o, (q, k, v, bias, seed, p)
 
 
 def _fa_bwd(num_heads, head_size, rate, interpret, res, g):
-    q, k, v, bias, seed = res
-    sq, sk = q.shape[1], k.shape[1]
-    dq, dk, dv = _call(_bwd_kernel, (sq, sk, sk), q, k, v, bias,
-                       g.astype(q.dtype), seed, num_heads, head_size, rate,
-                       interpret)
+    q, k, v, bias, seed, p = res
+    ins, args, sq, sk, d = _qkvb(q, k, v, bias, num_heads)
+    g = g.astype(q.dtype)
+    outs = ((sq, d, q.dtype), (sk, d, k.dtype), (sk, d, v.dtype))
+    if p is None:
+        dq, dk, dv = _call(_bwd_kernel, ins + [(sq, d, q.dtype)], outs,
+                           args + [g], seed, num_heads, head_size, rate,
+                           interpret)
+    else:
+        # stored-p backward never reads the bias
+        ins = ins[:3] + [(sq, num_heads * sk, jnp.float32),
+                         (sq, d, q.dtype)]
+        dq, dk, dv = _call(_bwd_kernel_stored, ins, outs,
+                           args[:3] + [p, g], seed, num_heads, head_size,
+                           rate, interpret,
+                           fold_dot=(BWD_IMPL == "stored_folddot"))
     # bias comes from the padding mask — no grad path needed, but custom_vjp
     # requires a float cotangent of the right shape
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
@@ -308,8 +471,8 @@ fused_attention.defvjp(
 def fused_attention_seeded(q, k, v, bias, seed, num_heads, head_size,
                            rate, interpret=False):
     """fused_attention with an explicit int32[1] dropout seed (train path)."""
-    return _fa_fwd(q, k, v, bias, num_heads, head_size, rate, interpret,
-                   seed)[0]
+    return _fa_primal(q, k, v, bias, num_heads, head_size, rate, interpret,
+                      seed)
 
 
 def _fas_fwd(q, k, v, bias, seed, num_heads, head_size, rate, interpret):

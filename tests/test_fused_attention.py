@@ -210,3 +210,44 @@ def test_long_context_falls_back_to_xla(monkeypatch):
     out = mod.apply(p2, long, long)     # 4*300 = 1200 > 1024: XLA fallback
     assert len(calls) == before
     assert out.shape == (2, 300, H * D)
+
+
+@pytest.mark.parametrize("impl", ["recompute", "stored", "stored_folddot"])
+def test_bwd_impls_match_reference(impl, monkeypatch):
+    """All BWD_IMPL variants (flash-style recompute, stored-probs residual,
+    stored + MXU selector fold) produce reference gradients, with and
+    without dropout (dropout via the linear-in-v directional check)."""
+    from crvqa_tpu.ops import fused_attention as fa_mod
+
+    monkeypatch.setattr(fa_mod, "BWD_IMPL", impl)
+    q, k, v, bias = _inputs(14, 36)
+    tgt = jnp.asarray(np.random.default_rng(5).normal(
+        size=(q.shape[0], 14, H * D)).astype(np.float32))
+
+    def loss_fused(q, k, v):
+        return jnp.sum((fa_mod.fused_attention(q, k, v, bias, H, D, 0.0, True)
+                        - tgt) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((reference_attention(q, k, v, bias, H, D) - tgt) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+    seed = jnp.asarray([3], jnp.int32)
+    f = functools.partial(fa_mod.fused_attention_seeded, num_heads=H,
+                          head_size=D, rate=0.5, interpret=True)
+    rng = np.random.default_rng(6)
+    c = jnp.asarray(rng.normal(size=(q.shape[0], 14, H * D)).astype(np.float32))
+    direction = jnp.asarray(rng.normal(size=v.shape).astype(np.float32))
+
+    def loss(v):
+        return jnp.sum(f(q, k, v, bias, seed) * c)
+
+    g = jax.grad(loss)(v)
+    num = (loss(v + direction) - loss(v - direction)) / 2.0
+    np.testing.assert_allclose(float(num), float(jnp.sum(g * direction)),
+                               rtol=1e-4)

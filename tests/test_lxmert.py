@@ -125,3 +125,39 @@ def test_weight_norm_classifier_matches_torch_param():
         wn.weight_g.copy_(torch.tensor(np.asarray(params["g"])[0]))
         theirs = wn(torch.tensor(x)).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_joint_cross_attention_equivalence(monkeypatch):
+    """layers.JOINT_CROSS_ATTENTION batches both directions of the shared
+    visual_attention module into one projection set over the [lang; visn]
+    concat: identical param tree and (deterministic) logits vs the two-call
+    path, with and without the fused kernel."""
+    from crvqa_tpu.models import layers
+
+    config = LxmertConfig.tiny()
+    model = LxmertForVQA(config)
+    b = synthetic_batch(batch_size=4, vocab_size=config.vocab_size,
+                        ans_num=config.ans_num, feat_dim=config.visual_feat_dim,
+                        pos_dim=config.visual_pos_dim)
+    inputs = dict(input_ids=jnp.asarray(b["input_ids"]),
+                  visual_feats=jnp.asarray(b["visual_feats"]),
+                  visual_pos=jnp.asarray(b["visual_pos"]),
+                  attention_mask=jnp.asarray(b["attention_mask"]))
+    init_in = {k: v for k, v in inputs.items() if k != "attention_mask"}
+    params = model.init(jax.random.PRNGKey(0), **init_in)["params"]
+    ref = np.asarray(model.apply({"params": params}, **inputs,
+                                 deterministic=True)[0])
+
+    monkeypatch.setattr(layers, "JOINT_CROSS_ATTENTION", True)
+    p2 = model.init(jax.random.PRNGKey(0), **init_in)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+    out = np.asarray(model.apply({"params": params}, **inputs,
+                                 deterministic=True)[0])
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    monkeypatch.setattr(layers, "FUSED_ATTENTION", True)
+    monkeypatch.setattr(layers, "FUSED_ATTENTION_INTERPRET", True)
+    out2 = np.asarray(model.apply({"params": params}, **inputs,
+                                  deterministic=True)[0])
+    np.testing.assert_allclose(out2, ref, rtol=1e-3, atol=1e-3)

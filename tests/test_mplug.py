@@ -434,3 +434,28 @@ def test_mask_classifier_spec_momentum_only(setup):
         np.asarray(live["text_decoder"]["predictions_transform_dense"]["kernel"]), w)
     tw = np.asarray(twin["text_decoder"]["predictions_transform_dense"]["kernel"])
     assert (tw == 0).mean() > 0.3  # masked on the twin tree
+
+
+def test_mplug_forward_with_fused_attention(setup):
+    """--fused_attention is exposed on the mPLUG CLI: the kernel engages on
+    the short text towers (shape guard permitting) while the 577-patch image
+    cross-attention path falls back to XLA, and the training loss matches
+    the pure-XLA forward."""
+    from crvqa_tpu.models import layers
+
+    config, model, params, jb = setup
+    ref = float(model.apply(
+        {"params": params}, jb["images"], jb["question_ids"],
+        jb["question_mask"], jb["answer_ids"], jb["answer_mask"],
+        jb["weights"], deterministic=True))
+    layers.FUSED_ATTENTION = True
+    layers.FUSED_ATTENTION_INTERPRET = True
+    try:
+        out = float(model.apply(
+            {"params": params}, jb["images"], jb["question_ids"],
+            jb["question_mask"], jb["answer_ids"], jb["answer_mask"],
+            jb["weights"], deterministic=True))
+    finally:
+        layers.FUSED_ATTENTION = False
+        layers.FUSED_ATTENTION_INTERPRET = False
+    np.testing.assert_allclose(out, ref, rtol=1e-3)
