@@ -23,12 +23,13 @@ jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
 
 def run(fused: bool, window: int = 32, windows: int = 4,
-        bwd_impl: str = "stored") -> float:
+        bwd_impl: str = "stored", thin_seg: bool = True) -> float:
     from crvqa_tpu.models import layers
     from crvqa_tpu.ops import fused_attention as fa
 
     layers.FUSED_ATTENTION = fused
     fa.BWD_IMPL = bwd_impl
+    fa.THIN_SEG = thin_seg
     from bench_window import build
 
     compiled, state, stacked, bs = build(window)
@@ -44,7 +45,13 @@ def run(fused: bool, window: int = 32, windows: int = 4,
 
 def main() -> None:
     results = {}
-    if "--bwd" in sys.argv:
+    if "--seg" in sys.argv:
+        # segmented-sum spelling sweep (fused kernel, stored backward)
+        for thin in (False, True):
+            key = "thin_seg" if thin else "square_seg"
+            results[key] = round(run(True, thin_seg=thin), 1)
+            print(f"# {key}: {results[key]} ex/s", file=sys.stderr)
+    elif "--bwd" in sys.argv:
         # backward-implementation sweep (all through the fused kernel)
         for impl in ("recompute", "stored", "stored_folddot"):
             results[impl] = round(run(True, bwd_impl=impl), 1)

@@ -1,0 +1,107 @@
+"""mPLUG mask-train step throughput on the real chip.
+
+Full-size mPLUG (CLIP ViT-B-16 @ 384^2 -> 577 patches, BERT 6 enc / 6
+fusion / 12 decoder layers) in mask-training mode — the configuration of
+`mPLUG/scripts/vqa_full+mask_debias.sh` (reference trains it on 4 GPUs with
+DeepSpeed ZeRO-2 bf16). Synthetic batch, LM loss with (1-bias) reweighting,
+scores + LM head trainable, dual-LR AdamW — the shipped
+`cli/vqa_mplug.py --training_type mask` step exactly.
+
+Prints one JSON line {batch_size: ex_per_sec} over a small batch sweep.
+
+Usage: python benchmarks/bench_mplug.py   (real chip; compiles are minutes)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+
+def _batch(config, b, a=5, ql=25, al=8, seed=0):
+    rng = np.random.RandomState(seed)
+    v = config.bert.vocab_size
+    res = config.vit.image_res
+    return {
+        "images": jnp.asarray(rng.randn(b, res, res, 3).astype(np.float32)),
+        "question_ids": jnp.asarray(
+            rng.randint(1, v, (b, ql)).astype(np.int32)),
+        "question_mask": jnp.ones((b, ql), jnp.float32),
+        "answer_ids": jnp.asarray(
+            rng.randint(1, v, (b, a, al)).astype(np.int32)),
+        "answer_mask": jnp.ones((b, a, al), jnp.float32),
+        "weights": jnp.asarray(
+            np.full((b, a), 1.0 / a, np.float32)),
+        "bias": jnp.asarray(rng.rand(b, a).astype(np.float32) * 0.5),
+    }
+
+
+def run(batch_size: int, steps: int = 8, dtype="bfloat16") -> float:
+    from crvqa_tpu.masking import Masker, ModalSparsity
+    from crvqa_tpu.masking.mplug_specs import mplug_mask_specs
+    from crvqa_tpu.models import layers
+    from crvqa_tpu.models.mplug import MPlug, MPlugConfig
+    from crvqa_tpu.models.mplug.bert import MPlugBertConfig
+    from crvqa_tpu.models.mplug.vit import ViTConfig
+
+    from crvqa_tpu.train import mplug_train
+
+    layers.FUSED_ATTENTION = True  # text towers fuse; 577-patch xattn -> XLA
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    # the cli/vqa_mplug.py full-size config (reference runs DeepSpeed bf16)
+    config = MPlugConfig(bert=MPlugBertConfig(dtype=dt),
+                         vit=ViTConfig(dtype=dt))
+    model = MPlug(config)
+    jb = _batch(config, batch_size)
+    params = model.init(
+        jax.random.PRNGKey(0), jb["images"][:1], jb["question_ids"][:1],
+        jb["question_mask"][:1], jb["answer_ids"][:1], jb["answer_mask"][:1],
+        jb["weights"][:1])["params"]
+    c = config.bert
+    specs = mplug_mask_specs(
+        vit_layers=config.vit.layers, text_encoder_layers=c.text_encoder_layers,
+        fusion_layers=c.fusion_layers, decoder_layers=c.text_decode_layers,
+        stride_layer=c.stride_layer)
+    masker = Masker.create(specs, ModalSparsity.uniform(0.5),
+                           controlled_init="magnitude_soft")
+    cfg = mplug_train.MPlugTrainConfig(mode="mask", total_steps=10_000)
+    state, tx = mplug_train.init_state(model, params, cfg,
+                                       jax.random.PRNGKey(1), masker=masker)
+    step = mplug_train.make_train_step(model, cfg, tx, masker=masker)
+    state, loss = step(state, jb)  # compile + warmup
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = step(state, jb)
+    _ = float(loss)  # fence (axon tunnel ignores block_until_ready)
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
+def main() -> None:
+    dtype = "float32" if "--fp32" in sys.argv else "bfloat16"
+    results = {"dtype": dtype}
+    for bs in (8, 16, 32):
+        try:
+            results[str(bs)] = round(run(bs, dtype=dtype), 2)
+            print(f"# bs {bs}: {results[str(bs)]} ex/s", file=sys.stderr)
+        except Exception as e:  # OOM at the top of the sweep is information
+            results[str(bs)] = f"failed: {type(e).__name__}"
+            print(f"# bs {bs}: {e}", file=sys.stderr)
+            break
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

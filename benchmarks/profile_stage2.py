@@ -1,9 +1,13 @@
 """Capture + summarize a device-op profile of the stage-2 train step.
 
 Runs one multi-step window under `jax.profiler` with a perfetto trace and
-aggregates device-track event durations by op category, printing a ranked
-table — the op-level breakdown that tells us where the non-MXU time goes
-(the r1 trace showed "no single hotspot"; this quantifies the spread).
+aggregates device-track event durations into buckets, printing a ranked
+table. Buckets come from joining each trace event against the compiled
+executable's HLO metadata op_name (the jaxpr path): TPU emits matmuls as
+opaque `fusion.NNNN` / `convert_reduce_fusion.NNN` ops, so name-based
+categorization mislabels them as elementwise — the metadata join is what
+exposed the real r2 split (attention-kernel bwd 20.6%, FFN bwd 19.2%,
+projections ~21%, Adam 5.2%, DMA 4.7% — all model matmuls near peak).
 
 Usage: python benchmarks/profile_stage2.py  (real chip; one cached compile)
 """
@@ -63,25 +67,47 @@ def build(window: int = 32):
     return multi.lower(state, stacked).compile(), state, stacked
 
 
-CATEGORIES = [
-    ("matmul", re.compile(r"dot|conv|matmul", re.I)),
-    ("attention_softmax", re.compile(r"softmax|exp|reduce.*max", re.I)),
-    ("rng_dropout", re.compile(r"rng|random|threefry|bit", re.I)),
-    ("elementwise_fusion", re.compile(r"fusion|multiply|add|select|compare", re.I)),
-    ("copy_transpose", re.compile(r"copy|transpose|bitcast|reshape", re.I)),
-    ("allreduce", re.compile(r"all-reduce|reduce-scatter|all-gather", re.I)),
-]
+def build_hlo_map(compiled) -> dict:
+    """HLO op name -> metadata op_name. TPU fusions get opaque names
+    (`fusion.7959`, `convert_reduce_fusion.140`) whose metadata carries the
+    originating jaxpr path — the only reliable way to attribute device time
+    (name-regex categorization mislabels dot fusions as elementwise)."""
+    pat = re.compile(r"%(\S+) = .*?metadata=\{op_name=\"([^\"]+)\"")
+    out = {}
+    for line in compiled.as_text().splitlines():
+        m = pat.search(line)
+        if m:
+            out[m.group(1)] = m.group(2)
+    return out
 
 
-def categorize(name: str) -> str:
-    for cat, pat in CATEGORIES:
-        if pat.search(name):
-            return cat
-    return "other"
+def categorize(name: str, op: str) -> str:
+    """Bucket by the jaxpr path in the HLO metadata (`op`), falling back to
+    the raw HLO `name` for unattributed ops (DMA copies, converts)."""
+    if name.startswith(("copy-start", "copy-done")):
+        return "dma_copy"
+    if "closed_call/add" in op and "divide_add" in name:
+        return "adam_update"
+    fb = "bwd" if "transpose(jvp" in op else "fwd"
+    if "custom-call" in name or re.match(r"(self|att|cross)\.", name):
+        return f"pallas_attn_{fb}"
+    if "embeddings" in op:
+        return f"embed_{fb}"
+    if "intermediate/dense" in op or "output/dense" in op:
+        return f"ffn_{fb}"
+    if re.search(r"(query|key|value|att|attention|pooler|classifier|visn_fc)",
+                 op):
+        return f"proj_{fb}"
+    if "dot_general" in op:
+        return f"other_matmul_{fb}"
+    if op:
+        return "model_other"
+    return "unattributed"
 
 
 def main() -> None:
     compiled, state, stacked = build()
+    hlo_map = build_hlo_map(compiled)
     state, losses, _ = compiled(state, stacked)  # warmup / compile
     _ = float(losses[-1])
 
@@ -116,8 +142,13 @@ def main() -> None:
             continue
         dur = float(e.get("dur", 0.0))  # microseconds
         name = e.get("name", "?")
+        # skip the nested whole-window wrappers (they double-count: the
+        # jit entry, the while loop, and the root track each span ~all of
+        # the window)
+        if name == "0" or name.startswith("jit_") or name.startswith("while."):
+            continue
         by_name[name] += dur
-        by_cat[categorize(name)] += dur
+        by_cat[categorize(name, hlo_map.get(name, ""))] += dur
         total += dur
 
     print(f"# device tracks: {sorted(pid_names[p] for p in device_pids)}",
@@ -128,7 +159,9 @@ def main() -> None:
               file=sys.stderr)
     print("# --- top 25 ops ---", file=sys.stderr)
     for name, dur in by_name.most_common(25):
-        print(f"# {dur/1e3:9.2f} ms  {name[:110]}", file=sys.stderr)
+        op = hlo_map.get(name, "")
+        print(f"# {dur/1e3:9.2f} ms  {name[:40]:40s} {op[:90]}",
+              file=sys.stderr)
     print(json.dumps({
         "total_ms": round(total / 1e3, 1),
         "by_category_ms": {k: round(v / 1e3, 2) for k, v in by_cat.items()},

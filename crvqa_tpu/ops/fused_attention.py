@@ -93,6 +93,49 @@ def _seg_mask(cols: int, sk: int, dtype):
     return (a == b).astype(dtype)
 
 
+# Segmented-sum spelling: True = two thin indicator dots through [.., H]
+# ([rows,H] collapse + [H,rows] broadcast-back; ~2*H/rows of the square
+# seg-dot's FLOPs), False = one [rows, rows] indicator dot. Measured on v5e
+# (benchmarks/bench_fused_attention.py --seg): square 3409.6 vs thin 3351.9
+# ex/s — the two sequential <=12-lane dots are LATENCY-bound and lose to
+# one pipelined square dot despite ~18x fewer FLOPs; the kernel's dots are
+# latency- not FLOP-bound at these shapes. Default: square.
+THIN_SEG = False
+
+
+def _seg_thin(rows: int, sk: int, num_heads: int):
+    """([rows, H] collapse, [H, rows] expand) indicator pair for the thin
+    segmented-sum spelling."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, num_heads), 0) // sk
+    h = jax.lax.broadcasted_iota(jnp.int32, (rows, num_heads), 1)
+    collapse = (r == h).astype(jnp.float32)
+    h2 = jax.lax.broadcasted_iota(jnp.int32, (num_heads, rows), 0)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (num_heads, rows), 1) // sk
+    expand = (h2 == r2).astype(jnp.float32)
+    return collapse, expand
+
+
+def _make_segsum(sk: int, num_heads: int):
+    """Returns segsum(x): per-(row, head-block) sums of x [Sq, H*Sk],
+    broadcast back to x's shape."""
+    rows = num_heads * sk
+    if THIN_SEG:
+        collapse, expand = _seg_thin(rows, sk, num_heads)
+
+        def segsum(x):
+            xh = jax.lax.dot_general(
+                x, collapse, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [Sq, H]
+            return jax.lax.dot_general(
+                xh, expand, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [Sq, H*Sk]
+        return segsum
+    seg = _seg_mask(rows, sk, jnp.float32)
+    return lambda x: jax.lax.dot_general(
+        x, seg, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _tile_rows(t, num_heads: int):
     """[S, d] -> [H*S, d] by vertical (sublane) concatenation."""
     return jnp.concatenate([t] * num_heads, axis=0)
@@ -127,7 +170,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     d_model = num_heads * head_size
     rows = num_heads * sk
     headmask = _head_lane_mask(rows, sk, d_model, head_size, k_ref.dtype)
-    seg = _seg_mask(rows, sk, jnp.float32)
+    segsum = _make_segsum(sk, num_heads)
 
     def body(b, _):
         qb = q_ref[b]                       # [Sq, d_model]
@@ -142,9 +185,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         # for every block, so the global row max stabilizes all blocks
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        denom = jax.lax.dot_general(
-            e, seg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # blocksum, bcast
+        denom = segsum(e)                    # per-block sums, broadcast
         p = e / denom
         if rate > 0.0:
             keep = _keep_mask(p.shape, rate, seed, b, 0)
@@ -170,7 +211,7 @@ def _fwd_kernel_savep(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, p_out,
     d_model = num_heads * head_size
     rows = num_heads * sk
     headmask = _head_lane_mask(rows, sk, d_model, head_size, k_ref.dtype)
-    seg = _seg_mask(rows, sk, jnp.float32)
+    segsum = _make_segsum(sk, num_heads)
 
     def body(b, _):
         qb = q_ref[b]
@@ -183,9 +224,7 @@ def _fwd_kernel_savep(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, p_out,
         s = s * scale + bias_b
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        denom = jax.lax.dot_general(
-            e, seg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        denom = segsum(e)
         p = e / denom
         p_out[b] = p
         if rate > 0.0:
@@ -225,7 +264,7 @@ def _bwd_kernel_stored(seed_ref, q_ref, k_ref, v_ref, p_ref, g_ref,
     rows = num_heads * sk
     headmask = _head_lane_mask(rows, sk, d_model, head_size, k_ref.dtype)
     headmask_f = headmask.astype(jnp.float32)
-    seg = _seg_mask(rows, sk, jnp.float32)
+    segsum = _make_segsum(sk, num_heads)
     sel = _fold_selector(sk, rows) if fold_dot else None
 
     def fold(dm):
@@ -254,9 +293,7 @@ def _bwd_kernel_stored(seed_ref, q_ref, k_ref, v_ref, p_ref, g_ref,
         dp = jax.lax.dot_general(
             gb, vm, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * drop   # [Sq, H*Sk]
-        blocksum = jax.lax.dot_general(
-            dp * p, seg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        blocksum = segsum(dp * p)
         ds = ((dp - blocksum) * p * scale).astype(qb.dtype)
         dq = jax.lax.dot_general(
             ds, km, (((1,), (0,)), ((), ())),
@@ -297,7 +334,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     rows = num_heads * sk
     headmask = _head_lane_mask(rows, sk, d_model, head_size, k_ref.dtype)
     headmask_f = headmask.astype(jnp.float32)
-    seg = _seg_mask(rows, sk, jnp.float32)
+    segsum = _make_segsum(sk, num_heads)
 
     def body(b, _):
         qb = q_ref[b]
@@ -311,9 +348,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
         s = s * scale + bias_b
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        denom = jax.lax.dot_general(
-            e, seg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        denom = segsum(e)
         p = e / denom                        # pre-dropout probs [Sq, H*Sk]
         if rate > 0.0:
             keep = _keep_mask(p.shape, rate, seed, b, 0)
@@ -332,9 +367,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
             gb, vm, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * drop   # [Sq, H*Sk]
         # segmented softmax vjp: ds = (dp - blocksum(dp * p)) * p
-        blocksum = jax.lax.dot_general(
-            dp * p, seg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        blocksum = segsum(dp * p)
         ds = ((dp - blocksum) * p * scale).astype(qb.dtype)
         dq = jax.lax.dot_general(
             ds, km, (((1,), (0,)), ((), ())),
@@ -351,14 +384,24 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     jax.lax.fori_loop(0, bb, body, 0)
 
 
-def _pick_bb(batch: int, sk: int) -> int:
-    """Batch-tile size: the bwd kernel keeps 8 double-buffered [bb, S, H*D]
-    tiles + three [H*S, H*S] fp32 intermediates resident; bb=16 stays well
-    inside the 16 MB VMEM at the LXMERT shapes."""
-    for bb in (16, 8, 4, 2, 1):
+def _pick_bb(batch: int, itemsize: int) -> int:
+    """Batch-tile size: the bwd kernel keeps double-buffered [bb, S, H*D]
+    tiles + [H*S, *] intermediates resident. bb=16 is the measured-optimal
+    LXMERT (bf16) tile and stays well inside the 16 MB VMEM; fp32
+    activations double every block, and Mosaic's allocator measured 16.5M >
+    16M at bb=16 on the mPLUG fusion tower (bs-32 bwd) — so 4-byte inputs
+    take bb=8.
+
+    Mosaic requires the sublane block dim to be 8-divisible OR equal to the
+    array dim, so batches not divisible by 8 (e.g. the b*answers decoder
+    batch of an odd init trace) run as ONE full-batch block when small."""
+    for bb in (16, 8) if itemsize <= 2 else (8,):
         if batch % bb == 0:
             return bb
-    return 1
+    if batch <= 32:
+        return batch
+    raise ValueError(
+        f"fused attention needs batch % 8 == 0 or batch <= 32, got {batch}")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -381,7 +424,7 @@ def _call(kernel, ins, outs, args, seed, num_heads, head_size, rate,
     """ins/outs: (seq, width, dtype) per tensor; args align with ins.
     The int32[1] dropout seed rides as the scalar-prefetch operand."""
     batch = args[0].shape[0]
-    bb = _pick_bb(batch, 0)
+    bb = _pick_bb(batch, jnp.dtype(args[0].dtype).itemsize)
     grid = (batch // bb,)
     # index maps receive (grid idx, scalar-prefetch ref)
     spec = lambda s, w: pl.BlockSpec((bb, s, w) if s else (bb, w),

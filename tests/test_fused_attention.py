@@ -251,3 +251,25 @@ def test_bwd_impls_match_reference(impl, monkeypatch):
     num = (loss(v + direction) - loss(v - direction)) / 2.0
     np.testing.assert_allclose(float(num), float(jnp.sum(g * direction)),
                                rtol=1e-4)
+
+
+@pytest.mark.parametrize("thin", [True, False])
+def test_segsum_spellings_match_reference(thin, monkeypatch):
+    """Both segmented-sum spellings (square indicator dot / thin
+    collapse+expand pair) produce reference outputs and gradients."""
+    from crvqa_tpu.ops import fused_attention as fa_mod
+
+    monkeypatch.setattr(fa_mod, "THIN_SEG", thin)
+    q, k, v, bias = _inputs(36, 36)
+    out = fa_mod.fused_attention(q, k, v, bias, H, D, 0.0, True)
+    ref = reference_attention(q, k, v, bias, H, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    tgt = jnp.asarray(np.random.default_rng(9).normal(
+        size=q.shape).astype(np.float32))
+    gf = jax.grad(lambda v: jnp.sum(
+        (fa_mod.fused_attention(q, k, v, bias, H, D, 0.0, True) - tgt) ** 2))(v)
+    gr = jax.grad(lambda v: jnp.sum(
+        (reference_attention(q, k, v, bias, H, D) - tgt) ** 2))(v)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
