@@ -47,7 +47,8 @@ def _batch(config, b, a=5, ql=25, al=8, seed=0):
     }
 
 
-def run(batch_size: int, steps: int = 8, dtype="bfloat16") -> float:
+def run(batch_size: int, steps: int = 8, dtype="bfloat16",
+        remat: bool = False) -> float:
     from crvqa_tpu.masking import Masker, ModalSparsity
     from crvqa_tpu.masking.mplug_specs import mplug_mask_specs
     from crvqa_tpu.models import layers
@@ -59,9 +60,10 @@ def run(batch_size: int, steps: int = 8, dtype="bfloat16") -> float:
 
     layers.FUSED_ATTENTION = True  # text towers fuse; 577-patch xattn -> XLA
     dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    # the cli/vqa_mplug.py full-size config (reference runs DeepSpeed bf16)
-    config = MPlugConfig(bert=MPlugBertConfig(dtype=dt),
-                         vit=ViTConfig(dtype=dt))
+    # the cli/vqa_mplug.py full-size config (reference runs DeepSpeed bf16
+    # with partition_activations; --remat is its analogue here)
+    config = MPlugConfig(bert=MPlugBertConfig(dtype=dt, use_remat=remat),
+                         vit=ViTConfig(dtype=dt, use_remat=remat))
     model = MPlug(config)
     jb = _batch(config, batch_size)
     params = model.init(
@@ -91,10 +93,11 @@ def run(batch_size: int, steps: int = 8, dtype="bfloat16") -> float:
 
 def main() -> None:
     dtype = "float32" if "--fp32" in sys.argv else "bfloat16"
-    results = {"dtype": dtype}
-    for bs in (8, 16, 32):
+    remat = "--remat" in sys.argv
+    results = {"dtype": dtype, "remat": remat}
+    for bs in (32, 64) if remat else (8, 16, 32):
         try:
-            results[str(bs)] = round(run(bs, dtype=dtype), 2)
+            results[str(bs)] = round(run(bs, dtype=dtype, remat=remat), 2)
             print(f"# bs {bs}: {results[str(bs)]} ex/s", file=sys.stderr)
         except Exception as e:  # OOM at the top of the sweep is information
             results[str(bs)] = f"failed: {type(e).__name__}"

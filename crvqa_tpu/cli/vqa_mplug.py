@@ -102,11 +102,13 @@ def main(argv=None) -> None:
     if args.tiny:
         config = MPlugConfig(
             bert=MPlugBertConfig.tiny(dtype=dtype, use_remat=args.use_checkpoint),
-            vit=ViTConfig.tiny(dtype=dtype), distill=args.distill)
+            vit=ViTConfig.tiny(dtype=dtype, use_remat=args.use_checkpoint),
+            distill=args.distill)
     else:
         config = MPlugConfig(
             bert=MPlugBertConfig(dtype=dtype, use_remat=args.use_checkpoint),
-            vit=ViTConfig(image_res=args.image_res, dtype=dtype),
+            vit=ViTConfig(image_res=args.image_res, dtype=dtype,
+                          use_remat=args.use_checkpoint),
             distill=args.distill)
     model = MPlug(config)
 

@@ -160,10 +160,13 @@ class TextEncoder(nn.Module):
         c = self.config
         h = BertEmbeddings(c, name="embeddings")(input_ids, deterministic)
         bias = extend_attention_mask(attention_mask)
-        layer_cls = nn.remat(BertLayer) if c.use_remat else BertLayer
+        # deterministic must be STATIC under remat (arg 5, counting self;
+        # a traced bool breaks nn.Dropout's Python branch)
+        layer_cls = (nn.remat(BertLayer, static_argnums=(5,))
+                     if c.use_remat else BertLayer)
         for i in range(c.text_encoder_layers):
             h = layer_cls(c, has_cross=False, name=f"layer_{i}")(
-                h, bias, deterministic=deterministic)
+                h, bias, None, None, deterministic)
         return h
 
 
@@ -226,7 +229,8 @@ class FusionEncoder(nn.Module):
         image_bias = extend_attention_mask(image_mask)
         text, image = text_embeds, image_embeds
         start = c.text_encoder_layers
-        layer_cls = nn.remat(FusionLayer) if c.use_remat else FusionLayer
+        layer_cls = (nn.remat(FusionLayer, static_argnums=(5,))
+                     if c.use_remat else FusionLayer)
         for rel in range(c.fusion_layers):
             stride = rel != 0 and rel % c.stride_layer == 0
             text, image = layer_cls(c, stride=stride,
@@ -265,7 +269,8 @@ class TextDecoder(nn.Module):
         h = emb(input_ids, deterministic)
         self_bias = causal_mask_bias(input_ids.shape[1], attention_mask)
         enc_bias = extend_attention_mask(enc_mask)
-        layer_cls = nn.remat(BertLayer) if c.use_remat else BertLayer
+        layer_cls = (nn.remat(BertLayer, static_argnums=(5,))
+                     if c.use_remat else BertLayer)
         for i in range(c.text_decode_layers):
             h = layer_cls(c, has_cross=True, name=f"layer_{i}")(
                 h, self_bias, enc_states, enc_bias, deterministic,

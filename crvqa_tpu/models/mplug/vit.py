@@ -33,6 +33,10 @@ class ViTConfig:
     heads: int = 12
     attn_dropout: float = 0.1
     dtype: Any = jnp.float32
+    # activation checkpointing over the 577-token blocks (the reference's
+    # DeepSpeed partition_activations covers the whole model incl. the ViT,
+    # ds_config.json:12-16) -> flax nn.remat per resblock
+    use_remat: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -104,9 +108,11 @@ class VisionTransformer(nn.Module):
                          (c.num_patches + 1, c.width), jnp.float32)
         x = x + pos[None, : x.shape[1]].astype(c.dtype)
         x = nn.LayerNorm(name="ln_pre", dtype=c.dtype)(x)
+        block_cls = (nn.remat(ResidualAttentionBlock, static_argnums=(2,))
+                     if c.use_remat else ResidualAttentionBlock)
         for i in range(c.layers):
-            x = ResidualAttentionBlock(c, name=f"resblocks_{i}")(
-                x, deterministic=deterministic)
+            x = block_cls(c, name=f"resblocks_{i}")(
+                x, deterministic)
         return nn.LayerNorm(name="ln_post", dtype=c.dtype)(x)
 
 

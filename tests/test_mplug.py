@@ -459,3 +459,30 @@ def test_mplug_forward_with_fused_attention(setup):
         layers.FUSED_ATTENTION = False
         layers.FUSED_ATTENTION_INTERPRET = False
     np.testing.assert_allclose(out, ref, rtol=1e-3)
+
+
+def test_use_remat_trains_and_matches(setup):
+    """Activation checkpointing (`use_remat` on the BERT towers AND the
+    ViT — the DeepSpeed partition_activations analogue, ds_config.json:12-16)
+    must trace under jit with dropout (deterministic is a static remat arg;
+    a traced bool was a latent TracerBoolConversionError) and reproduce the
+    non-remat loss exactly."""
+    from crvqa_tpu.models.mplug import MPlug, MPlugConfig
+    from crvqa_tpu.models.mplug.bert import MPlugBertConfig
+    from crvqa_tpu.models.mplug.vit import ViTConfig
+
+    config, model, params, jb = setup
+    cfg_r = MPlugConfig(bert=MPlugBertConfig.tiny(use_remat=True),
+                        vit=ViTConfig.tiny(use_remat=True))
+    model_r = MPlug(cfg_r)
+    args = (jb["images"], jb["question_ids"], jb["question_mask"],
+            jb["answer_ids"], jb["answer_mask"], jb["weights"])
+    ref = float(model.apply({"params": params}, *args, deterministic=True))
+    out = float(model_r.apply({"params": params}, *args, deterministic=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+    # jitted train path (dropout rng + grads) must trace
+    loss, grads = jax.jit(jax.value_and_grad(
+        lambda p, k: model_r.apply({"params": p}, *args, deterministic=False,
+                                   rngs={"dropout": k})))(
+        params, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
