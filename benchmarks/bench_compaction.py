@@ -59,6 +59,9 @@ def _setup():
 
 
 def _time_forward(model, params, inputs, iters=30) -> float:
+    # compaction returns numpy trees — device_put once, or every dispatch
+    # re-uploads ~850 MB of fp32 params through the tunnel
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     fwd = jax.jit(lambda p, i: model.apply({"params": p}, **i,
                                            deterministic=True)[0])
     out = fwd(params, inputs)

@@ -384,18 +384,26 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     jax.lax.fori_loop(0, bb, body, 0)
 
 
-def _pick_bb(batch: int, itemsize: int) -> int:
-    """Batch-tile size: the bwd kernel keeps double-buffered [bb, S, H*D]
-    tiles + [H*S, *] intermediates resident. bb=16 is the measured-optimal
-    LXMERT (bf16) tile and stays well inside the 16 MB VMEM; fp32
-    activations double every block, and Mosaic's allocator measured 16.5M >
-    16M at bb=16 on the mPLUG fusion tower (bs-32 bwd) — so 4-byte inputs
-    take bb=8.
+# Per-batch-row in+out block bytes at which bb=16 still fits Mosaic's 16 MB
+# scoped-vmem stack. Calibrated from measured compiles of the stored-p bwd:
+# LXMERT bf16 seq-36 (449 KB/row -> 7.2 MB io at bb=16) fits; mPLUG fp32
+# seq-25 (567 KB/row, Mosaic 16.5M) and VisualBERT bf16 seq-50 (657 KB/row,
+# Mosaic 16.99M) both overflow — the fixed intermediates (km/vm/indicator
+# matrices) plus buffering roughly double the io share.
+_ROW_BYTES_BB16 = 512 * 1024
+
+
+def _pick_bb(batch: int, bytes_per_row: int) -> int:
+    """Batch-tile size: the bwd kernel keeps [bb, S, H*D] io tiles plus
+    [H*S, *] intermediates resident; bb=16 is the measured-optimal LXMERT
+    tile, halved when the io bytes say the Mosaic stack would overflow
+    (see _ROW_BYTES_BB16).
 
     Mosaic requires the sublane block dim to be 8-divisible OR equal to the
     array dim, so batches not divisible by 8 (e.g. the b*answers decoder
     batch of an odd init trace) run as ONE full-batch block when small."""
-    for bb in (16, 8) if itemsize <= 2 else (8,):
+    prefs = (16, 8) if bytes_per_row <= _ROW_BYTES_BB16 else (8,)
+    for bb in prefs:
         if batch % bb == 0:
             return bb
     if batch <= 32:
@@ -424,7 +432,9 @@ def _call(kernel, ins, outs, args, seed, num_heads, head_size, rate,
     """ins/outs: (seq, width, dtype) per tensor; args align with ins.
     The int32[1] dropout seed rides as the scalar-prefetch operand."""
     batch = args[0].shape[0]
-    bb = _pick_bb(batch, jnp.dtype(args[0].dtype).itemsize)
+    bytes_per_row = sum(max(s, 1) * w * jnp.dtype(dt).itemsize
+                        for s, w, dt in (*ins, *outs))
+    bb = _pick_bb(batch, bytes_per_row)
     grid = (batch // bb,)
     # index maps receive (grid idx, scalar-prefetch ref)
     spec = lambda s, w: pl.BlockSpec((bb, s, w) if s else (bb, w),
