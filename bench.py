@@ -29,10 +29,12 @@ utilization (the shipped configs run fp32 — apex fp16 is off), and a realistic
 35% utilization lands near 260 ex/s. 1000 ex/s ≈ a fp16 V100 run at ~17% MFU
 or an A100-class card. >1.0 therefore understates the real speedup.
 
-Window size 32 (steps per on-device scan dispatch) is measured on-chip:
-2906 ex/s at window 8 vs 3002 at window 32 (+3.3%); overlapping the loss
-fetch with the next dispatch (lag-1) measured as noise (+-0.5%) at both
-windows, so the simple synchronous fence stays (benchmarks/bench_window.py).
+Window size (steps per on-device scan dispatch) is measured on-chip:
+2906 ex/s at window 8, 3002 at 32 (+3.3%), and with the fused kernel
+3416 at 32 vs 3446 at 64 (+0.9%); 128 exceeds HBM (the stacked window
+batch). Overlapping the loss fetch with the next dispatch (lag-1)
+measured as noise (+-0.5%), so the simple synchronous fence stays
+(benchmarks/bench_window.py). Default: 64.
 """
 from __future__ import annotations
 
@@ -80,7 +82,7 @@ def _window_flops(compiled) -> float:
         return 0.0
 
 
-def measure(backbone_dtype: str, window: int = 32, windows: int = 4) -> dict:
+def measure(backbone_dtype: str, window: int = 64, windows: int = 4) -> dict:
     # Fused short-seq attention kernel: measured 3260 vs 2997 ex/s (+8.8%)
     # on v5e (benchmarks/bench_fused_attention.py) — the profile's ~19%
     # attention-transpose-copy time collapses into VMEM-resident dots.

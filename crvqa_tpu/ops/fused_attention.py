@@ -141,10 +141,12 @@ def _tile_rows(t, num_heads: int):
     return jnp.concatenate([t] * num_heads, axis=0)
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *p_out,
                 num_heads: int, head_size: int, rate: float, bb: int):
     """Lane-blocked forward: per batch row, THREE MXU-shaped dots and no
-    relayout anywhere.
+    relayout anywhere. With a second output ref (forward-for-grad), the
+    pre-dropout probabilities p [Sq, H*Sk] f32 are also written as the
+    stored-p backward's residual.
 
     Let km = tile(k, H) * headmask  ([H*Sk, d_model], block-diagonal: row
     block h keeps only head h's lanes). Then
@@ -187,52 +189,14 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         e = jnp.exp(s)
         denom = segsum(e)                    # per-block sums, broadcast
         p = e / denom
+        if p_out:
+            p_out[0][b] = p
         if rate > 0.0:
             keep = _keep_mask(p.shape, rate, seed, b, 0)
             p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
         ctx = jax.lax.dot_general(
             p.astype(qb.dtype), vm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # [Sq, d_model]
-        o_ref[b] = ctx.astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, bb, body, 0)
-
-
-def _fwd_kernel_savep(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, p_out,
-                      *, num_heads: int, head_size: int, rate: float, bb: int):
-    """Forward-for-grad: identical math to `_fwd_kernel`, additionally
-    writing the pre-dropout probabilities p [Sq, H*Sk] f32 as a residual so
-    the stored-p backward skips the score/denominator recompute."""
-    prog = pl.program_id(0)
-    seed = seed_ref[0] + prog * 7919
-    scale = 1.0 / (head_size ** 0.5)
-    sk = k_ref.shape[1]
-    d_model = num_heads * head_size
-    rows = num_heads * sk
-    headmask = _head_lane_mask(rows, sk, d_model, head_size, k_ref.dtype)
-    segsum = _make_segsum(sk, num_heads)
-
-    def body(b, _):
-        qb = q_ref[b]
-        km = _tile_rows(k_ref[b], num_heads) * headmask
-        vm = _tile_rows(v_ref[b], num_heads) * headmask
-        bias_b = bias_ref[pl.ds(b, 1), :]
-        s = jax.lax.dot_general(
-            qb, km, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s = s * scale + bias_b
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        denom = segsum(e)
-        p = e / denom
-        p_out[b] = p
-        if rate > 0.0:
-            keep = _keep_mask(p.shape, rate, seed, b, 0)
-            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
-        ctx = jax.lax.dot_general(
-            p.astype(qb.dtype), vm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
         o_ref[b] = ctx.astype(o_ref.dtype)
         return 0
 
@@ -485,7 +449,7 @@ def _fa_fwd(q, k, v, bias, num_heads, head_size, rate, interpret, seed):
         (o,) = _call(_fwd_kernel, ins, ((sq, d, q.dtype),), args, seed,
                      num_heads, head_size, rate, interpret)
         return o, (q, k, v, bias, seed, None)
-    o, p = _call(_fwd_kernel_savep, ins,
+    o, p = _call(_fwd_kernel, ins,
                  ((sq, d, q.dtype), (sq, num_heads * sk, jnp.float32)),
                  args, seed, num_heads, head_size, rate, interpret)
     return o, (q, k, v, bias, seed, p)
