@@ -23,7 +23,7 @@ jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
 
 def run(fused: bool, window: int = 32, windows: int = 4,
-        bwd_impl: str = "stored", thin_seg: bool = True) -> float:
+        bwd_impl: str = "stored", thin_seg: bool = False) -> float:
     from crvqa_tpu.models import layers
     from crvqa_tpu.ops import fused_attention as fa
 

@@ -119,9 +119,6 @@ class MultiHeadAttention(nn.Module):
             d, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         q = dense("query")(hidden)
 
-        def split_heads(t):
-            return t.reshape(t.shape[0], t.shape[1], self.num_heads, self.head_size)
-
         if joint_split is not None:
             s = joint_split
             k = dense("key")(hidden)
@@ -140,17 +137,38 @@ class MultiHeadAttention(nn.Module):
         # init/training always take the kv=None path, so the key/value
         # params exist; the cache path simply doesn't touch them
         k, v = kv
-        return self._attend_heads(split_heads(q), k, v, attention_bias,
+        return self._attend_heads(self._split_heads(q), k, v, attention_bias,
                                   deterministic)
+
+    def _split_heads(self, t):
+        return t.reshape(t.shape[0], t.shape[1], self.num_heads,
+                         self.head_size)
 
     def _attend(self, q, k, v, attention_bias, deterministic):
         """Dispatch on flat [B, S, H*D] projections: the lane-blocked fused
         kernel builds [H*Sk, H*Sk] / [H*Sk, H*D] masks in VMEM — only
         profitable (and only safe) for short contexts. LXMERT (H*Sk <= 432)
         and mPLUG text towers (<= 960) qualify; mPLUG's image
-        cross-attention (Sk = 577 patches) falls back to XLA."""
+        cross-attention (Sk = 577 patches) falls back to XLA.
+
+        The kernel consumes a KEY-wise bias [B, Sk]: only query-independent
+        biases (None or broadcast [B, 1, 1, Sk] padding masks) are eligible
+        — a causal [B, 1, L, L] bias (mPLUG's decoder) must take the XLA
+        path, where the full matrix applies. `fused_attention.supported`
+        additionally rejects batch/shape combinations with no feasible
+        Mosaic batch tile (odd large batches, fp32 long rows)."""
+        from ..ops import fused_attention as fa
+
+        bias_keywise = (attention_bias is None
+                        or (attention_bias.ndim == 4
+                            and attention_bias.shape[1] == 1
+                            and attention_bias.shape[2] == 1))
         fits = (k.shape[1] * self.num_heads <= 1024
-                and q.shape[1] * self.num_heads <= 1024)
+                and q.shape[1] * self.num_heads <= 1024
+                and bias_keywise
+                and fa.supported(q.shape[0], q.shape[1], k.shape[1],
+                                 self.num_heads, self.head_size,
+                                 jnp.dtype(q.dtype).itemsize))
         if FUSED_ATTENTION and fits:
             from ..ops.fused_attention import fused_attention_seeded
 
@@ -168,11 +186,8 @@ class MultiHeadAttention(nn.Module):
                 q, k, v, bias2d, seed, self.num_heads, self.head_size,
                 rate, FUSED_ATTENTION_INTERPRET)
 
-        def split_heads(t):
-            return t.reshape(t.shape[0], t.shape[1], self.num_heads, self.head_size)
-
-        return self._attend_heads(split_heads(q), split_heads(k),
-                                  split_heads(v), attention_bias,
+        return self._attend_heads(self._split_heads(q), self._split_heads(k),
+                                  self._split_heads(v), attention_bias,
                                   deterministic)
 
     def _attend_heads(self, q, k, v, attention_bias, deterministic):

@@ -166,7 +166,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *p_out,
     uses only sublane concats, iota masks, and 2D dots.
     """
     prog = pl.program_id(0)
-    seed = seed_ref[0] + prog * 7919
+    seed = seed_ref[0]
     scale = 1.0 / (head_size ** 0.5)
     sk = k_ref.shape[1]
     d_model = num_heads * head_size
@@ -192,7 +192,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *p_out,
         if p_out:
             p_out[0][b] = p
         if rate > 0.0:
-            keep = _keep_mask(p.shape, rate, seed, b, 0)
+            keep = _keep_mask(p.shape, rate, seed, prog * bb + b, 0)
             p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
         ctx = jax.lax.dot_general(
             p.astype(qb.dtype), vm, (((1,), (0,)), ((), ())),
@@ -220,7 +220,7 @@ def _bwd_kernel_stored(seed_ref, q_ref, k_ref, v_ref, p_ref, g_ref,
     recompute — p arrives as the forward's residual; the dropout mask is
     regenerated from the counter hash, identical to the forward's)."""
     prog = pl.program_id(0)
-    seed = seed_ref[0] + prog * 7919
+    seed = seed_ref[0]
     scale = 1.0 / (head_size ** 0.5)
     inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
     sk = k_ref.shape[1]
@@ -245,7 +245,7 @@ def _bwd_kernel_stored(seed_ref, q_ref, k_ref, v_ref, p_ref, g_ref,
         gb = g_ref[b]
         p = p_ref[b]                         # pre-dropout probs [Sq, H*Sk]
         if rate > 0.0:
-            keep = _keep_mask(p.shape, rate, seed, b, 0)
+            keep = _keep_mask(p.shape, rate, seed, prog * bb + b, 0)
             drop = jnp.where(keep, inv_keep, 0.0)
         else:
             drop = 1.0
@@ -290,7 +290,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     sublane-block sums. Off-block entries never exist in this formulation,
     so no gradient masking beyond the head-lane mask is needed."""
     prog = pl.program_id(0)
-    seed = seed_ref[0] + prog * 7919  # identical key derivation as forward
+    seed = seed_ref[0]
     scale = 1.0 / (head_size ** 0.5)
     inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
     sk = k_ref.shape[1]
@@ -315,7 +315,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
         denom = segsum(e)
         p = e / denom                        # pre-dropout probs [Sq, H*Sk]
         if rate > 0.0:
-            keep = _keep_mask(p.shape, rate, seed, b, 0)
+            keep = _keep_mask(p.shape, rate, seed, prog * bb + b, 0)
             drop = jnp.where(keep, inv_keep, 0.0)
         else:
             drop = 1.0
@@ -355,25 +355,51 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
 # Mosaic 16.99M) both overflow — the fixed intermediates (km/vm/indicator
 # matrices) plus buffering roughly double the io share.
 _ROW_BYTES_BB16 = 512 * 1024
+_MAX_IO_BYTES = 16 * _ROW_BYTES_BB16  # total io budget per block
 
 
-def _pick_bb(batch: int, bytes_per_row: int) -> int:
-    """Batch-tile size: the bwd kernel keeps [bb, S, H*D] io tiles plus
-    [H*S, *] intermediates resident; bb=16 is the measured-optimal LXMERT
-    tile, halved when the io bytes say the Mosaic stack would overflow
-    (see _ROW_BYTES_BB16).
+def _pick_bb(batch: int, bytes_per_row: int):
+    """Batch-tile size, or None when no feasible tile exists (the caller
+    must then use the XLA attention path). The bwd kernel keeps [bb, S, H*D]
+    io tiles plus [H*S, *] intermediates resident; bb=16 is the
+    measured-optimal LXMERT tile, halved when the io bytes say the Mosaic
+    stack would overflow (_ROW_BYTES_BB16 calibration above); every
+    candidate — including the odd-batch full-block fallback — must respect
+    the same total io budget.
 
     Mosaic requires the sublane block dim to be 8-divisible OR equal to the
     array dim, so batches not divisible by 8 (e.g. the b*answers decoder
     batch of an odd init trace) run as ONE full-batch block when small."""
-    prefs = (16, 8) if bytes_per_row <= _ROW_BYTES_BB16 else (8,)
-    for bb in prefs:
-        if batch % bb == 0:
+    for bb in (16, 8):
+        if batch % bb == 0 and bb * bytes_per_row <= _MAX_IO_BYTES:
             return bb
-    if batch <= 32:
+    if (batch % 8 != 0 and batch <= 32
+            and batch * bytes_per_row <= _MAX_IO_BYTES):
         return batch
-    raise ValueError(
-        f"fused attention needs batch % 8 == 0 or batch <= 32, got {batch}")
+    return None
+
+
+def _bwd_row_bytes(sq: int, sk: int, num_heads: int, head_size: int,
+                   itemsize: int) -> int:
+    """Per-row io bytes of the stored-p backward — the largest kernel
+    variant, so feasibility here implies feasibility of the forwards."""
+    d = num_heads * head_size
+    rows = num_heads * sk
+    return (3 * sq * d * itemsize          # q, g, dq
+            + 4 * sk * d * itemsize        # k, v, dk, dv
+            + sq * rows * 4                # stored probs residual
+            + rows * 4)                    # pre-tiled bias
+
+
+def supported(batch: int, sq: int, sk: int, num_heads: int, head_size: int,
+              itemsize: int) -> bool:
+    """Dispatch predicate for MultiHeadAttention: True iff BOTH the
+    forward-for-grad and the stored backward can find a feasible batch
+    tile at these shapes. Callers fall back to the XLA path otherwise
+    (e.g. batch 60 = 12 questions x 5 answers: not 8-divisible and too big
+    for one block; or fp32 long-seq rows that overflow even bb=8)."""
+    return _pick_bb(batch, _bwd_row_bytes(sq, sk, num_heads, head_size,
+                                          itemsize)) is not None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -399,6 +425,11 @@ def _call(kernel, ins, outs, args, seed, num_heads, head_size, rate,
     bytes_per_row = sum(max(s, 1) * w * jnp.dtype(dt).itemsize
                         for s, w, dt in (*ins, *outs))
     bb = _pick_bb(batch, bytes_per_row)
+    if bb is None:
+        raise ValueError(
+            f"fused attention: no feasible batch tile (batch {batch}, "
+            f"{bytes_per_row} io B/row) — gate calls with "
+            "fused_attention.supported() and use the XLA path instead")
     grid = (batch // bb,)
     # index maps receive (grid idx, scalar-prefetch ref)
     spec = lambda s, w: pl.BlockSpec((bb, s, w) if s else (bb, w),

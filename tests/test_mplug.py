@@ -439,26 +439,28 @@ def test_mask_classifier_spec_momentum_only(setup):
 def test_mplug_forward_with_fused_attention(setup):
     """--fused_attention is exposed on the mPLUG CLI: the kernel engages on
     the short text towers (shape guard permitting) while the 577-patch image
-    cross-attention path falls back to XLA, and the training loss matches
-    the pure-XLA forward."""
+    cross-attention AND the causal decoder self-attention ([B,1,L,L] bias,
+    query-dependent) fall back to XLA. Compares full decoder LOGITS — a
+    scalar-loss comparison at random init is ~log(V) regardless of the
+    attention pattern and missed a broken causal mask (review finding)."""
     from crvqa_tpu.models import layers
 
     config, model, params, jb = setup
-    ref = float(model.apply(
-        {"params": params}, jb["images"], jb["question_ids"],
-        jb["question_mask"], jb["answer_ids"], jb["answer_mask"],
-        jb["weights"], deterministic=True))
+    args = (jb["images"], jb["question_ids"], jb["question_mask"],
+            jb["answer_ids"], jb["answer_mask"])
+    ref = np.asarray(model.apply({"params": params}, *args,
+                                 deterministic=True,
+                                 method=model.answer_logits))
     layers.FUSED_ATTENTION = True
     layers.FUSED_ATTENTION_INTERPRET = True
     try:
-        out = float(model.apply(
-            {"params": params}, jb["images"], jb["question_ids"],
-            jb["question_mask"], jb["answer_ids"], jb["answer_mask"],
-            jb["weights"], deterministic=True))
+        out = np.asarray(model.apply({"params": params}, *args,
+                                     deterministic=True,
+                                     method=model.answer_logits))
     finally:
         layers.FUSED_ATTENTION = False
         layers.FUSED_ATTENTION_INTERPRET = False
-    np.testing.assert_allclose(out, ref, rtol=1e-3)
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
 
 
 def test_use_remat_trains_and_matches(setup):
