@@ -24,7 +24,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -34,37 +33,15 @@ LOGDIR = "/tmp/crvqa_profile"
 
 
 def build(window: int = 32):
+    """The bench_window stage-2 builder (single source of truth for the
+    measured config), with PROFILE_FUSED=0 to profile the XLA path."""
     from crvqa_tpu.models import layers as _layers
 
     _layers.FUSED_ATTENTION = os.environ.get("PROFILE_FUSED", "1") == "1"
-    from crvqa_tpu.data import synthetic_batch
-    from crvqa_tpu.masking import Masker, ModalSparsity, lxmert_mask_specs
-    from crvqa_tpu.models import LxmertConfig, LxmertForVQA
-    from crvqa_tpu.train import stage2
+    from bench_window import build as build_window
 
-    config = LxmertConfig(dtype=jnp.bfloat16)
-    model = LxmertForVQA(config)
-    batch_np = synthetic_batch(
-        batch_size=256, vocab_size=config.vocab_size, ans_num=config.ans_num,
-        feat_dim=config.visual_feat_dim, pos_dim=config.visual_pos_dim)
-    batch = {k: jnp.asarray(v) for k, v in batch_np.items() if k != "valid"}
-    params = model.init(
-        jax.random.PRNGKey(0), input_ids=batch["input_ids"][:2],
-        visual_feats=batch["visual_feats"][:2],
-        visual_pos=batch["visual_pos"][:2])["params"]
-    specs = lxmert_mask_specs(config.l_layers, config.r_layers, config.x_layers)
-    masker = Masker.create(
-        specs, ModalSparsity.from_compression(0.3, 0.3, 0.3, 0.7),
-        controlled_init="magnitude")
-    cfg = stage2.Stage2Config(masker_type="lmh", total_steps=10_000,
-                              hidden_size=config.hidden_size,
-                              backbone_dtype="bfloat16")
-    state, tx = stage2.init_state(model, masker, params, cfg,
-                                  jax.random.PRNGKey(1))
-    multi = stage2.make_multi_step(model, masker, tx, cfg, window)
-    stacked = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x[None], (window,) + x.shape), batch)
-    return multi.lower(state, stacked).compile(), state, stacked
+    compiled, state, stacked, _ = build_window(window)
+    return compiled, state, stacked
 
 
 def build_hlo_map(compiled) -> dict:

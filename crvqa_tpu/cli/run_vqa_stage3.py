@@ -107,10 +107,6 @@ def main(argv=None) -> None:
             overrides["lang_intermediate_size"] = n_inter
         config = _dc.replace(config, **overrides)
         model = LxmertForVQA(config)
-        if args.classifier_bin:
-            params = dict(params)
-            params["classifier"] = torch_compat.import_classifier_bin(
-                args.classifier_bin, params["classifier"])
     else:
         specs = lxmert_mask_specs(config.l_layers, config.r_layers, config.x_layers)
         masker = Masker.create(
@@ -124,10 +120,6 @@ def main(argv=None) -> None:
         else:
             assert args.mask_pt, "--mask_pt required for FT_trainedMask"
             masks = torch_compat.import_mask_pt(args.mask_pt, masker.specs)
-        if args.classifier_bin:
-            params = dict(params)
-            params["classifier"] = torch_compat.import_classifier_bin(
-                args.classifier_bin, params["classifier"])
 
         rate = see_weight_rate(masker, params, masks)
         common.logger.info("achieved zero rate after pruning: %.4f", rate)
@@ -135,6 +127,12 @@ def main(argv=None) -> None:
         params = masker.prune_params(
             params, {k: jnp.asarray(v) for k, v in masks.items()})
         masks = {k: jnp.asarray(v) for k, v in masks.items()}
+
+    # branch-independent: the stage-2 classifier rides along either way
+    if args.classifier_bin:
+        params = dict(params)
+        params["classifier"] = torch_compat.import_classifier_bin(
+            args.classifier_bin, params["classifier"])
 
     train_batches, eval_batches, label2ans, n_train = common.build_data(args, config)
     steps_per_epoch = max(n_train // args.train_batch_size, 1)

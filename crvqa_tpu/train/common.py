@@ -85,7 +85,12 @@ def hf_adamw(learning_rate, b1: float = 0.9, b2: float = 0.999,
                                     state.mu, grads)
         nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g,
                                     state.nu, grads)
-        lr = sched(count)
+        # torch LambdaLR convention: the FIRST optimizer step runs at
+        # lambda(0) (scheduler.step() advances AFTER optimizer.step()), so
+        # the schedule reads the pre-increment count; bias correction uses
+        # the post-increment step exactly like the reference's
+        # state['step'] += 1 (optimization.py:85-97).
+        lr = sched(state.count)
         c = count.astype(jnp.float32)
         if correct_bias:
             step_size = lr * jnp.sqrt(1.0 - b2 ** c) / (1.0 - b1 ** c)
@@ -95,8 +100,10 @@ def hf_adamw(learning_rate, b1: float = 0.9, b2: float = 0.999,
             lambda m, v: -step_size * m / (jnp.sqrt(v) + eps), mu, nu)
         if weight_decay > 0.0:
             assert params is not None
+            # reference decays the POST-main-update param (p.data.add_ runs
+            # after addcdiv_, optimization.py:124-127): p + u, not p
             updates = jax.tree_util.tree_map(
-                lambda u, p: u - lr * weight_decay * p, updates, params)
+                lambda u, p: u - lr * weight_decay * (p + u), updates, params)
         return updates, HfAdamWState(count=count, mu=mu, nu=nu,
                                      abs_grad_sum=sums)
 

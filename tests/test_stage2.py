@@ -334,3 +334,20 @@ def test_stage2_accumulate_abs_grad_end_to_end(setup):
     assert sums is not None
     total = sum(float(jnp.sum(x)) for x in jax.tree_util.tree_leaves(sums))
     assert total > 0
+
+
+def test_hf_adamw_schedule_convention_first_step_at_zero():
+    """torch LambdaLR steps AFTER optimizer.step(), so the first optimizer
+    step runs at lambda(0) — with linear warmup that is lr=0 and the first
+    update must be exactly zero (review finding: the schedule was read at
+    the post-increment count, shifting every step by one)."""
+    from crvqa_tpu.train.common import hf_adamw
+
+    sched = lambda c: 1e-2 * jnp.minimum(c / 3.0, 1.0)
+    tx = hf_adamw(sched, weight_decay=0.0)
+    p = {"w": jnp.ones((2, 2))}
+    st = tx.init(p)
+    upd, st = tx.update({"w": jnp.full((2, 2), 0.5)}, st, p)
+    np.testing.assert_array_equal(np.asarray(upd["w"]), 0.0)  # sched(0) == 0
+    upd, st = tx.update({"w": jnp.full((2, 2), 0.5)}, st, p)
+    assert np.abs(np.asarray(upd["w"])).max() > 0               # sched(1) > 0
