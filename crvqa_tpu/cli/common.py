@@ -167,7 +167,8 @@ def build_data(args, config):
     else:
         ans2label, label2ans = vqacp.load_answer_vocab(args.dataroot)
         ans_num = len(ans2label)
-        train = vqacp.load_entries(args.dataroot, "train", tokenizer, ans_num)
+        train = vqacp.load_entries(args.dataroot, "train", tokenizer, ans_num,
+                                   ratio=args.data_ratio, seed=args.seed)
         test = vqacp.load_entries(args.dataroot, "test", tokenizer, ans_num)
     priors = vqacp.compute_bias_priors(train, ans_num)
     vqacp.attach_bias(train, priors, ans_num)

@@ -92,13 +92,8 @@ def load_stage1_params(path, model, config, rng):
         visual_pos=jnp.asarray(b["visual_pos"]))["params"]
     if path is None:
         return params
-    if path.endswith(".bin") or path.endswith(".pt") or path.endswith(".pth"):
-        import torch
-
-        raw = torch.load(path, map_location="cpu", weights_only=False)
-        if hasattr(raw, "state_dict"):
-            raw = raw.state_dict()
-        return torch_compat.torch_state_dict_to_flax(raw, params)
+    if path.endswith((".bin", ".pt", ".pth")):
+        return torch_compat.load_torch_params(path, params)
     return ckpt.load_checkpoint(path, params)
 
 

@@ -76,13 +76,7 @@ def main(argv=None) -> None:
         visual_embeds=jnp.asarray(init_b["visual_embeds"]))["params"]
     if args.stage1_ckpt:
         if args.stage1_ckpt.endswith((".bin", ".pt", ".pth")):
-            import torch
-
-            raw = torch.load(args.stage1_ckpt, map_location="cpu",
-                             weights_only=False)
-            if hasattr(raw, "state_dict"):
-                raw = raw.state_dict()
-            params = torch_compat.torch_state_dict_to_flax(raw, params)
+            params = torch_compat.load_torch_params(args.stage1_ckpt, params)
         else:
             params = ckpt.load_checkpoint(args.stage1_ckpt, params)
 

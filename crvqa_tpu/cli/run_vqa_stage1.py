@@ -84,11 +84,9 @@ def main(argv=None) -> None:
         native = os.path.join(args.output_dir, args.label4save + suffix + ".msgpack")
         ckpt.save_checkpoint(native, jax.device_get(state.params))
         # torch state_dict for downstream stage-2/3 interop
-        import torch
-
-        sd = torch_compat.flax_to_torch_state_dict(jax.device_get(state.params))
-        torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()},
-                   os.path.join(args.output_dir, args.label4save + suffix))
+        torch_compat.save_torch_state_dict(
+            os.path.join(args.output_dir, args.label4save + suffix),
+            jax.device_get(state.params))
 
     best = -1.0
     if args.do_train:
@@ -114,7 +112,11 @@ def main(argv=None) -> None:
                                 os.path.join(args.output_dir, "test.json"),
                                 out["logits"], out["question_id"], label2ans)
                             save_best(state)
-        save_best(state)
+        if best < 0:
+            # no best-eval save fired (no --evaluate_during_training, or
+            # total steps below save_steps): persist the final params —
+            # but never overwrite a best-eval checkpoint with the last one
+            save_best(state)
 
     if args.do_eval or args.do_predict:
         acc, out = evaluate(state)

@@ -189,6 +189,17 @@ def main(argv=None) -> None:
                                 os.path.join(args.output_dir,
                                              args.label4save + suffix + ".msgpack"),
                                 jax.device_get(state.params))
+        if best < 0:
+            # the fine-tuned subnetwork must survive even when no best-eval
+            # save fired (no --evaluate_during_training, or total steps
+            # below save_steps); a best-eval checkpoint is never overwritten
+            suffix = ("_FT_trainedMask.bin"
+                      if args.training_type == "FT_trainedMask"
+                      else "FT_randMask.bin")
+            ckpt.save_checkpoint(
+                os.path.join(args.output_dir,
+                             args.label4save + suffix + ".msgpack"),
+                jax.device_get(state.params))
 
     if args.do_eval or args.do_predict:
         acc, out = evaluate(state)

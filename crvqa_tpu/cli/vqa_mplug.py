@@ -31,6 +31,10 @@ from . import common
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("vqa_mplug")
     common.add_common_args(p)
+    # mPLUG defaults differ from the LXMERT stages (yaml: weight_decay
+    # 0.02, warmup = one epoch); None marks "not given" so an explicit
+    # --weight_decay 0 / --warmup_steps 0 survives
+    p.set_defaults(weight_decay=None, warmup_steps=None)
     p.add_argument("--mode", type=str, default="mask", choices=["full", "mask"])
     p.add_argument("--zero_rate", type=float, default=0.5)
     p.add_argument("--init_sparsity", type=float, default=None)
@@ -160,7 +164,8 @@ def main(argv=None) -> None:
                                    config.vit.image_res)
 
     b0 = next(iter(train_batches(0)))
-    jb0 = {k: jnp.asarray(v) for k, v in b0.items() if k != "qid"}
+    jb0 = {k: jnp.asarray(v) for k, v in b0.items()
+           if k not in ("qid", "valid")}
     params = model.init(jax.random.PRNGKey(args.seed), jb0["images"],
                         jb0["question_ids"], jb0["question_mask"],
                         jb0["answer_ids"], jb0["answer_mask"],
@@ -172,8 +177,12 @@ def main(argv=None) -> None:
     total_steps = int(steps_per_epoch * args.num_train_epochs)
     cfg = mplug_train.MPlugTrainConfig(
         mode=args.mode, lr1=args.lr1, lr2=args.lr2,
-        weight_decay=args.weight_decay or 0.02,
-        warmup_steps=args.warmup_steps or steps_per_epoch,
+        # explicit zeros must survive: `or` would override --weight_decay 0
+        # / --warmup_steps 0 with the mPLUG defaults
+        weight_decay=(0.02 if args.weight_decay is None
+                      else args.weight_decay),
+        warmup_steps=(steps_per_epoch if args.warmup_steps is None
+                      else args.warmup_steps),
         total_steps=total_steps, min_lr=args.min_lr, sched=args.sched,
         decay_rate=args.decay_rate, decay_steps=args.decay_steps,
         opt=args.opt, opt_momentum=args.opt_momentum,
@@ -237,7 +246,8 @@ def main(argv=None) -> None:
     if args.do_train:
         for epoch in range(int(args.num_train_epochs)):
             for batch in train_batches(epoch):
-                dev = shard_fn({k: v for k, v in batch.items() if k != "qid"})
+                dev = shard_fn({k: v for k, v in batch.items()
+                                if k not in ("qid", "valid")})
                 state, loss = step_fn(state, dev)
                 step = int(state.step)
                 if masker is not None and step % args.masker_update_step == 0:
@@ -321,20 +331,27 @@ def main(argv=None) -> None:
                                    method=model.rank_answers)
 
         for batch in eval_batches():
-            dev = shard_fn({k: v for k, v in batch.items() if k != "qid"})
+            dev = shard_fn({k: v for k, v in batch.items()
+                            if k not in ("qid", "valid")})
             if rank_fn is not None:
                 out = rank_fn(state, dev)
                 if use_topk:
                     best = np.asarray(out[0])[:, 0]  # re-ranked best first
                 else:
                     best = np.asarray(out).argmin(axis=1)
-                for idx, qid in zip(best, batch["qid"]):
+                ok_vec = batch.get("valid", np.ones(len(batch["qid"]), bool))
+                for idx, qid, ok in zip(best, batch["qid"], ok_vec):
+                    if not ok:  # ragged-final-batch padding
+                        continue
                     results.append({"question_id": int(qid),
                                     "answer": answers[int(idx)]})
                 continue
             ids, scores = gen_fn(state, dev)
             ids = np.asarray(ids)
-            for row, qid in zip(ids, batch["qid"]):
+            ok_vec = batch.get("valid", np.ones(len(batch["qid"]), bool))
+            for row, qid, ok in zip(ids, batch["qid"], ok_vec):
+                if not ok:  # ragged-final-batch padding
+                    continue
                 if tokenizer is not None:
                     toks = [int(t) for t in row[1:]]
                     if config.eos_token_id in toks:

@@ -183,3 +183,40 @@ def import_classifier_bin(path: str, template: PyTree) -> PyTree:
     if hasattr(raw, "state_dict"):
         raw = raw.state_dict()
     return torch_state_dict_to_flax(raw, template)
+
+
+# ------------------------------------------------- checkpoint load/save shims
+
+def load_torch_params(path: str, template: PyTree) -> PyTree:
+    """Load a reference-side checkpoint (`.bin`/`.pt`/`.pth`: whole-module
+    pickle or plain state_dict) into a flax param tree. The single torch
+    entry point for the CLI stage-1-checkpoint loaders (CLAUDE.md: torch
+    stays out of everything but this module / evals.scoring / tests)."""
+    raw = _torch().load(path, map_location="cpu", weights_only=False)
+    if hasattr(raw, "state_dict"):
+        raw = raw.state_dict()
+    return torch_state_dict_to_flax(raw, template)
+
+
+def save_torch_state_dict(path: str, params: PyTree) -> None:
+    """torch.save a flax param tree as a reference-named state_dict (the
+    stage-1 -> stage-2/3 interop artifact)."""
+    torch = _torch()
+    sd = flax_to_torch_state_dict(params)
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()}, path)
+
+
+def save_torch_pickle(path: str, obj: Any) -> bool:
+    """torch.save an arbitrary object (.pth artifacts like target_count);
+    returns False when torch is unavailable so callers can fall back."""
+    try:
+        _torch().save(obj, path)
+        return True
+    except ImportError:
+        return False
+
+
+def load_mask_dict_bool(path: str) -> dict[str, np.ndarray]:
+    """mask.pt -> {torch_name: bool ndarray} (compare_mask consumption)."""
+    raw = _torch().load(path, map_location="cpu", weights_only=False)
+    return {k: v.numpy().astype(bool) for k, v in raw.items()}

@@ -20,8 +20,6 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
-CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
-CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 @dataclasses.dataclass
@@ -105,9 +103,19 @@ def load_entries(ann_files: Sequence[str], tokenizer, q_len: int = 25,
         answers = r.get("answer", [])
         if isinstance(answers, str):
             answers = [answers]
+        rb = r.get("bias")
+        rb = (np.atleast_1d(np.asarray(rb, np.float32))
+              if rb is not None else None)
         uniq: dict[str, float] = {}
-        for ans in answers:
+        # bias arrives aligned with the RAW answer list (build_vqacp_ocr
+        # emits one prior per human answer, duplicates included) — carry it
+        # through the dedup BY KEY, not positionally, or slot j's bias ends
+        # up belonging to a different answer
+        uniq_bias: dict[str, float] = {}
+        for j, ans in enumerate(answers):
             uniq[ans] = uniq.get(ans, 0.0) + 1.0 / max(len(answers), 1)
+            if rb is not None and j < len(rb):
+                uniq_bias[ans] = float(rb[j])
         items = list(uniq.items())[:a_max]
         if items:
             texts = [t for t, _ in items]
@@ -115,10 +123,8 @@ def load_entries(ann_files: Sequence[str], tokenizer, q_len: int = 25,
             ans_tokens[i, : len(items)] = tk
             ans_mask[i, : len(items)] = tm
             weights[i, : len(items)] = [w for _, w in items]
-        rb = r.get("bias")
         if rb is not None:
-            rb = np.atleast_1d(np.asarray(rb, np.float32))[: len(items)]
-            bias[i, : len(rb)] = rb
+            bias[i, : len(items)] = [uniq_bias.get(t, 0.0) for t, _ in items]
     return MPlugEntries(
         question_ids=np.asarray(
             [r.get("question_id", i) for i, r in enumerate(records)], np.int64),
@@ -179,11 +185,14 @@ def iterate_batches(entries: MPlugEntries, batch_size: int,
     aug_rng = np.random.default_rng(seed) if augment else None
     for start in range(0, n, batch_size):
         idx = order[start: start + batch_size]
+        valid = np.ones(batch_size, bool)
         if len(idx) < batch_size:
             if drop_last:
                 return
+            valid[len(idx):] = False  # pad rows: consumers must skip them
             idx = np.concatenate([idx, np.full(batch_size - len(idx), idx[-1])])
         yield {
+            "valid": valid,
             "images": load_images([entries.image_paths[i] for i in idx],
                                   image_res, rng=aug_rng),
             "question_ids": entries.question_tokens[idx],

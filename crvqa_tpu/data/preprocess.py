@@ -102,11 +102,10 @@ def build_cache(dataroot: str, train_anno: str, test_anno: str,
         with open(os.path.join(cache, f"{split}_target.pkl"), "wb") as f:
             pickle.dump(build_targets(anno, ans2label), f)
         counts = build_target_counts(anno)
-        try:
-            import torch
+        from ..core import torch_compat
 
-            torch.save(counts, os.path.join(cache, f"{split}_target_count.pth"))
-        except ImportError:
+        if not torch_compat.save_torch_pickle(
+                os.path.join(cache, f"{split}_target_count.pth"), counts):
             with open(os.path.join(cache, f"{split}_target_count.pkl"), "wb") as f:
                 pickle.dump(counts, f)
     return {"ans_num": len(label2ans)}

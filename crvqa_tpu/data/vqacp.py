@@ -191,6 +191,12 @@ def iterate_batches(entries: VQAEntries, features: ImageFeatures,
         feats, pos = features.lookup(entries.image_ids[idx])
         batch = {
             "input_ids": entries.input_ids[idx],
+            # all-ones on purpose: the reference calls the model with NO
+            # attention mask (positional call at mask_trainer_Robust_VQA.py:
+            # 808 -> LxmertModel defaults to ones), so [PAD] tokens are
+            # attended there too — reproducing its accuracies requires the
+            # same. `entries.lengths` carries the true token counts for
+            # anyone wanting the "correct" mask as an experiment.
             "attention_mask": np.ones_like(entries.input_ids[idx], np.float32),
             "visual_feats": feats,
             "visual_pos": pos,

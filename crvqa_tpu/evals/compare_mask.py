@@ -20,22 +20,25 @@ def jaccard(m1: np.ndarray, m2: np.ndarray) -> float:
 
 def compare_mask_dicts(mask1: dict, mask2: dict,
                        show_every_matrix: bool = False) -> float:
-    assert len(mask1) == len(mask2)
+    # pair BY KEY: iteration orders differ between our exports (spec
+    # order) and reference mask.pt files (torch module traversal), and the
+    # matrices often share shapes so an order zip fails silently
+    assert set(mask1) == set(mask2), sorted(
+        set(mask1).symmetric_difference(mask2))[:5]
     sims = []
-    for k1, k2 in zip(mask1.keys(), mask2.keys()):
-        s = jaccard(np.asarray(mask1[k1]).astype(bool),
-                    np.asarray(mask2[k2]).astype(bool))
+    for k in mask1:
+        s = jaccard(np.asarray(mask1[k]).astype(bool),
+                    np.asarray(mask2[k]).astype(bool))
         sims.append(s)
         if show_every_matrix:
-            print(k1, s)
+            print(k, s)
     return float(np.mean(sims))
 
 
 def _load_mask(path: str) -> dict:
-    import torch
+    from ..core.torch_compat import load_mask_dict_bool
 
-    raw = torch.load(path, map_location="cpu", weights_only=False)
-    return {k: v.numpy().astype(bool) for k, v in raw.items()}
+    return load_mask_dict_bool(path)
 
 
 def compare_mask_files(paths: dict[str, str],

@@ -23,13 +23,17 @@ def compute_vqacp_scores(predictions: Sequence[dict],
     [{question_id, answers_word, answer_count, answer_type}].
     """
     annotations = sorted(annotations, key=lambda x: x["question_id"])
-    predictions = sorted(predictions, key=lambda x: x["question_id"])
+    # align BY question_id: the reference zips sorted lists positionally,
+    # which silently desynchronizes every later pair after one missing or
+    # duplicated prediction (last-write-wins here matches scorer intent)
+    by_qid = {p["question_id"]: p for p in predictions}
     score = yes_no_score = num_score = other_score = 0.0
     upper = upper_yes = upper_num = upper_other = 0.0
     count = yes_count = num_count = other_count = 0
     matched = 0
-    for pred, anno in zip(predictions, annotations):
-        if pred["question_id"] != anno["question_id"]:
+    for anno in annotations:
+        pred = by_qid.get(anno["question_id"])
+        if pred is None:
             continue
         matched += 1
         gt = max(anno["answer_count"].values())

@@ -79,7 +79,20 @@ class Masker:
                **kw) -> "Masker":
         if hasattr(zerorate, "as_dict"):
             zerorate = zerorate.as_dict()
-        return cls(specs=tuple(specs), zerorate=tuple(sorted(zerorate.items())), **kw)
+        m = cls(specs=tuple(specs), zerorate=tuple(sorted(zerorate.items())),
+                **kw)
+        if m.global_prune or m.controlled_init == "magnitude_global":
+            # the reference's global maskers carry ONE zero rate
+            # (global_maskers.py ctor takes a single sparsity); silently
+            # picking an arbitrary modality's rate would prune the whole
+            # model at e.g. the Fus rate
+            rates = set(dict(m.zerorate).values())
+            if len(rates) > 1:
+                raise ValueError(
+                    "global pruning needs a single zero rate; got per-"
+                    f"modality rates {dict(m.zerorate)} — use "
+                    "ModalSparsity.uniform")
+        return m
 
     # ------------------------------------------------------------------ config
     @property
@@ -229,8 +242,11 @@ class Masker:
             sp = (sparsity_override if sparsity_override is not None
                   else next(iter(self.zerorate_dict.values())))
             k = jnp.maximum(jnp.asarray(all_scores.size * sp, jnp.int32), 1)
-            t = kth_smallest(all_scores, k)
-            return {s.key: t.astype(jnp.float32) for s in self.specs}
+            t = kth_smallest(all_scores, k).astype(jnp.float32)
+            # keep per-spec threshold SHAPES consistent with init's: stacked
+            # specs carry per-layer [L] thresholds (_bthr reshapes them)
+            return {s.key: (jnp.full((s.stacked,), t) if s.stacked else t)
+                    for s in self.specs}
         out: Thresholds = {}
         for s in self.specs:
             sp = (sparsity_override if sparsity_override is not None

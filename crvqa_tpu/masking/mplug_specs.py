@@ -9,8 +9,11 @@ Mirrors the name tables + shipped weight-type selection of
 
 Stride fusion layers (rel != 0 and rel % stride_layer == 0) have NO
 cross-attention module (modeling_mplug.py:496-506), so their C* specs are
-omitted. Momentum `_m` twins get their own spec set when distillation is on
-(the chain at maskers.py:80-84); modality is uniform ('Uni').
+omitted. Momentum `_m` twins (the chain at maskers.py:80-84) need no specs
+of their own: they live in `state.params_m` under the SAME paths and are
+masked with the live scores by `apply_masks(momentum_tree=True)`; the
+`_m`-prefixed torch names exist only in the mask.pt export
+(cli/vqa_mplug.py builds them). Modality is uniform ('Uni').
 """
 from __future__ import annotations
 
@@ -40,7 +43,6 @@ def _self_attn(prefix_path, prefix_torch, layer, what):
 def mplug_mask_specs(vit_layers: int = 12, text_encoder_layers: int = 6,
                      fusion_layers: int = 6, decoder_layers: int = 12,
                      stride_layer: int = 3,
-                     with_momentum: bool = False,
                      mask_classifier: bool = False) -> list[MaskSpec]:
     specs: list[MaskSpec] = []
 
@@ -98,15 +100,4 @@ def mplug_mask_specs(vit_layers: int = 12, text_encoder_layers: int = 6,
             torch_name="text_decoder_m.cls.predictions.transform.dense",
             weight_type="classifier", modality="Uni", momentum_only=True))
 
-    if with_momentum:
-        # momentum twins share spec shapes under a *_m tower prefix
-        specs = specs + [
-            MaskSpec(
-                path=(s.path[0] + "_m",) + s.path[1:],
-                torch_name=s.torch_name.split(".", 1)[0] + "_m."
-                + s.torch_name.split(".", 1)[1],
-                weight_type=s.weight_type, modality=s.modality,
-            )
-            for s in specs
-        ]
     return specs

@@ -46,26 +46,37 @@ def stepwise_sparsity(
 ) -> Callable[[float, float], float]:
     """Stepwise scheme (sparsity_control_Robust.py:42-85)."""
 
+    def _intervals(epoch: float) -> int:
+        # number of COMPLETED intervals; +1e-9 absorbs float-modulo error
+        # for fractional intervals (0.3 % 0.1 == 0.0999... would otherwise
+        # skip most scheduled increments — the MaskerScheduler default
+        # interval is 0.1)
+        return int((epoch - init_epoch) / interval_epoch + 1e-9)
+
     def f(current_epoch: float, current_sparsity: float) -> float:
         if current_epoch < init_epoch:
             return init_sparsity
         if current_epoch >= final_epoch:
             return final_sparsity
-        if (current_epoch - init_epoch) % interval_epoch <= 1e-5:
-            return current_sparsity + (1 - current_sparsity) * sparsity_incremental_ratio
-        return current_sparsity
+        # geometric approach toward 1: apply the increment once per
+        # completed interval since the caller's last-seen sparsity. The
+        # interval count makes the schedule a pure function of the epoch
+        # (the reference's modulo trigger relies on being polled exactly
+        # on the boundary, sparsity_control_Robust.py:42-85).
+        n = _intervals(current_epoch)
+        s = init_sparsity
+        for _ in range(n):
+            s = s + (1 - s) * sparsity_incremental_ratio
+        return max(s, current_sparsity)
 
     if with_safety_check:
-        cur = init_sparsity
-        for e in range(int(init_epoch), int(final_epoch), max(int(interval_epoch), 1)):
-            cur = f(e, cur)
-        if (final_epoch - init_epoch) % interval_epoch <= 1e-5:
-            cur += (1 - cur) * sparsity_incremental_ratio
-        if cur < final_sparsity:
+        reachable = f(final_epoch - 1e-9, init_sparsity)
+        reachable += (1 - reachable) * sparsity_incremental_ratio
+        if reachable < final_sparsity:
             raise ValueError(
                 "Increase initial sparsity and/or incremental ratio; "
-                f"reachable final sparsity {cur} < required {final_sparsity}"
-            )
+                f"reachable final sparsity {reachable} < required "
+                f"{final_sparsity}")
     return f
 
 

@@ -33,12 +33,17 @@ from .spec import MaskSpec
 
 @jax.custom_vjp
 def binarize_head_ste(scores: jax.Array, num_to_mask) -> jax.Array:
-    """Zero the globally lowest `num_to_mask` entries of a [L, H] head-score
-    matrix, keep the rest at 1; identity gradient (`Binarizer_head`,
-    prune_debias_VQA.py:633-650)."""
+    """Zero EXACTLY the globally lowest `num_to_mask` entries of a [L, H]
+    head-score matrix, keep the rest at 1; identity gradient
+    (`Binarizer_head`, prune_debias_VQA.py:633-650). Rank-based rather than
+    threshold-based so ties zero exactly k heads and num_to_mask=0 masks
+    none — matching `head_mask_from_scores`'s argsort export semantics (a
+    kth-value threshold with strict `>` zeroes ALL tied heads and always at
+    least one)."""
     flat = jnp.ravel(scores)
-    thr = kth_smallest(flat, jnp.asarray(num_to_mask, jnp.int32))
-    return (scores > thr).astype(scores.dtype)
+    rank = jnp.argsort(jnp.argsort(flat))  # rank 0 = smallest, stable
+    mask = (rank >= jnp.asarray(num_to_mask, jnp.int32)).astype(scores.dtype)
+    return mask.reshape(scores.shape)
 
 
 def _bh_fwd(scores, num_to_mask):
@@ -86,13 +91,16 @@ class StructuredMasker(Masker):
              ) -> tuple[Scores, Thresholds]:
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        # independent streams: the delegated unstructured init consumes its
+        # own branch so the structured loop below never reuses its subkeys
+        rng, u_rng = jax.random.split(rng)
         scores: Scores = {}
         thresholds: Thresholds = {}
         unstructured = [s for s in self.specs if not self._is_structured(s)]
         if unstructured:
             sub = dataclasses.replace(self, specs=tuple(unstructured),
                                       structured_types=())
-            u_scores, u_thr = Masker.init(sub, params, rng)
+            u_scores, u_thr = Masker.init(sub, params, u_rng)
             scores.update(u_scores)
             thresholds.update(u_thr)
         for spec in self.specs:
@@ -113,10 +121,15 @@ class StructuredMasker(Masker):
         return expand_head_mask_to_kernel(mask, kernel.shape)
 
     def apply_masks(self, params: PyTree, scores: Scores, thresholds: Thresholds,
-                    rng: Optional[jax.Array] = None) -> PyTree:
+                    rng: Optional[jax.Array] = None,
+                    momentum_tree: bool = False) -> PyTree:
+        # same contract as the base (incl. the momentum_only skip) so a
+        # StructuredMasker substitutes anywhere a Masker does
         binarize = self.binarizer(rng)
         flat = traverse_util.flatten_dict(params)
         for spec in self.specs:
+            if spec.momentum_only and not momentum_tree:
+                continue
             w = flat[spec.path]
             m = binarize(scores[spec.key], thresholds[spec.key])
             if self._is_structured(spec):
@@ -140,14 +153,29 @@ class StructuredMasker(Masker):
                 out[s.key] = kth_smallest(sc, k).astype(jnp.float32)
         return out
 
-    def sparsity_report(self, scores: Scores, thresholds: Thresholds):
+    def sparsity_report(self, scores: Scores, thresholds: Thresholds,
+                        params: Optional[PyTree] = None):
+        """Achieved zero rates. Pass `params` to weight each structured
+        score by the WEIGHT elements it controls (a head score gates
+        head_size x hidden kernel entries; a 'layers' gate the whole
+        matrix) — the true weight sparsity for mixed
+        structured/unstructured spec sets. Without `params`, entries count
+        as single gates (gate-level sparsity). Per-modality breakdown kept
+        from the base contract."""
         zeros: dict[str, jax.Array] = {}
         elems: dict[str, jax.Array] = {}
         for s in self.specs:
             sc = scores[s.key]
-            weight_elems = 1.0
             z = jnp.sum(sc <= thresholds[s.key]).astype(jnp.float32)
             n = jnp.asarray(max(sc.size, 1), jnp.float32)
+            if self._is_structured(s) and params is not None:
+                # scale gate counts to controlled weight elements
+                w = _get_leaf(params, s.path)
+                per_gate = w.size / max(sc.size, 1)
+                z = z * per_gate
+                n = n * per_gate
+            zeros[s.modality] = zeros.get(s.modality, 0.0) + z
+            elems[s.modality] = elems.get(s.modality, 0.0) + n
             zeros["all"] = zeros.get("all", 0.0) + z
             elems["all"] = elems.get("all", 0.0) + n
         return {k: zeros[k] / elems[k] for k in zeros}

@@ -138,7 +138,11 @@ def make_train_step(model, masker: Masker, tx: optax.GradientTransformation,
     def loss_fn(trainable, state: Stage2State, batch, dropout_rng):
         params = merge_params(state.frozen_params, trainable["train"],
                               config.classifier_key)
-        masked = masker.apply_masks(params, trainable["scores"], state.thresholds)
+        # the rng only feeds MaskedLinear3's bernoulli binarizer
+        # (maskers_Robust.py:436-450); schemes 1/2 ignore it
+        masked = masker.apply_masks(
+            params, trainable["scores"], state.thresholds,
+            rng=jax.random.fold_in(dropout_rng, 1))
         logits, pooled = model.apply(
             {"params": masked}, **model_inputs(batch),
             deterministic=False, rngs={"dropout": dropout_rng},
@@ -193,6 +197,13 @@ def make_train_step(model, masker: Masker, tx: optax.GradientTransformation,
 
             opt_state = constrain_opt_state(opt_state, mesh)
         new = optax.apply_updates(trainable, updates)
+        if masker.binarizer_name == "MaskedLinear2":
+            # scheme 2's in-place clamp_(-1, 1) after every optimizer step
+            # (maskers_Robust.py:398-404 via binarizers.clamp_scores_sign)
+            from ..masking import clamp_scores_sign
+
+            new["scores"] = jax.tree_util.tree_map(clamp_scores_sign,
+                                                   new["scores"])
         metrics = TrainMetrics(
             loss=loss, score=score,
             batch_size=jnp.asarray(batch["labels"].shape[0], jnp.float32),
@@ -254,7 +265,10 @@ def make_eval_step(model, masker: Masker,
     def eval_step(state: Stage2State, batch):
         params = merge_params(state.frozen_params, state.train_params,
                               config.classifier_key)
-        masked = masker.apply_masks(params, state.scores, state.thresholds)
+        # fixed key: eval must be deterministic across batches; only
+        # MaskedLinear3's bernoulli binarizer consumes it
+        masked = masker.apply_masks(params, state.scores, state.thresholds,
+                                    rng=jax.random.PRNGKey(0))
         logits, _ = model.apply({"params": masked}, **model_inputs(batch),
                                 deterministic=True)
         return logits

@@ -23,7 +23,9 @@ def test_load_entries_weights_and_bias(tmp_path):
         {"question_id": 7, "question": "what color is the cat",
          "image": "img/1.jpg",
          "answer": ["red", "red", "red", "blue"],
-         "bias": [0.5, 0.1]},
+         # one prior per RAW answer incl. duplicates — the
+         # build_vqacp_ocr contract ('[probs[qtype][a] for a in answer]')
+         "bias": [0.5, 0.5, 0.5, 0.1]},
         {"question_id": 8, "question": "is it raining",
          "image": "img/2.jpg", "answer": "yes"},
     ]
@@ -40,7 +42,8 @@ def test_load_entries_weights_and_bias(tmp_path):
     assert e.weights[0].sum() <= 1.0 + 1e-6
     # single-string answer becomes one slot of weight 1
     np.testing.assert_allclose(e.weights[1], [1.0, 0.0, 0.0])
-    # per-answer bias attaches positionally
+    # per-answer bias follows each answer through the dedup BY KEY (review
+    # finding: positional truncation fed 'blue' the bias of 'red')
     np.testing.assert_allclose(e.bias[0][:2], [0.5, 0.1])
     assert e.image_paths[0] == "/data/img/1.jpg"
     assert list(e.question_ids) == [7, 8]
@@ -225,3 +228,33 @@ def test_loader_augmented_questions_and_images(tmp_path):
     np.testing.assert_array_equal(b_a["images"], b_b["images"])
     assert np.abs(b_a["images"] - b_c["images"]).max() > 0
     assert np.abs(b_a["images"] - b_t["images"]).max() > 0
+
+
+def test_eval_batches_mark_ragged_padding_valid():
+    """Review finding: the ragged final eval batch was padded with repeats
+    of the last example and no `valid` flag, so the CLI appended duplicate
+    predictions (skewing cal_metric). Batches now carry `valid`."""
+    from crvqa_tpu.data.mplug_data import MPlugEntries, iterate_batches
+
+    n, bs = 5, 4
+    e = MPlugEntries(
+        question_ids=np.arange(n, dtype=np.int64),
+        question_tokens=np.zeros((n, 3), np.int32),
+        question_mask=np.ones((n, 3), np.float32),
+        answer_tokens=np.zeros((n, 2, 3), np.int32),
+        answer_mask=np.ones((n, 2, 3), np.float32),
+        weights=np.ones((n, 2), np.float32),
+        bias=np.zeros((n, 2), np.float32),
+        image_paths=["x"] * n)
+    import crvqa_tpu.data.mplug_data as md
+
+    orig = md.load_images
+    md.load_images = lambda paths, image_res=384, rng=None: np.zeros(
+        (len(paths), 8, 8, 3), np.float32)
+    try:
+        batches = list(iterate_batches(e, bs, image_res=8))
+    finally:
+        md.load_images = orig
+    assert batches[0]["valid"].all()
+    assert list(batches[1]["valid"]) == [True, False, False, False]
+    assert len(batches[1]["qid"]) == bs  # shapes stay static

@@ -82,3 +82,25 @@ def test_optimizer_factory_surface():
     cfg = MPlugTrainConfig(opt="adahessian")
     with pytest.raises(ValueError):
         make_two_group_adamw(cfg).init(params)
+
+
+def test_stepwise_fractional_interval():
+    """Review finding (reproduced): the float-modulo trigger skipped most
+    fractional-interval increments and the safety check spuriously raised
+    at the MaskerScheduler default interval 0.1. The interval-count form is
+    a pure function of the epoch."""
+    from crvqa_tpu.masking.sparsity_control import stepwise_sparsity
+
+    f = stepwise_sparsity(init_sparsity=0.1, final_sparsity=0.7,
+                          interval_epoch=0.1, init_epoch=0.0,
+                          final_epoch=15.0, sparsity_incremental_ratio=0.2)
+    s = 0.1
+    seen = [s]
+    for e in np.arange(0.0, 15.0, 0.1):
+        s = f(float(e), s)
+        seen.append(s)
+    assert s > 0.69                           # approaches 1 geometrically
+    assert all(b >= a for a, b in zip(seen, seen[1:]))  # monotone
+    # increments actually fire at fractional epochs
+    assert f(0.35, 0.1) > f(0.05, 0.1)
+    assert f(20.0, 0.1) == 0.7                # clamps at final

@@ -113,3 +113,56 @@ def test_magnitude_head_scores():
     for s in att_specs:
         assert hs[s.key].shape == (config.num_attention_heads,)
         assert (np.asarray(hs[s.key]) > 0).all()
+
+
+def test_binarize_head_ste_exact_k_and_zero():
+    """Review finding: the threshold-based STE zeroed at least one head even
+    at num_to_mask=0 and zeroed ALL tied heads; the rank-based form masks
+    exactly k, matching head_mask_from_scores's argsort export."""
+    from crvqa_tpu.masking.structured import binarize_head_ste
+
+    scores = jnp.asarray([[0.5, 0.1, 0.1, 0.9],
+                          [0.1, 0.7, 0.3, 0.1]], jnp.float32)  # ties at 0.1
+    m0 = np.asarray(binarize_head_ste(scores, 0))
+    np.testing.assert_array_equal(m0, 1.0)                 # k=0: mask none
+    m3 = np.asarray(binarize_head_ste(scores, 3))
+    assert m3.sum() == scores.size - 3                     # exactly 3 zeroed
+    assert m3[0, 3] == 1 and m3[1, 1] == 1                 # largest survive
+    # gradient is identity (STE)
+    g = jax.grad(lambda s: jnp.sum(binarize_head_ste(s, 2) * s))(scores)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_structured_masker_momentum_contract_and_weighted_report():
+    """Review findings: StructuredMasker.apply_masks now honors the base
+    momentum_tree/momentum_only contract, and sparsity_report can weight
+    structured gates by the kernel elements they control."""
+    from crvqa_tpu.masking.spec import MaskSpec
+    from crvqa_tpu.masking.structured import StructuredMasker
+
+    params = {"m": {"self": {"kernel": jnp.ones((8, 8))},
+                    "other": {"kernel": jnp.ones((8, 8))}}}
+    specs = (
+        MaskSpec(path=("m", "self", "kernel"), torch_name="m.self",
+                 weight_type="lK", modality="Lang"),
+        MaskSpec(path=("m", "other", "kernel"), torch_name="m.other",
+                 weight_type="lK", modality="Lang", momentum_only=True),
+    )
+    masker = StructuredMasker(specs=specs, zerorate=(("Lang", 0.5),),
+                              controlled_init=None, num_heads=4,
+                              structured_types=("self",))
+    scores, thr = masker.init(params, jax.random.PRNGKey(0))
+    out = masker.apply_masks(params, scores, thr)           # kw contract
+    np.testing.assert_array_equal(                           # momentum_only
+        np.asarray(out["m"]["other"]["kernel"]), 1.0)        # spec skipped
+    out_m = masker.apply_masks(params, scores, thr, momentum_tree=True)
+    assert out_m["m"]["other"]["kernel"].shape == (8, 8)
+
+    # element-weighted report: zero half the heads of the structured spec
+    scores["m/self/kernel"] = jnp.asarray([1.0, 1.0, -1.0, -1.0])
+    thr["m/self/kernel"] = jnp.asarray(0.0, jnp.float32)
+    scores["m/other/kernel"] = jnp.full((8, 8), 1.0)
+    thr["m/other/kernel"] = jnp.asarray(0.0, jnp.float32)
+    rep = masker.sparsity_report(scores, thr, params=params)
+    # structured: 2/4 gates -> 32/64 weights zero; unstructured: 0/64
+    np.testing.assert_allclose(float(rep["all"]), 32.0 / 128.0, atol=1e-6)
