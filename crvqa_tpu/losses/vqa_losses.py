@@ -83,12 +83,14 @@ def learned_mixin_init(rng: jax.Array, hidden_size: int = 768,
     """Trainable params of `LearnedMixin.__init__`
     (vqa_debias_loss_functions.py:125-146): bias_lin Dense(hidden->1) +
     learned smooth scalar."""
-    kkey, _ = jax.random.split(rng)
+    kkey, bkey = jax.random.split(rng)
     bound = 1.0 / jnp.sqrt(hidden_size)  # torch Linear default init
     return {
         "bias_lin": {
             "kernel": jax.random.uniform(kkey, (hidden_size, 1), jnp.float32, -bound, bound),
-            "bias": jnp.zeros((1,), jnp.float32),
+            # torch nn.Linear inits the BIAS uniformly too (zeros deviated
+            # from the reference's step-0 trajectory)
+            "bias": jax.random.uniform(bkey, (1,), jnp.float32, -bound, bound),
         },
         "smooth_param": jnp.full((1,), smooth_init, jnp.float32),
     }

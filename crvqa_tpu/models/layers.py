@@ -204,8 +204,14 @@ class MultiHeadAttention(nn.Module):
         scores = scores / jnp.sqrt(self.head_size).astype(jnp.float32)
         if attention_bias is not None:
             bias = attention_bias.astype(jnp.float32)
-            if layout == "bqhk":  # bias is [B, 1, 1, K]: same broadcast
-                bias = bias.reshape(bias.shape[0], 1, 1, bias.shape[-1])
+            if layout == "bqhk":
+                # scores are [B, Q, H, K]; a key-wise [B,1,1,K] bias keeps
+                # its broadcast, a query-dependent (causal) [B,1,L,L] bias
+                # moves its query axis to dim 1
+                if bias.shape[2] == 1:
+                    bias = bias.reshape(bias.shape[0], 1, 1, bias.shape[-1])
+                else:
+                    bias = jnp.swapaxes(bias, 1, 2)  # [B, Q, 1, K]
             scores = scores + bias
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)

@@ -44,22 +44,6 @@ from .lxmert import (
     LxmertXLayer,
 )
 
-_GROUPS = (("layer", "layers_l", "l_layers"),
-           ("r_layers", "layers_r", "r_layers"),
-           ("x_layers", "layers_x", "x_layers"))
-
-
-def _scan_group(module_cls, length, name, broadcast_args):
-    """nn.scan wrapper: params stacked on axis 0, carry = hidden state(s)."""
-    return nn.scan(
-        module_cls,
-        variable_axes={"params": 0},
-        split_rngs={"params": True, "dropout": True},
-        length=length,
-        in_axes=nn.broadcast,
-    )
-
-
 class _ScanSelfLayer(nn.Module):
     """Scan body for the homogeneous self-attention groups."""
 

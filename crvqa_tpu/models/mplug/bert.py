@@ -115,7 +115,6 @@ class BertSelfBlock(nn.Module):
     but reusable for causal masks via the additive bias."""
 
     config: MPlugBertConfig
-    name_prefix: str = "attention"
 
     @nn.compact
     def __call__(self, x, context, bias, deterministic=True, kv=None):
@@ -260,10 +259,16 @@ class TextDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, enc_states, enc_mask,
-                 deterministic=True, cross_kv=None):
+                 deterministic=True, cross_kv=None, position=None):
         """`cross_kv`: optional per-layer list of precomputed cross-attention
         (k, v) projections of `enc_states` — decode-time caching of the
-        static encoder memory (generator.precompute_cross_kv)."""
+        static encoder memory (generator.precompute_cross_kv).
+
+        `position` (traced scalar): slice the hidden states to that single
+        row BEFORE the LM head and return [N, 1, V]. Autoregressive
+        generation reads exactly one position per step, and the tied
+        [hidden, 30522] vocab projection is the decode loop's largest
+        matmul — computing it for all L rows was an L-fold waste."""
         c = self.config
         emb = BertEmbeddings(c, name="embeddings")
         h = emb(input_ids, deterministic)
@@ -275,6 +280,8 @@ class TextDecoder(nn.Module):
             h = layer_cls(c, has_cross=True, name=f"layer_{i}")(
                 h, self_bias, enc_states, enc_bias, deterministic,
                 cross_kv=None if cross_kv is None else cross_kv[i])
+        if position is not None:
+            h = jax.lax.dynamic_slice_in_dim(h, position, 1, axis=1)
         # LM head: transform + tied decoder
         t = nn.Dense(c.hidden_size, dtype=c.dtype,
                      name="predictions_transform_dense")(h)

@@ -17,20 +17,38 @@ import jax.numpy as jnp
 NEG_INF = -1.0e9
 
 
+def _supports_position(decode_logits: Callable) -> bool:
+    """Decode closures that accept `position` get the sliced LM head
+    ([N,1,V] for one row instead of [N,L,V] — the vocab projection is the
+    decode loop's largest matmul); others keep the full-logits contract."""
+    import inspect
+
+    try:
+        return "position" in inspect.signature(decode_logits).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def greedy_generate(decode_logits: Callable, states, state_mask,
                     max_len: int = 12, bos: int = 101, eos: int = 102,
                     pad: int = 0):
-    """Greedy decoding. `decode_logits(ids, mask, states, state_mask)` returns
-    [N, L, V] logits. Returns token ids [B, max_len] (bos included)."""
+    """Greedy decoding. `decode_logits(ids, mask, states, state_mask[,
+    position])` returns [N, L, V] logits (or [N, 1, V] when it accepts
+    `position`). Returns token ids [B, max_len] (bos included)."""
     b = states.shape[0]
     ids = jnp.full((b, max_len), pad, jnp.int32).at[:, 0].set(bos)
     done = jnp.zeros((b,), bool)
+    sliced = _supports_position(decode_logits)
 
     def body(t, carry):
         ids, done = carry
         mask = (jnp.arange(max_len)[None, :] < t).astype(jnp.float32)
-        logits = decode_logits(ids, mask, states, state_mask)
-        next_tok = jnp.argmax(logits[:, t - 1], axis=-1).astype(jnp.int32)
+        if sliced:
+            step = decode_logits(ids, mask, states, state_mask,
+                                 position=t - 1)[:, 0]
+        else:
+            step = decode_logits(ids, mask, states, state_mask)[:, t - 1]
+        next_tok = jnp.argmax(step, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(done, pad, next_tok)
         ids = ids.at[:, t].set(next_tok)
         done = jnp.logical_or(done, next_tok == eos)
@@ -60,14 +78,20 @@ def beam_generate(decode_logits: Callable, states, state_mask,
     # only beam 0 is live at t=0 so the first expansion isn't degenerate
     scores = jnp.full((b, w), NEG_INF, jnp.float32).at[:, 0].set(0.0)
     done = jnp.zeros((b, w), bool)
+    sliced = _supports_position(decode_logits)
 
     def body(t, carry):
         ids, scores, done = carry
         mask = (jnp.arange(max_len)[None, :] < t).astype(jnp.float32)
         flat_ids = ids.reshape(b * w, max_len)
         flat_mask = jnp.broadcast_to(mask, (b * w, max_len))
-        logits = decode_logits(flat_ids, flat_mask, rep_states, rep_mask)
-        logp = jax.nn.log_softmax(logits[:, t - 1].astype(jnp.float32), axis=-1)
+        if sliced:
+            step = decode_logits(flat_ids, flat_mask, rep_states, rep_mask,
+                                 position=t - 1)[:, 0]
+        else:
+            step = decode_logits(flat_ids, flat_mask, rep_states,
+                                 rep_mask)[:, t - 1]
+        logp = jax.nn.log_softmax(step.astype(jnp.float32), axis=-1)
         v = logp.shape[-1]
         logp = logp.reshape(b, w, v)
         # finished beams may only continue with pad at zero cost

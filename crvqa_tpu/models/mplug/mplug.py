@@ -126,12 +126,13 @@ class MPlug(nn.Module):
         return jnp.sum(loss) / b
 
     def decode_logits(self, answer_ids, answer_mask, states, state_mask,
-                      deterministic=True, cross_kv=None):
+                      deterministic=True, cross_kv=None, position=None):
         """Decoder logits for generation / answer ranking. `cross_kv` caches
-        the per-layer cross-attention projections of the static states."""
+        the per-layer cross-attention projections of the static states;
+        `position` slices the LM head to one decode row (generation)."""
         return self.text_decoder(answer_ids, answer_mask, states, state_mask,
                                  deterministic=deterministic,
-                                 cross_kv=cross_kv)
+                                 cross_kv=cross_kv, position=position)
 
     def rank_answers(self, images, question_ids, question_mask,
                      answer_list_ids, answer_list_mask, deterministic=True):

@@ -187,7 +187,11 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *p_out,
         # for every block, so the global row max stabilizes all blocks
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        denom = segsum(e)                    # per-block sums, broadcast
+        # epsilon guards the pathological case where a head's whole block
+        # underflows exp (its max sits ~90+ below the global row max): p
+        # becomes 0 there instead of 0/0 = NaN (XLA's per-head softmax is
+        # finite; realistic LXMERT/mPLUG logits never get near this)
+        denom = jnp.maximum(segsum(e), 1e-30)
         p = e / denom
         if p_out:
             p_out[0][b] = p
@@ -312,7 +316,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
         s = s * scale + bias_b
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        denom = segsum(e)
+        denom = jnp.maximum(segsum(e), 1e-30)  # NaN guard, see fwd
         p = e / denom                        # pre-dropout probs [Sq, H*Sk]
         if rate > 0.0:
             keep = _keep_mask(p.shape, rate, seed, prog * bb + b, 0)

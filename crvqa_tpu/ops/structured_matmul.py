@@ -60,14 +60,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def expand_keep_idx(head_mask: jax.Array, n_keep: int) -> jax.Array:
-    """Indices of kept heads, padded (by repeating the last kept index) to a
-    static n_keep. `head_mask` is bool [H], True = kept. Duplicated pad
-    entries compute the same head twice and scatter the same value — the
-    output stays correct as long as n_keep >= the true kept count."""
+    """Indices of kept heads, padded to a static n_keep. `head_mask` is
+    bool [H], True = kept. Pad entries beyond the true kept count (and an
+    all-masked mask — previously it silently computed one masked head) use
+    the out-of-range sentinel H: `jnp.take` clips it (garbage compute) and
+    the `mode='drop'` scatter discards it, so the output stays exactly
+    `x @ (w * mask)` for every mask incl. all-False."""
+    num_heads = head_mask.shape[0]
     idx = jnp.argsort(~head_mask)  # kept first, stable
-    n_kept = jnp.maximum(jnp.sum(head_mask.astype(jnp.int32)), 1)
-    pos = jnp.minimum(jnp.arange(n_keep), n_kept - 1)
-    return idx[pos]
+    n_kept = jnp.sum(head_mask.astype(jnp.int32))
+    pos = jnp.minimum(jnp.arange(n_keep), jnp.maximum(n_kept - 1, 0))
+    return jnp.where(jnp.arange(n_keep) < n_kept, idx[pos], num_heads)
 
 
 # ------------------------------------------------------------------ XLA path
@@ -94,9 +97,10 @@ def _compact_fwd(x, w, keep_idx, num_heads, head_size):
 
 
 def _compact_bwd(num_heads, head_size, res, g):
-    """Dense masked backward: STE semantics need grads through ALL head
-    columns of w (scores of masked heads still learn), so recompute the
-    dense mask and run the ordinary VJP math."""
+    """Dense masked backward: d/dw (w * m) = m, so masked head columns get
+    exactly zero weight gradient (matching CustomFromMask / the dense
+    masked matmul). Score gradients are NOT this op's job — they flow
+    through `binarize_head_ste`'s identity STE upstream of the mask."""
     x, w, keep_idx = res
     k, n = w.shape
     mask_h = jnp.zeros((num_heads,), w.dtype).at[keep_idx].set(1.0)
@@ -145,6 +149,11 @@ def head_compact_matmul_pallas(x: jax.Array, wt: jax.Array,
     n_kept = keep_idx.shape[0]
     assert n == num_heads * head_size and wt.shape[1] == k
     assert m % bm == 0 and k % bk == 0, (m, k, bm, bk)
+    # expand_keep_idx pads with the out-of-range sentinel H (dropped by the
+    # XLA scatter); here the index routes a BLOCK fetch, so clamp it — pad
+    # blocks recompute the last kept head, which this compacted-output
+    # inference path tolerates (callers slice the true kept rows)
+    keep_idx = jnp.minimum(keep_idx, num_heads - 1)
 
     xt = x.T  # [K, M]
     grid = (n_kept, m // bm, k // bk)

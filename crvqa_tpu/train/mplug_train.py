@@ -389,9 +389,10 @@ def make_generate_step(model, config: MPlugTrainConfig,
             params["text_decoder"], rep_states, bc.text_decode_layers,
             bc.num_attention_heads, bc.head_size, dtype=bc.dtype)
 
-        def decode(ids, mask, st, st_mask):
+        def decode(ids, mask, st, st_mask, position=None):
             return model.apply({"params": params}, ids, mask, st, st_mask,
-                               cross_kv=cross_kv, method=model.decode_logits)
+                               cross_kv=cross_kv, position=position,
+                               method=model.decode_logits)
 
         cfg = model.config
         return beam_generate(decode, states, state_mask, beam_size=beam_size,

@@ -18,7 +18,9 @@ from crvqa_tpu.train import stage2
 
 GOLDEN = {
     "normal": (10.993243, 10.811928),
-    "lmh": (9.271314, 9.004271),
+    # re-captured after learned_mixin_init gained the torch-parity uniform
+    # bias init (was zeros — an intentional numerics change, review pass 5)
+    "lmh": (9.121933, 8.849689),
     "lpf": (1.562753, 1.609949),
     "rubi": (2.793493, 2.809630),
 }

@@ -161,3 +161,27 @@ def test_joint_cross_attention_equivalence(monkeypatch):
     out2 = np.asarray(model.apply({"params": params}, **inputs,
                                   deterministic=True)[0])
     np.testing.assert_allclose(out2, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_bqhk_layout_handles_causal_bias(monkeypatch):
+    """Review finding: the 'bqhk' einsum spelling reshaped every 4D bias to
+    [B,1,1,K], a size mismatch for causal [B,1,L,L] biases (mPLUG decoder).
+    All three layouts must agree on both bias kinds."""
+    from crvqa_tpu.models import layers
+
+    mod = layers.MultiHeadAttention(num_heads=2, head_size=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
+    causal = jnp.where(jnp.tril(jnp.ones((5, 5))) > 0, 0.0, -10000.0)
+    causal = jnp.broadcast_to(causal[None, None], (2, 1, 5, 5))
+    keywise = jnp.zeros((2, 1, 1, 5)).at[:, :, :, 4:].set(-10000.0)
+    p = mod.init(jax.random.PRNGKey(0), x, x)
+    outs = {}
+    for layout in ("bqhd", "bhqd", "bqhk"):
+        monkeypatch.setattr(layers, "ATTN_LAYOUT", layout)
+        outs[layout] = (np.asarray(mod.apply(p, x, x, causal)),
+                        np.asarray(mod.apply(p, x, x, keywise)))
+    for layout in ("bhqd", "bqhk"):
+        for i in range(2):
+            np.testing.assert_allclose(outs[layout][i], outs["bqhd"][i],
+                                       rtol=1e-5, atol=1e-6, err_msg=layout)

@@ -488,3 +488,36 @@ def test_use_remat_trains_and_matches(setup):
                                    rngs={"dropout": k})))(
         params, jax.random.PRNGKey(3))
     assert np.isfinite(float(loss))
+
+
+def test_position_sliced_decode_matches_full(setup):
+    """Generation with the position-sliced LM head (decode_logits(position=))
+    produces identical tokens to the full-logits path — the vocab projection
+    is the decode loop's largest matmul and now runs on one row."""
+    from crvqa_tpu.models.mplug.generator import beam_generate, greedy_generate
+
+    config, model, params, jb = setup
+    states, state_mask = model.apply(
+        {"params": params}, jb["images"], jb["question_ids"],
+        jb["question_mask"], method=model.encode)
+
+    def decode_full(ids, mask, st, st_mask):
+        return model.apply({"params": params}, ids, mask, st, st_mask,
+                           method=model.decode_logits)
+
+    def decode_sliced(ids, mask, st, st_mask, position=None):
+        return model.apply({"params": params}, ids, mask, st, st_mask,
+                           position=position, method=model.decode_logits)
+
+    kw = dict(max_len=6, bos=config.bos_token_id % config.bert.vocab_size,
+              eos=config.eos_token_id % config.bert.vocab_size)
+    g_full = greedy_generate(decode_full, states, state_mask, **kw)
+    g_sliced = greedy_generate(decode_sliced, states, state_mask, **kw)
+    np.testing.assert_array_equal(np.asarray(g_full), np.asarray(g_sliced))
+    b_full = beam_generate(decode_full, states, state_mask, beam_size=3, **kw)
+    b_sliced = beam_generate(decode_sliced, states, state_mask, beam_size=3,
+                             **kw)
+    np.testing.assert_array_equal(np.asarray(b_full[0]),
+                                  np.asarray(b_sliced[0]))
+    np.testing.assert_allclose(np.asarray(b_full[1]), np.asarray(b_sliced[1]),
+                               rtol=1e-6)

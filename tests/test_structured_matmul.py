@@ -76,3 +76,25 @@ def test_pallas_matches_dense(data):
                                      interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)  # bf16 MXU accumulate
+
+
+def test_all_masked_head_mask_gives_zero_output():
+    """Review finding: expand_keep_idx clamped the kept count to >= 1, so an
+    all-masked layer computed one masked head as if kept. The out-of-range
+    pad sentinel makes the scatter drop it — output is exactly zero."""
+    from crvqa_tpu.ops.structured_matmul import (
+        expand_keep_idx,
+        head_compact_matmul,
+    )
+
+    H_, D_ = 4, 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(32, H_ * D_)).astype(np.float32))
+    idx = expand_keep_idx(jnp.zeros((H_,), bool), n_keep=2)
+    y = head_compact_matmul(x, w, idx, H_, D_)
+    np.testing.assert_array_equal(np.asarray(y), 0.0)
+    # and grads through w are zero everywhere (d/dw of w*0)
+    g = jax.grad(lambda w: jnp.sum(
+        head_compact_matmul(x, w, idx, H_, D_) ** 2))(w)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
