@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_res", type=int, default=384)
     p.add_argument("--beam_size", type=int, default=5)
     p.add_argument("--max_answer_len", type=int, default=12)
+    p.add_argument("--min_length", type=int, default=1,
+                   help="EOS blocked while decode step < min_length "
+                        "(vqa_mplug.py:472, predictor.py:207-208)")
     p.add_argument("--train_files", type=str, nargs="*", default=None)
     p.add_argument("--test_files", type=str, nargs="*", default=None)
     p.add_argument("--vqa_root", type=str, default="")
@@ -238,7 +241,8 @@ def main(argv=None) -> None:
     masks_fn = jax.jit(masker.binary_masks) if masker is not None else None
     gen_fn = mplug_train.make_generate_step(model, cfg, masker=masker,
                                             beam_size=args.beam_size,
-                                            max_len=args.max_answer_len)
+                                            max_len=args.max_answer_len,
+                                            min_length=args.min_length)
 
     if args.resume_from:
         state = ckpt.load_checkpoint(args.resume_from, state)

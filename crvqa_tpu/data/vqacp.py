@@ -212,9 +212,16 @@ def iterate_batches(entries: VQAEntries, features: ImageFeatures,
 
 def make_tokenizer(vocab_path: Optional[str] = None):
     """BERT WordPiece tokenizer (LXMERT vocab == bert-base-uncased vocab,
-    `lxmert_config/vocab.txt`). Uses the baked-in transformers library."""
+    `lxmert_config/vocab.txt`).
+
+    Default path: the self-contained `data.tokenization.WordPieceTokenizer`
+    (golden-tested against the HF tokenizer) on the provided vocab file —
+    no `transformers` dependency. Without a vocab file, falls back to the
+    baked-in transformers hub tokenizer (optional fallback)."""
+    if vocab_path and os.path.exists(vocab_path):
+        from .tokenization import WordPieceTokenizer
+
+        return WordPieceTokenizer(vocab_file=vocab_path, do_lower_case=True)
     from transformers import BertTokenizer
 
-    if vocab_path and os.path.exists(vocab_path):
-        return BertTokenizer(vocab_file=vocab_path, do_lower_case=True)
     return BertTokenizer.from_pretrained("bert-base-uncased")

@@ -15,7 +15,10 @@ from flax import linen as nn
 Dtype = Any
 
 ACT2FN: dict[str, Callable] = {
-    "gelu": nn.gelu,
+    # the reference's "gelu" is torch F.gelu = EXACT erf gelu
+    # (hg_transformers/activations.py:32-35), NOT the tanh approximation
+    # (flax's nn.gelu default); oracle-tested in tests/test_ref_oracle_lxmert.py
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "relu": nn.relu,
     "tanh": jnp.tanh,
 }

@@ -44,6 +44,10 @@ class LxmertConfig:
     hidden_act: str = "gelu"
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
+    # SimpleClassifier head dropout (reference hardcodes 0.5,
+    # modeling_lxmert.py:242-243); configurable so oracle/trajectory tests
+    # can zero every dropout
+    classifier_dropout: float = 0.5
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     visual_feat_dim: int = 2048
@@ -256,7 +260,7 @@ class LxmertForVQA(nn.Module):
             input_ids, visual_feats, visual_pos, attention_mask,
             visual_attention_mask, token_type_ids, deterministic)
         logits = SimpleClassifier(
-            hid_dim=2 * c.hidden_size, out_dim=c.ans_num, dropout=0.5,
-            dtype=c.dtype, name="classifier",
+            hid_dim=2 * c.hidden_size, out_dim=c.ans_num,
+            dropout=c.classifier_dropout, dtype=c.dtype, name="classifier",
         )(pooled, deterministic=deterministic)
         return logits.astype(jnp.float32), pooled.astype(jnp.float32)

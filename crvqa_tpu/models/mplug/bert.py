@@ -285,7 +285,9 @@ class TextDecoder(nn.Module):
         # LM head: transform + tied decoder
         t = nn.Dense(c.hidden_size, dtype=c.dtype,
                      name="predictions_transform_dense")(h)
-        t = nn.gelu(t)
+        # transform_act_fn is ACT2FN["gelu"] = exact erf gelu
+        # (modeling_mplug.py:802, pip transformers GELUActivation)
+        t = nn.gelu(t, approximate=False)
         t = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype,
                          name="predictions_transform_LayerNorm")(t)
         logits = emb.attend(t.astype(jnp.float32))

@@ -60,13 +60,31 @@ def greedy_generate(decode_logits: Callable, states, state_mask,
 
 def beam_generate(decode_logits: Callable, states, state_mask,
                   beam_size: int = 5, max_len: int = 12, bos: int = 101,
-                  eos: int = 102, pad: int = 0):
-    """Beam search (beam 5 default, `vqa_mplug.py:475`).
+                  eos: int = 102, pad: int = 0, lp_alpha: float = 0.6,
+                  min_length: int = 1):
+    """ONMT-style beam search matching the reference `TextGenerator`
+    (`mPLUG/models/predictor.py:197-311`; beam 5, `vqa_mplug.py:475`).
 
-    Returns (best_ids [B, max_len], best_scores [B]). Finished beams are
-    frozen (forced pad continuation at zero added score); final selection is
-    by total log-prob (the reference's length-normalization alpha is 0 in the
-    shipped config).
+    Scoring semantics reproduced exactly:
+      * GNMT length penalty `((5 + step + 1) / 6) ** alpha` with alpha
+        hardcoded 0.6 (`predictor.py:61,209-213`); the normalized score is
+        used for beam selection and hypothesis ranking, then un-normalized
+        back into the cumulative log-probs (`predictor.py:233-237`).
+      * EOS is blocked (`-1e20`) while `step < min_length`
+        (`predictor.py:207-208`; default 1, `vqa_mplug.py:472`).
+      * A beam that emits EOS is saved as a finished hypothesis with its
+        normalized score at that step, and KEEPS extending (the reference
+        never removes finished beams from `alive_seq`, :250-253).
+      * A batch item stops accumulating hypotheses once its top-ranked beam
+        finishes — at that step all current beams are saved
+        (`is_finished[i].fill_(1)`, :259-266) — or at the last step (:256).
+      * The returned answer is the best normalized hypothesis (out_size=1
+        in the shipped eval, `vqa_mplug.py:247-287`); ties resolve to the
+        earliest-saved hypothesis like the reference's stable sort.
+
+    Returns (best_ids [B, max_len], best_scores [B]) where best_scores are
+    the length-normalized hypothesis scores. `max_len` includes the BOS
+    position, so it corresponds to the reference's `max_length + 1`.
     """
     b, s, h = states.shape
     w = beam_size
@@ -76,43 +94,62 @@ def beam_generate(decode_logits: Callable, states, state_mask,
 
     ids = jnp.full((b, w, max_len), pad, jnp.int32).at[:, :, 0].set(bos)
     # only beam 0 is live at t=0 so the first expansion isn't degenerate
+    # (the reference's topk_log_probs init, predictor.py:182-184)
     scores = jnp.full((b, w), NEG_INF, jnp.float32).at[:, 0].set(0.0)
-    done = jnp.zeros((b, w), bool)
+    batch_done = jnp.zeros((b,), bool)
+    best_score = jnp.full((b,), -jnp.inf, jnp.float32)
+    best_ids = jnp.full((b, max_len), pad, jnp.int32)
     sliced = _supports_position(decode_logits)
 
     def body(t, carry):
-        ids, scores, done = carry
+        ids, scores, batch_done, best_score, best_ids = carry
+        step = t - 1  # the reference's 0-indexed decode step
         mask = (jnp.arange(max_len)[None, :] < t).astype(jnp.float32)
         flat_ids = ids.reshape(b * w, max_len)
         flat_mask = jnp.broadcast_to(mask, (b * w, max_len))
         if sliced:
-            step = decode_logits(flat_ids, flat_mask, rep_states, rep_mask,
-                                 position=t - 1)[:, 0]
+            logits = decode_logits(flat_ids, flat_mask, rep_states, rep_mask,
+                                   position=t - 1)[:, 0]
         else:
-            step = decode_logits(flat_ids, flat_mask, rep_states,
-                                 rep_mask)[:, t - 1]
-        logp = jax.nn.log_softmax(step.astype(jnp.float32), axis=-1)
+            logits = decode_logits(flat_ids, flat_mask, rep_states,
+                                   rep_mask)[:, t - 1]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         v = logp.shape[-1]
         logp = logp.reshape(b, w, v)
-        # finished beams may only continue with pad at zero cost
-        pad_only = jnp.full((v,), NEG_INF).at[pad].set(0.0)
-        logp = jnp.where(done[:, :, None], pad_only[None, None, :], logp)
-        cand = scores[:, :, None] + logp  # [B, W, V]
+        # min_length EOS block (predictor.py:207-208)
+        logp = logp.at[:, :, eos].set(
+            jnp.where(step < min_length, -1e20, logp[:, :, eos]))
+        cand = scores[:, :, None] + logp  # [B, W, V] cumulative log-probs
         flat_cand = cand.reshape(b, w * v)
-        top_scores, top_idx = jax.lax.top_k(flat_cand, w)
+        # the length penalty divides every candidate by the same positive
+        # constant, so top-k over cumulative == top-k over normalized
+        top_cum, top_idx = jax.lax.top_k(flat_cand, w)
+        penalty = ((5.0 + (step.astype(jnp.float32) + 1.0)) / 6.0) ** lp_alpha
+        top_norm = top_cum / penalty  # the reference's topk_scores
         beam_idx = top_idx // v  # which parent beam
         tok_idx = (top_idx % v).astype(jnp.int32)
         ids = jnp.take_along_axis(ids, beam_idx[:, :, None], axis=1)
-        done = jnp.take_along_axis(done, beam_idx, axis=1)
-        ids = ids.at[:, :, t].set(jnp.where(done, pad, tok_idx))
-        done = jnp.logical_or(done, tok_idx == eos)
-        return ids, top_scores, done
+        ids = ids.at[:, :, t].set(tok_idx)
+        is_fin = tok_idx == eos
+        is_fin = jnp.logical_or(is_fin, t == max_len - 1)  # :256-257
+        end_cond = is_fin[:, 0]  # top beam finished -> batch ends (:259)
+        # when the batch ends, every current beam is saved (:265-266)
+        save = jnp.logical_and(
+            jnp.logical_or(is_fin, end_cond[:, None]),
+            jnp.logical_not(batch_done)[:, None])
+        masked = jnp.where(save, top_norm, -jnp.inf)
+        j = jnp.argmax(masked, axis=1)  # lowest index on ties, like the
+        step_best = jnp.take_along_axis(masked, j[:, None], 1)[:, 0]
+        step_ids = jnp.take_along_axis(ids, j[:, None, None], 1)[:, 0]
+        improve = step_best > best_score  # strict: earlier hypothesis wins
+        best_score = jnp.where(improve, step_best, best_score)
+        best_ids = jnp.where(improve[:, None], step_ids, best_ids)
+        batch_done = jnp.logical_or(batch_done, end_cond)
+        return ids, top_cum, batch_done, best_score, best_ids
 
-    ids, scores, done = jax.lax.fori_loop(1, max_len, body, (ids, scores, done))
-    best = jnp.argmax(scores, axis=1)
-    best_ids = jnp.take_along_axis(ids, best[:, None, None], axis=1)[:, 0]
-    best_scores = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
-    return best_ids, best_scores
+    carry = (ids, scores, batch_done, best_score, best_ids)
+    _, _, _, best_score, best_ids = jax.lax.fori_loop(1, max_len, body, carry)
+    return best_ids, best_score
 
 
 def precompute_cross_kv(decoder_params: dict, states, num_layers: int,

@@ -24,6 +24,11 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+# CLIP's LayerNorm is torch nn.LayerNorm with its DEFAULT eps=1e-5
+# (clip/model.py:157-163) — NOT flax's 1e-6 default and NOT BERT's 1e-12;
+# caught by tests/test_ref_oracle_mplug.py::test_vit_tower_oracle
+
+
 @dataclasses.dataclass(frozen=True)
 class ViTConfig:
     image_res: int = 384
@@ -58,7 +63,7 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True):
         c = self.config
-        h = nn.LayerNorm(name="ln_1", dtype=c.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_1", dtype=c.dtype)(x)
         # torch nn.MultiheadAttention: fused qkv (in_proj) + out_proj
         qkv = nn.Dense(3 * c.width, dtype=c.dtype, name="attn_in_proj")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -76,7 +81,7 @@ class ResidualAttentionBlock(nn.Module):
         attn_out = nn.Dense(c.width, dtype=c.dtype, name="attn_out_proj")(ctx)
         x = x + attn_out
 
-        h = nn.LayerNorm(name="ln_2", dtype=c.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_2", dtype=c.dtype)(x)
         h = nn.Dense(4 * c.width, dtype=c.dtype, name="mlp_c_fc")(h)
         h = quick_gelu(h)
         h = nn.Dense(c.width, dtype=c.dtype, name="mlp_c_proj")(h)
@@ -107,13 +112,13 @@ class VisionTransformer(nn.Module):
                          nn.initializers.normal(stddev=c.width ** -0.5),
                          (c.num_patches + 1, c.width), jnp.float32)
         x = x + pos[None, : x.shape[1]].astype(c.dtype)
-        x = nn.LayerNorm(name="ln_pre", dtype=c.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre", dtype=c.dtype)(x)
         block_cls = (nn.remat(ResidualAttentionBlock, static_argnums=(2,))
                      if c.use_remat else ResidualAttentionBlock)
         for i in range(c.layers):
             x = block_cls(c, name=f"resblocks_{i}")(
                 x, deterministic)
-        return nn.LayerNorm(name="ln_post", dtype=c.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, name="ln_post", dtype=c.dtype)(x)
 
 
 def interpolate_pos_embed(pos: jnp.ndarray, new_num_patches: int) -> jnp.ndarray:

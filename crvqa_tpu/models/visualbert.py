@@ -31,6 +31,9 @@ class VisualBertConfig:
     hidden_act: str = "gelu"
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
+    # SimpleClassifier head dropout (reference hardcodes 0.5,
+    # modeling_visualbert.py:1028-1029); see LxmertConfig.classifier_dropout
+    classifier_dropout: float = 0.5
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     visual_embedding_dim: int = 2048
@@ -175,8 +178,13 @@ class VisualBertForVQA(nn.Module):
         _, pooled = VisualBertModel(c, name="visual_bert")(
             input_ids, visual_embeds, attention_mask, visual_attention_mask,
             token_type_ids, deterministic)
+        # the reference drops out the pooled rep before the head
+        # (modeling_visualbert.py:1146-1147); LXMERT's equivalent is
+        # commented out there (modeling_lxmert.py:346)
+        dropped = nn.Dropout(c.hidden_dropout_prob)(
+            pooled, deterministic=deterministic)
         logits = SimpleClassifier(
-            hid_dim=2 * c.hidden_size, out_dim=c.ans_num, dropout=0.5,
-            dtype=c.dtype, name="cls",
-        )(pooled, deterministic=deterministic)
+            hid_dim=2 * c.hidden_size, out_dim=c.ans_num,
+            dropout=c.classifier_dropout, dtype=c.dtype, name="cls",
+        )(dropped, deterministic=deterministic)
         return logits.astype(jnp.float32), pooled.astype(jnp.float32)

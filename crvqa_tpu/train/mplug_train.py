@@ -367,9 +367,11 @@ def make_threshold_reset(masker: Masker) -> Callable:
 
 def make_generate_step(model, config: MPlugTrainConfig,
                        masker: Optional[Masker] = None,
-                       beam_size: int = 5, max_len: int = 12) -> Callable:
+                       beam_size: int = 5, max_len: int = 12,
+                       min_length: int = 1, lp_alpha: float = 0.6) -> Callable:
     """Beam-search answer generation for evaluation
-    (`vqa_mplug.py:247-287`)."""
+    (`vqa_mplug.py:247-287`; GNMT length penalty + min_length EOS block per
+    `predictor.py:61,207-237`)."""
     from ..models.mplug.generator import beam_generate, precompute_cross_kv
 
     @jax.jit
@@ -397,6 +399,7 @@ def make_generate_step(model, config: MPlugTrainConfig,
         cfg = model.config
         return beam_generate(decode, states, state_mask, beam_size=beam_size,
                              max_len=max_len, bos=cfg.bos_token_id,
-                             eos=cfg.eos_token_id, pad=cfg.pad_token_id)
+                             eos=cfg.eos_token_id, pad=cfg.pad_token_id,
+                             min_length=min_length, lp_alpha=lp_alpha)
 
     return generate

@@ -44,6 +44,12 @@ class Stage1Config:
     gamma: float = 5.0
     lmh_w: float = 0.36
     hidden_size: int = 768
+    # Reference parity: the LMH module lives on the Trainer while the
+    # optimizer covers only model.named_parameters()
+    # (`run_vqa_stage1.py:341-362`, `mask_trainer_Robust_VQA.py:248`), so
+    # bias_lin / smooth_param receive gradients but are NEVER stepped.
+    # True = actually train them (beyond-reference option).
+    train_lmh: bool = False
 
 
 def init_state(params: PyTree, config: Stage1Config, rng: jax.Array,
@@ -92,8 +98,15 @@ def make_train_step(model, config: Stage1Config,
         trainable = {"params": state.params, "lmh": state.lmh_params}
         (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, state, batch, dropout_rng)
+        if not config.train_lmh and trainable["lmh"] is not None:
+            # LMH params are outside the reference optimizer AND outside its
+            # clip_grad_norm_(model.parameters()) — zeroing before tx.update
+            # keeps them out of the global clip norm too
+            grads["lmh"] = jax.tree_util.tree_map(jnp.zeros_like, grads["lmh"])
         updates, opt_state = tx.update(grads, state.opt_state, trainable)
         new = optax.apply_updates(trainable, updates)
+        if not config.train_lmh and trainable["lmh"] is not None:
+            new["lmh"] = trainable["lmh"]
         metrics = TrainMetrics(
             loss=loss, score=score,
             batch_size=jnp.asarray(batch["labels"].shape[0], jnp.float32),

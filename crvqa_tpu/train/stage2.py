@@ -47,6 +47,12 @@ class Stage2Config:
     gamma: float = 5.0  # LPF focal exponent
     lmh_w: float = 0.36
     hidden_size: int = 768
+    # Reference parity: LearnedMixin lives on the Trainer
+    # (`mask_trainer_Robust_VQA.py:248`) while the optimizer is built from
+    # model.named_parameters() only (`prune_debias_VQA.py:612-630`), so the
+    # reference NEVER steps bias_lin / smooth_param — they stay at their
+    # random init. True = actually train them (beyond-reference option).
+    train_lmh: bool = False
     classifier_key: str = "classifier"  # 'cls' for VisualBERT
     # KD: add a cosine representation loss against the dense (unmasked)
     # teacher — the frozen stage-1 params themselves. The reference compares
@@ -191,12 +197,19 @@ def make_train_step(model, masker: Masker, tx: optax.GradientTransformation,
         else:
             (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 trainable, state, batch, dropout_rng)
+        if not config.train_lmh and "lmh" in trainable["train"]:
+            # outside the reference optimizer AND its clip_grad_norm_
+            # (model.parameters() — the trainer-level LMH module isn't in it)
+            grads["train"]["lmh"] = jax.tree_util.tree_map(
+                jnp.zeros_like, grads["train"]["lmh"])
         updates, opt_state = tx.update(grads, state.opt_state, trainable)
         if mesh is not None:
             from ..parallel.zero import constrain_opt_state
 
             opt_state = constrain_opt_state(opt_state, mesh)
         new = optax.apply_updates(trainable, updates)
+        if not config.train_lmh and "lmh" in trainable["train"]:
+            new["train"]["lmh"] = trainable["train"]["lmh"]
         if masker.binarizer_name == "MaskedLinear2":
             # scheme 2's in-place clamp_(-1, 1) after every optimizer step
             # (maskers_Robust.py:398-404 via binarizers.clamp_scores_sign)

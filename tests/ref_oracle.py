@@ -1,0 +1,100 @@
+"""Run /root/reference PyTorch code as a numerics oracle inside tests.
+
+The reference imports cleanly under the baked-in CPU torch given two tiny
+module stubs (`sentencepiece` and `torch._six`) plus a CPU-safe `.cuda()`
+no-op (the reference masker calls `threshold.cuda()` unconditionally,
+`masking/maskers_Robust.py:362`). Parity tests transplant flax params into
+the reference modules via `core.torch_compat.flax_to_torch_state_dict` and
+assert logits/loss/mask equality — converting the suite's self-captured
+goldens into actual cross-implementation evidence (VERDICT r2 item 1).
+
+Everything here is test-only; the compute path never touches torch
+(CLAUDE.md conventions).
+"""
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+REFERENCE = "/root/reference"
+_installed = False
+
+
+def install():
+    """Make `/root/reference` importable; returns the torch module."""
+    global _installed
+    if "sentencepiece" not in sys.modules:
+        sp = types.ModuleType("sentencepiece")
+        sp.SentencePieceProcessor = object
+        sp.__spec__ = importlib.util.spec_from_loader("sentencepiece",
+                                                      loader=None)
+        sys.modules["sentencepiece"] = sp
+    import torch
+
+    if "torch._six" not in sys.modules:
+        six = types.ModuleType("torch._six")
+        six.string_classes = (str,)
+        sys.modules["torch._six"] = six
+    if not _installed:
+        # reference code calls .cuda() on tensors/modules with no CPU guard;
+        # map it to identity for this (test) process
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        torch.nn.Module.cuda = lambda self, *a, **k: self
+        _installed = True
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    return torch
+
+
+def install_mplug():
+    """install() + the symbol shims `mPLUG/models/modeling_mplug.py` needs
+    under the baked-in pip transformers (4.57 moved the chunking/prune
+    helpers from modeling_utils to pytorch_utils)."""
+    torch = install()
+    import transformers.modeling_utils as mu
+    from transformers import pytorch_utils as pu
+
+    for n in ("apply_chunking_to_forward", "find_pruneable_heads_and_indices",
+              "prune_linear_layer"):
+        if not hasattr(mu, n):
+            setattr(mu, n, getattr(pu, n))
+    return torch
+
+
+def load_ref_module(alias: str, relpath: str):
+    """Import a reference source file directly (no package __init__ chain —
+    `mPLUG/models/clip/__init__.py` pulls torchvision, absent here)."""
+    if alias in sys.modules:
+        return sys.modules[alias]
+    spec = importlib.util.spec_from_file_location(
+        alias, f"{REFERENCE}/{relpath}")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[alias] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_flax_into_torch(torch_model, flax_params, allow_missing=()):
+    """Transplant a flax param tree into a reference torch module.
+
+    Uses the same name/orientation mapping that makes mask.pt and classifier
+    checkpoints interoperable (torch_compat). Asserts every torch param is
+    covered (missing keys allowed only under `allow_missing` substrings) and
+    nothing is left over.
+    """
+    import numpy as np
+
+    torch = install()
+    from crvqa_tpu.core.torch_compat import flax_to_torch_state_dict
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(np.asarray(v, np.float32)))
+        for k, v in flax_to_torch_state_dict(flax_params).items()
+    }
+    missing, unexpected = torch_model.load_state_dict(sd, strict=False)
+    assert not unexpected, f"unmapped flax params: {sorted(unexpected)[:8]}"
+    leftover = [m for m in missing
+                if not any(sub in m for sub in allow_missing)]
+    assert not leftover, f"torch params not covered: {sorted(leftover)[:8]}"
+    return torch_model

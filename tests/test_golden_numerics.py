@@ -17,12 +17,14 @@ from crvqa_tpu.models import LxmertConfig, LxmertForVQA
 from crvqa_tpu.train import stage2
 
 GOLDEN = {
-    "normal": (10.993243, 10.811928),
-    # re-captured after learned_mixin_init gained the torch-parity uniform
-    # bias init (was zeros — an intentional numerics change, review pass 5)
-    "lmh": (9.121933, 8.849689),
-    "lpf": (1.562753, 1.609949),
-    "rubi": (2.793493, 2.809630),
+    # re-captured in r3 after two ORACLE-VERIFIED parity fixes (exact erf
+    # gelu, frozen LMH params); unlike earlier self-captures these values
+    # are anchored by tests/test_ref_oracle_trainer.py, which replays the
+    # same trajectories through the reference torch stack
+    "normal": (10.993307, 10.811998),
+    "lmh": (9.122049, 8.850452),
+    "lpf": (1.562754, 1.609945),
+    "rubi": (2.793500, 2.809634),
 }
 
 
