@@ -22,12 +22,15 @@ figure, not just device time.
 
 vs_baseline divides by 1000 examples/sec — an estimate of the PyTorch
 reference's stage-2 throughput on its single-GPU setup (the repo publishes no
-throughput numbers). The estimate is deliberately GENEROUS to the reference:
-the step costs ~21 GFLOP/example (fwd+bwd over ~210M masked params at seq
-14+36), so a V100's 15.7 TFLOP/s fp32 peak caps it at ~750 ex/s even at 100%
-utilization (the shipped configs run fp32 — apex fp16 is off), and a realistic
-35% utilization lands near 260 ex/s. 1000 ex/s ≈ a fp16 V100 run at ~17% MFU
-or an A100-class card. >1.0 therefore understates the real speedup.
+throughput numbers). The estimate is deliberately GENEROUS to the reference
+and its derivation is PINNED BY MEASUREMENT, not back-of-envelope: the
+compiled single-step executable's own cost analysis (measured at runtime,
+emitted as `flops_per_example` in the JSON; 20.5 GFLOP/example on v5e at r3)
+caps a V100's 15.7 TFLOP/s fp32 peak at `15.7e12 / flops_per_example`
+≈ 765 ex/s at 100% utilization (emitted as `ref_v100_roofline`; the shipped
+configs run fp32 — apex fp16 is off), and a realistic 35% utilization lands
+near 270 ex/s. 1000 ex/s ≈ a fp16 V100 run at ~17% MFU or an A100-class
+card. >1.0 therefore understates the real speedup.
 
 Window size (steps per on-device scan dispatch) is measured on-chip:
 2906 ex/s at window 8, 3002 at 32 (+3.3%), and with the fused kernel
@@ -82,15 +85,19 @@ def _window_flops(compiled) -> float:
         return 0.0
 
 
-def measure(backbone_dtype: str, window: int = 64, windows: int = 4) -> dict:
+def measure(backbone_dtype: str, window: int = 64, windows: int = 4,
+            p_residual: str = "float32", moment_dtype: str = "float32") -> dict:
     # Fused short-seq attention kernel: measured 3260 vs 2997 ex/s (+8.8%)
     # on v5e (benchmarks/bench_fused_attention.py) — the profile's ~19%
     # attention-transpose-copy time collapses into VMEM-resident dots.
     # Backward uses the stored-probs residual (ops/fused_attention.BWD_IMPL
     # default "stored"): 3422.7 vs 3253.8 ex/s recompute (+5.2%, --bwd sweep).
     from crvqa_tpu.models import layers as _layers
+    from crvqa_tpu.ops import fused_attention as _fa
 
     _layers.FUSED_ATTENTION = True
+    _fa.P_RESIDUAL_DTYPE = (jnp.bfloat16 if p_residual == "bfloat16"
+                            else jnp.float32)
     from crvqa_tpu.data import synthetic_batch
     from crvqa_tpu.masking import Masker, ModalSparsity, lxmert_mask_specs
     from crvqa_tpu.models import LxmertConfig, LxmertForVQA
@@ -120,7 +127,8 @@ def measure(backbone_dtype: str, window: int = 64, windows: int = 4) -> dict:
     )
     cfg = stage2.Stage2Config(masker_type="lmh", total_steps=10_000,
                               hidden_size=config.hidden_size,
-                              backbone_dtype=backbone_dtype)
+                              backbone_dtype=backbone_dtype,
+                              moment_dtype=moment_dtype)
     state, tx = stage2.init_state(model, masker, params, cfg,
                                   jax.random.PRNGKey(1))
 
@@ -155,19 +163,48 @@ def measure(backbone_dtype: str, window: int = 64, windows: int = 4) -> dict:
     mfu = (flops * windows / dt) / peak if flops else None
     return {
         "backbone_dtype": backbone_dtype,
+        "p_residual": p_residual,
+        "moment_dtype": moment_dtype,
         "examples_per_sec": examples_per_sec,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "flops_per_window": flops,
+        # measured per-example cost — the pinned input to the reference-GPU
+        # roofline derivation (module docstring)
+        "flops_per_example": flops_step / batch_size if flops_step else None,
         "device_kind": jax.devices()[0].device_kind,
     }
 
 
 def main() -> None:
-    results = [measure("bfloat16"), measure("float32")]
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep", action="store_true",
+                    help="measure the bf16-residual / bf16-moment ladder "
+                         "instead of the two headline configs")
+    args, _ = ap.parse_known_args()
+    if args.sweep:
+        for r in [
+            measure("bfloat16"),
+            measure("bfloat16", p_residual="bfloat16"),
+            measure("bfloat16", p_residual="bfloat16",
+                    moment_dtype="bfloat16"),
+        ]:
+            print(f"# {r}", file=sys.stderr)
+            print(json.dumps(r))
+        return
+    # headline configs; bf16 residual + moments are the measured r3 winners
+    # (see STATUS.md perf table) — numerics guarded by
+    # tests/test_fused_attention.py::{test_bf16_stored_probs_residual_guard,
+    # test_bf16_adam_moments_guard}
+    results = [measure("bfloat16", p_residual="bfloat16",
+                       moment_dtype="bfloat16"),
+               measure("float32")]
     for r in results:
         print(f"# {r}", file=sys.stderr)
     best = max(results, key=lambda r: r["examples_per_sec"])
     other = min(results, key=lambda r: r["examples_per_sec"])
+    fpe = best.get("flops_per_example")
     print(json.dumps({
         "metric": "lxmert_stage2_mask_train_examples_per_sec_per_chip",
         "value": round(best["examples_per_sec"], 2),
@@ -175,6 +212,10 @@ def main() -> None:
         "vs_baseline": round(best["examples_per_sec"]
                              / REFERENCE_EXAMPLES_PER_SEC, 3),
         "mfu": best["mfu"],
+        "flops_per_example": round(fpe / 1e9, 3) if fpe else None,  # GFLOP
+        # measured-FLOPs V100-fp32 roofline for the reference (docstring);
+        # the 1000 ex/s vs_baseline denominator stays ABOVE this cap
+        "ref_v100_roofline": round(15.7e12 / fpe, 1) if fpe else None,
         "backbone_dtype": best["backbone_dtype"],
         "alt": {"backbone_dtype": other["backbone_dtype"],
                 "examples_per_sec": round(other["examples_per_sec"], 2),

@@ -73,16 +73,23 @@ def compute_vqacp_scores(predictions: Sequence[dict],
 
 def _vqavs_get_score(annotations: Sequence[dict],
                      predictions: Sequence[dict]) -> float:
-    """`comput_vqavs_score.py:get_scores` — soft accuracy over a split using
-    multiple_choice_answer counts (annotations carry 'answers' lists of
-    {'answer': str} dicts in the official format)."""
+    """`comput_vqavs_score.py:get_scores` (:16-67) — soft accuracy over a
+    split. The reference annotation contract carries `answers_word` +
+    `answer_count` (vote counts); official-format `answers` lists of
+    {'answer': str} dicts are accepted as a fallback. Per-split scores are
+    ROUNDED to 2 decimals exactly like the reference (its Final_Score
+    averages the rounded values)."""
     total = 0.0
     for anno, pred in zip(annotations, predictions):
+        if "answers_word" in anno:  # the reference's own contract
+            if pred["answer"] in anno["answers_word"]:
+                total += _min1(anno["answer_count"][pred["answer"]] / 3)
+            continue
         answers = [a["answer"] if isinstance(a, dict) else a
                    for a in anno["answers"]]
         matching = sum(1 for a in answers if a == pred["answer"])
         total += _min1(matching / 3)
-    return 100.0 * total / len(annotations) if annotations else 0.0
+    return round(100.0 * total / len(annotations), 2) if annotations else 0.0
 
 
 VQAVS_SPLITS = ("QT", "KW", "KWP", "QTKW", "KO", "KOP", "QTKO", "KWKO", "QTKWKO")

@@ -47,11 +47,16 @@ def stepwise_sparsity(
     """Stepwise scheme (sparsity_control_Robust.py:42-85)."""
 
     def _intervals(epoch: float) -> int:
-        # number of COMPLETED intervals; +1e-9 absorbs float-modulo error
-        # for fractional intervals (0.3 % 0.1 == 0.0999... would otherwise
-        # skip most scheduled increments — the MaskerScheduler default
-        # interval is 0.1)
-        return int((epoch - init_epoch) / interval_epoch + 1e-9)
+        # number of boundary polls at or before `epoch`: the reference
+        # increments AT each boundary incl. init_epoch itself
+        # ((current_epoch - init_epoch) % interval <= 1e-5 fires at the
+        # FIRST poll, sparsity_control_Robust.py:53-58) — hence the +1.
+        # +1e-9 absorbs float-modulo error for fractional intervals
+        # (0.3 % 0.1 == 0.0999... would otherwise skip most scheduled
+        # increments — the MaskerScheduler default interval is 0.1).
+        # Oracle-tested against the reference's own polled trajectory in
+        # tests/test_ref_oracle_masking.py.
+        return int((epoch - init_epoch) / interval_epoch + 1e-9) + 1
 
     def f(current_epoch: float, current_sparsity: float) -> float:
         if current_epoch < init_epoch:

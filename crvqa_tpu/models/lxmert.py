@@ -180,7 +180,11 @@ class LxmertEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, lang_feats, lang_bias, visual_feats, visual_pos,
-                 visn_bias=None, deterministic=True):
+                 visn_bias=None, deterministic=True, collect_hidden=False):
+        """`collect_hidden=True` additionally returns the language-branch
+        hidden-state sequence (embedding output + after every lang/x layer)
+        — the `language_hidden_states` tuple of the reference encoder
+        (modeling_lxmert.py:1070-1117), consumed by layer-wise KD."""
         c = self.config
         visn = LxmertVisualFeatureEncoder(c, name="visn_fc")(
             visual_feats, visual_pos, deterministic)
@@ -195,15 +199,20 @@ class LxmertEncoder(nn.Module):
         if c.lang_intermediate_size is not None:
             lang_kw["intermediate_size"] = c.lang_intermediate_size
         lang = lang_feats
+        hidden = [lang]
         for i in range(c.l_layers):
             lang = TransformerLayer(**lang_kw, name=f"layer_{i}")(
                 lang, lang_bias, deterministic)
+            hidden.append(lang)
         for i in range(c.r_layers):
             visn = TransformerLayer(**layer_kw, name=f"r_layers_{i}")(
                 visn, visn_bias, deterministic)
         for i in range(c.x_layers):
             lang, visn = LxmertXLayer(c, name=f"x_layers_{i}")(
                 lang, lang_bias, visn, visn_bias, deterministic)
+            hidden.append(lang)
+        if collect_hidden:
+            return lang, visn, hidden
         return lang, visn
 
 
@@ -229,13 +238,20 @@ class LxmertModel(nn.Module):
     @nn.compact
     def __call__(self, input_ids, visual_feats, visual_pos,
                  attention_mask=None, visual_attention_mask=None,
-                 token_type_ids=None, deterministic=True):
+                 token_type_ids=None, deterministic=True,
+                 collect_hidden=False):
         lang_bias = extend_attention_mask(attention_mask)
         visn_bias = extend_attention_mask(visual_attention_mask)
         emb = LxmertEmbeddings(self.config, name="embeddings")(
             input_ids, token_type_ids, deterministic)
-        lang, visn = LxmertEncoder(self.config, name="encoder")(
-            emb, lang_bias, visual_feats, visual_pos, visn_bias, deterministic)
+        out = LxmertEncoder(self.config, name="encoder")(
+            emb, lang_bias, visual_feats, visual_pos, visn_bias, deterministic,
+            collect_hidden=collect_hidden)
+        if collect_hidden:
+            lang, visn, hidden = out
+            pooled = LxmertPooler(self.config, name="pooler")(lang)
+            return lang, visn, pooled, hidden
+        lang, visn = out
         pooled = LxmertPooler(self.config, name="pooler")(lang)
         return lang, visn, pooled
 
@@ -254,13 +270,22 @@ class LxmertForVQA(nn.Module):
     @nn.compact
     def __call__(self, input_ids, visual_feats, visual_pos,
                  attention_mask=None, visual_attention_mask=None,
-                 token_type_ids=None, deterministic=True):
+                 token_type_ids=None, deterministic=True,
+                 collect_hidden=False):
+        """`collect_hidden=True` returns (logits, pooled, hidden) where
+        `hidden` is the language-branch hidden-state list (for layer-wise
+        KD, `Stage2Config.kd_mode='layerwise'`)."""
         c = self.config
-        lang, visn, pooled = LxmertModel(c, name="lxmert")(
+        out = LxmertModel(c, name="lxmert")(
             input_ids, visual_feats, visual_pos, attention_mask,
-            visual_attention_mask, token_type_ids, deterministic)
+            visual_attention_mask, token_type_ids, deterministic,
+            collect_hidden=collect_hidden)
+        pooled = out[2]
         logits = SimpleClassifier(
             hid_dim=2 * c.hidden_size, out_dim=c.ans_num,
             dropout=c.classifier_dropout, dtype=c.dtype, name="classifier",
         )(pooled, deterministic=deterministic)
+        if collect_hidden:
+            return (logits.astype(jnp.float32), pooled.astype(jnp.float32),
+                    out[3])
         return logits.astype(jnp.float32), pooled.astype(jnp.float32)

@@ -111,7 +111,7 @@ class VisualBertEncoder(nn.Module):
     config: VisualBertConfig
 
     @nn.compact
-    def __call__(self, h, bias, deterministic=True):
+    def __call__(self, h, bias, deterministic=True, collect_hidden=False):
         c = self.config
         layer_kw = dict(num_heads=c.compact_num_heads or c.num_attention_heads,
                         head_size=c.head_size, hidden_size=c.hidden_size,
@@ -120,9 +120,13 @@ class VisualBertEncoder(nn.Module):
                         act=c.hidden_act,
                         attn_dropout=c.attention_probs_dropout_prob,
                         hidden_dropout=c.hidden_dropout_prob, dtype=c.dtype)
+        hidden = [h]
         for i in range(c.num_hidden_layers):
             h = TransformerLayer(**layer_kw, name=f"layer_{i}")(
                 h, bias, deterministic)
+            hidden.append(h)
+        if collect_hidden:
+            return h, hidden
         return h
 
 
@@ -145,7 +149,7 @@ class VisualBertModel(nn.Module):
     @nn.compact
     def __call__(self, input_ids, visual_embeds, attention_mask=None,
                  visual_attention_mask=None, token_type_ids=None,
-                 deterministic=True):
+                 deterministic=True, collect_hidden=False):
         c = self.config
         h = VisualBertEmbeddings(c, name="embeddings")(
             input_ids, visual_embeds, token_type_ids,
@@ -158,7 +162,13 @@ class VisualBertModel(nn.Module):
                 [attention_mask, visual_attention_mask], axis=1))
         else:
             bias = None
-        h = VisualBertEncoder(c, name="encoder")(h, bias, deterministic)
+        out = VisualBertEncoder(c, name="encoder")(
+            h, bias, deterministic, collect_hidden=collect_hidden)
+        if collect_hidden:
+            h, hidden = out
+            pooled = VisualBertPooler(c, name="pooler")(h[:, 0])
+            return h, pooled, hidden
+        h = out
         pooled = VisualBertPooler(c, name="pooler")(h[:, 0])
         return h, pooled
 
@@ -173,11 +183,12 @@ class VisualBertForVQA(nn.Module):
     @nn.compact
     def __call__(self, input_ids, visual_embeds, attention_mask=None,
                  visual_attention_mask=None, token_type_ids=None,
-                 deterministic=True):
+                 deterministic=True, collect_hidden=False):
         c = self.config
-        _, pooled = VisualBertModel(c, name="visual_bert")(
+        out = VisualBertModel(c, name="visual_bert")(
             input_ids, visual_embeds, attention_mask, visual_attention_mask,
-            token_type_ids, deterministic)
+            token_type_ids, deterministic, collect_hidden=collect_hidden)
+        pooled = out[1]
         # the reference drops out the pooled rep before the head
         # (modeling_visualbert.py:1146-1147); LXMERT's equivalent is
         # commented out there (modeling_lxmert.py:346)
@@ -187,4 +198,7 @@ class VisualBertForVQA(nn.Module):
             hid_dim=2 * c.hidden_size, out_dim=c.ans_num,
             dropout=c.classifier_dropout, dtype=c.dtype, name="cls",
         )(dropped, deterministic=deterministic)
+        if collect_hidden:
+            return (logits.astype(jnp.float32), pooled.astype(jnp.float32),
+                    out[2])
         return logits.astype(jnp.float32), pooled.astype(jnp.float32)

@@ -51,6 +51,13 @@ from jax.experimental.pallas import tpu as pltpu
 # selector-dot block fold). Read at trace time.
 BWD_IMPL = "stored"
 
+# Storage dtype of the stored-probs residual. bf16 halves the residual's
+# ~0.5 GB/step HBM traffic; the FORWARD context dot already consumes p in
+# the activation dtype (bf16), so only the backward's softmax-vjp terms see
+# the extra rounding (gradient error bounded by a guard test,
+# tests/test_fused_attention.py). Read at trace time; fp32 = exact default.
+P_RESIDUAL_DTYPE = jnp.float32
+
 
 def _keep_mask(shape, rate: float, seed, b, h: int):
     """Bernoulli(1-rate) keep mask from a counter-based hash.
@@ -194,7 +201,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *p_out,
         denom = jnp.maximum(segsum(e), 1e-30)
         p = e / denom
         if p_out:
-            p_out[0][b] = p
+            p_out[0][b] = p.astype(p_out[0].dtype)
         if rate > 0.0:
             keep = _keep_mask(p.shape, rate, seed, prog * bb + b, 0)
             p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
@@ -247,7 +254,8 @@ def _bwd_kernel_stored(seed_ref, q_ref, k_ref, v_ref, p_ref, g_ref,
         km = _tile_rows(k_ref[b], num_heads) * headmask
         vm = _tile_rows(v_ref[b], num_heads) * headmask
         gb = g_ref[b]
-        p = p_ref[b]                         # pre-dropout probs [Sq, H*Sk]
+        # pre-dropout probs [Sq, H*Sk]; f32 math regardless of storage dtype
+        p = p_ref[b].astype(jnp.float32)
         if rate > 0.0:
             keep = _keep_mask(p.shape, rate, seed, prog * bb + b, 0)
             drop = jnp.where(keep, inv_keep, 0.0)
@@ -485,7 +493,7 @@ def _fa_fwd(q, k, v, bias, num_heads, head_size, rate, interpret, seed):
                      num_heads, head_size, rate, interpret)
         return o, (q, k, v, bias, seed, None)
     o, p = _call(_fwd_kernel, ins,
-                 ((sq, d, q.dtype), (sq, num_heads * sk, jnp.float32)),
+                 ((sq, d, q.dtype), (sq, num_heads * sk, P_RESIDUAL_DTYPE)),
                  args, seed, num_heads, head_size, rate, interpret)
     return o, (q, k, v, bias, seed, p)
 
@@ -501,7 +509,7 @@ def _fa_bwd(num_heads, head_size, rate, interpret, res, g):
                            interpret)
     else:
         # stored-p backward never reads the bias
-        ins = ins[:3] + [(sq, num_heads * sk, jnp.float32),
+        ins = ins[:3] + [(sq, num_heads * sk, p.dtype),
                          (sq, d, q.dtype)]
         dq, dk, dv = _call(_bwd_kernel_stored, ins, outs,
                            args[:3] + [p, g], seed, num_heads, head_size,

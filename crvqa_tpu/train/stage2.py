@@ -54,13 +54,18 @@ class Stage2Config:
     # random init. True = actually train them (beyond-reference option).
     train_lmh: bool = False
     classifier_key: str = "classifier"  # 'cls' for VisualBERT
-    # KD: add a cosine representation loss against the dense (unmasked)
-    # teacher — the frozen stage-1 params themselves. The reference compares
-    # per-layer hidden states of a separate teacher model
-    # (`mask_trainer_Robust_VQA.py:857-865`, CosineLoss :95-97, `use_kd`
-    # false in all shipped scripts); here the pooled representation carries
-    # the distillation signal.
+    # KD: cosine representation loss against the dense (unmasked) teacher —
+    # the frozen stage-1 params themselves (`use_kd` is false in all shipped
+    # scripts; CosineLoss at `mask_trainer_Robust_VQA.py:95-97`).
+    # kd_mode='pooled': one cosine loss on the pooled rep — what the
+    #   reference KD block ACTUALLY computes (its `outputs[-1][1:]` at
+    #   :857-865 slices batch rows of the pooled tensor, since the model
+    #   returns (loss, logits, pooled), modeling_lxmert.py:360).
+    # kd_mode='layerwise': per-layer language-branch hidden-state cosine
+    #   losses averaged over layers — the INTENDED per-layer distillation
+    #   the reference code was written for (`student_reps[1:]` zip).
     use_kd: bool = False
+    kd_mode: str = "pooled"  # 'pooled' | 'layerwise'
     kd_weight: float = 1.0
     # microbatch gradient accumulation (`gradient_accumulation_steps`,
     # mask_trainer_Robust_VQA.py:656-676) as a lax.scan over batch slices
@@ -75,6 +80,10 @@ class Stage2Config:
     # mode (weights quantize once at init — the model computes in bf16
     # anyway when config.dtype is bf16).
     backbone_dtype: str = "float32"
+    # storage dtype of the Adam moments (train/common.hf_adamw moment_dtype):
+    # 'bfloat16' halves the 210M-score optimizer-state traffic; moment math
+    # stays fp32 per step. 'float32' = exact default.
+    moment_dtype: str = "float32"
 
 
 def init_state(model, masker: Masker, params: PyTree, config: Stage2Config,
@@ -107,7 +116,10 @@ def init_state(model, masker: Masker, params: PyTree, config: Stage2Config,
                     config.total_steps, config.weight_decay,
                     config.max_grad_norm, eps=config.adam_epsilon,
                     grad_mask=grad_mask,
-                    accumulate_abs_grad=config.accumulate_abs_grad)
+                    accumulate_abs_grad=config.accumulate_abs_grad,
+                    moment_dtype=(jnp.bfloat16
+                                  if config.moment_dtype == "bfloat16"
+                                  else None))
     opt_state = tx.init({"train": train_params, "scores": scores})
     return Stage2State(
         step=jnp.zeros((), jnp.int32),
@@ -149,10 +161,13 @@ def make_train_step(model, masker: Masker, tx: optax.GradientTransformation,
         masked = masker.apply_masks(
             params, trainable["scores"], state.thresholds,
             rng=jax.random.fold_in(dropout_rng, 1))
-        logits, pooled = model.apply(
+        layerwise = config.use_kd and config.kd_mode == "layerwise"
+        extra = {"collect_hidden": True} if layerwise else {}
+        out = model.apply(
             {"params": masked}, **model_inputs(batch),
-            deterministic=False, rngs={"dropout": dropout_rng},
+            deterministic=False, rngs={"dropout": dropout_rng}, **extra,
         )
+        logits, pooled = out[0], out[1]
         loss = dispatch_loss(
             config.masker_type, logits=logits, pooled=pooled,
             labels=batch["labels"], bias=batch["bias"],
@@ -163,10 +178,21 @@ def make_train_step(model, masker: Masker, tx: optax.GradientTransformation,
         if config.use_kd:
             from ..losses import cosine_rep_loss
 
-            _, teacher_pooled = model.apply(
-                {"params": params}, **model_inputs(batch), deterministic=True)
-            loss = loss + config.kd_weight * cosine_rep_loss(
-                pooled, jax.lax.stop_gradient(teacher_pooled))
+            t_out = model.apply(
+                {"params": params}, **model_inputs(batch),
+                deterministic=True, **extra)
+            if layerwise:
+                # per-layer rep loss averaged over layers, embedding state
+                # dropped — the reference's `reps[1:]` zip + `/len` at
+                # mask_trainer_Robust_VQA.py:857-865
+                s_reps, t_reps = out[2][1:], t_out[2][1:]
+                rep = sum(
+                    cosine_rep_loss(s, jax.lax.stop_gradient(t))
+                    for s, t in zip(s_reps, t_reps)) / len(s_reps)
+            else:
+                rep = cosine_rep_loss(
+                    pooled, jax.lax.stop_gradient(t_out[1]))
+            loss = loss + config.kd_weight * rep
         return loss, batch_score(logits, batch["labels"])
 
     def train_step(state: Stage2State, batch) -> tuple[Stage2State, TrainMetrics]:

@@ -44,6 +44,10 @@ def install():
         _installed = True
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
+    # data-layer deps the trainer module chain imports but never touches in
+    # the oracle paths (dataset_LXM.py:15-24 pulls utils_vqa/zarr/h5py)
+    for name in ("utils_vqa", "zarr", "tensorboardX", "h5py"):
+        sys.modules.setdefault(name, types.ModuleType(name))
     return torch
 
 

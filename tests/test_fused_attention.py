@@ -360,3 +360,75 @@ def test_causal_bias_falls_back_to_xla(monkeypatch):
     # and the causal output actually honors causality vs the reference
     ref = reference_attention(x, x, x, jnp.zeros((2, 8)), H, D)
     assert np.abs(np.asarray(out_fused_off)).max() > 0
+
+
+def test_bf16_stored_probs_residual_guard(monkeypatch):
+    """P_RESIDUAL_DTYPE=bf16 (the HBM-traffic experiment): gradients must
+    stay within bf16 rounding of the exact fp32-residual gradients — the
+    numerics guard for the bench's bf16-residual configuration."""
+    from crvqa_tpu.ops import fused_attention as fa
+
+    q, k, v, bias = _inputs(14, 36)
+    tgt = jnp.asarray(np.random.default_rng(2).normal(
+        size=(q.shape[0], 14, H * D)).astype(np.float32))
+
+    def grads():
+        def loss(q, k, v):
+            return jnp.sum((fused_attention(q, k, v, bias, H, D, 0.0, True)
+                            - tgt) ** 2)
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    monkeypatch.setattr(fa, "P_RESIDUAL_DTYPE", jnp.float32)
+    exact = grads()
+    monkeypatch.setattr(fa, "P_RESIDUAL_DTYPE", jnp.bfloat16)
+    approx = grads()
+    for a, b, name in zip(approx, exact, "qkv"):
+        err = (np.abs(np.asarray(a) - np.asarray(b)).max()
+               / max(np.abs(np.asarray(b)).max(), 1e-9))
+        assert err < 2e-2, (name, err)  # bf16 has ~2^-8 relative rounding
+
+
+def test_bf16_adam_moments_guard():
+    """moment_dtype='bfloat16': a short stage-2 trajectory must track the
+    fp32-moment trajectory closely (the optimizer-traffic experiment's
+    numerics guard)."""
+    from crvqa_tpu.data import synthetic_batch
+    from crvqa_tpu.masking import Masker, ModalSparsity, lxmert_mask_specs
+    from crvqa_tpu.models import LxmertConfig, LxmertForVQA
+    from crvqa_tpu.train import stage2
+
+    config = LxmertConfig.tiny()
+    model = LxmertForVQA(config)
+    b = synthetic_batch(batch_size=4, vocab_size=config.vocab_size,
+                        ans_num=config.ans_num,
+                        feat_dim=config.visual_feat_dim,
+                        pos_dim=config.visual_pos_dim)
+    jb = {k: jnp.asarray(v) for k, v in b.items() if k != "valid"}
+    params = model.init(jax.random.PRNGKey(0), input_ids=jb["input_ids"],
+                        visual_feats=jb["visual_feats"],
+                        visual_pos=jb["visual_pos"])["params"]
+    specs = lxmert_mask_specs(config.l_layers, config.r_layers,
+                              config.x_layers)
+    masker = Masker.create(specs, ModalSparsity.from_compression(.3, .3, .3, .7),
+                           controlled_init="magnitude")
+
+    def run(moment_dtype):
+        cfg = stage2.Stage2Config(masker_type="normal", total_steps=10,
+                                  hidden_size=config.hidden_size,
+                                  learning_rate=1e-3,
+                                  moment_dtype=moment_dtype)
+        st, tx = stage2.init_state(model, masker, params, cfg,
+                                   jax.random.PRNGKey(1))
+        step = stage2.make_train_step(model, masker, tx, cfg)
+        losses = []
+        for _ in range(3):
+            st, m = step(st, jb)
+            losses.append(float(m.loss))
+        return losses, np.asarray(st.scores[specs[3].key])
+
+    l32, s32 = run("float32")
+    l16, s16 = run("bfloat16")
+    assert np.isfinite(l16).all()
+    np.testing.assert_allclose(l16, l32, rtol=5e-3)
+    # score updates stay directionally identical within bf16 rounding
+    assert np.abs(s16 - s32).max() < 5e-4

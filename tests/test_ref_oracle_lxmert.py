@@ -259,3 +259,46 @@ def test_reset_threshold_oracle(tiny):
         np.testing.assert_allclose(float(thresholds[spec.key]),
                                    float(ref_thr), rtol=1e-6,
                                    err_msg=spec.key)
+
+
+def test_cosine_rep_loss_oracle():
+    """cosine_rep_loss vs the reference `CosineLoss`
+    (mask_trainer_Robust_VQA.py:95-97) on pooled-shaped AND
+    hidden-state-shaped tensors (the layer-wise KD operand)."""
+    from hg_transformers.mask_trainer_Robust_VQA import CosineLoss
+
+    rng = np.random.default_rng(21)
+    for shape in [(6, 32), (4, 9, 32)]:
+        s = rng.normal(size=shape).astype(np.float32)
+        t = rng.normal(size=shape).astype(np.float32)
+        ours = vqa_losses.cosine_rep_loss(jnp.asarray(s), jnp.asarray(t))
+        with torch.no_grad():
+            ref = CosineLoss()(torch.from_numpy(s), torch.from_numpy(t))
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-6)
+
+
+def test_layerwise_kd_trains(tiny):
+    """kd_mode='layerwise' (the INTENDED per-layer distillation of
+    mask_trainer_Robust_VQA.py:857-865) runs, differs from pooled KD, and
+    still moves the scores."""
+    from crvqa_tpu.train import stage2
+
+    config, model, params, jb = tiny
+    specs = lxmert_mask_specs(config.l_layers, config.r_layers,
+                              config.x_layers)
+    masker = Masker.create(specs, ModalSparsity.from_compression(.3, .3, .3, .7),
+                           controlled_init="magnitude")
+    losses = {}
+    for mode in ("pooled", "layerwise"):
+        cfg = stage2.Stage2Config(masker_type="normal", total_steps=10,
+                                  hidden_size=config.hidden_size,
+                                  use_kd=True, kd_mode=mode, kd_weight=5.0)
+        st, tx = stage2.init_state(model, masker, params, cfg,
+                                   jax.random.PRNGKey(1))
+        s0 = np.asarray(st.scores[specs[3].key]).copy()
+        step = stage2.make_train_step(model, masker, tx, cfg)
+        st, m = step(st, jb)
+        losses[mode] = float(m.loss)
+        assert np.isfinite(losses[mode])
+        assert np.abs(np.asarray(st.scores[specs[3].key]) - s0).max() > 0
+    assert losses["pooled"] != losses["layerwise"]

@@ -1,0 +1,58 @@
+"""Reference-oracle parity: the VQA-VS 9-split scorer vs the reference's
+own `comput_vqavs_score.py` functions (get_scores :16-67, get_OOD_ans_pred
+:69-119, Final_Score = mean of the 9 ROUNDED OOD split scores :177)."""
+import numpy as np
+
+import ref_oracle
+
+from crvqa_tpu.evals.scoring import VQAVS_SPLITS, compute_vqavs_scores
+
+ref_oracle.install()
+
+ANSWERS = ["yes", "no", "2", "red", "dog", "frisbee"]
+
+
+def _fabricate(n=60, seed=4):
+    rng = np.random.default_rng(seed)
+    annotations, predictions = [], []
+    for i in range(n):
+        w1, w2 = rng.choice(ANSWERS, size=2, replace=False)
+        c1, c2 = int(rng.integers(1, 7)), int(rng.integers(1, 4))
+        atype = ("yes/no" if w1 in ("yes", "no")
+                 else "number" if w1.isdigit() else "other")
+        annotations.append({
+            "question_id": 100 + i,
+            "answers_word": [str(w1), str(w2)],
+            "answer_count": {str(w1): c1, str(w2): c2},
+            "answer_type": atype,
+        })
+        predictions.append({"question_id": 100 + i,
+                            "answer": str(rng.choice(ANSWERS))})
+    test_anno = {"annotations": annotations}
+    for s in VQAVS_SPLITS:
+        # overlapping random OOD split memberships, like the real file
+        test_anno[f"{s}_qid"] = [100 + int(i) for i in
+                                 rng.choice(n, size=n // 2, replace=False)]
+    return test_anno, predictions
+
+
+def test_vqavs_scorer_oracle():
+    import comput_vqavs_score as ref
+
+    test_anno, predictions = _fabricate()
+    ours = compute_vqavs_scores(predictions, test_anno)
+
+    annotations = sorted(test_anno["annotations"],
+                         key=lambda x: x["question_id"])
+    predictions = sorted(predictions, key=lambda x: x["question_id"])
+    ref_iid = ref.get_scores(annotations, predictions)
+    split_annos, split_preds = ref.get_OOD_ans_pred(
+        annotations, predictions,
+        *[test_anno[f"{s}_qid"] for s in VQAVS_SPLITS])
+    ref_splits = [ref.get_scores(a, p)
+                  for a, p in zip(split_annos, split_preds)]
+
+    assert ours["iid"] == ref_iid
+    for s, want in zip(VQAVS_SPLITS, ref_splits):
+        assert ours[s] == want, s
+    assert ours["Final_Score"] == sum(ref_splits) / 9
