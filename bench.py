@@ -25,11 +25,11 @@ reference's stage-2 throughput on its single-GPU setup (the repo publishes no
 throughput numbers). The estimate is deliberately GENEROUS to the reference
 and its derivation is PINNED BY MEASUREMENT, not back-of-envelope: the
 compiled single-step executable's own cost analysis (measured at runtime,
-emitted as `flops_per_example` in the JSON; 20.5 GFLOP/example on v5e at r3)
+emitted as `flops_per_example` in the JSON; 25.8 GFLOP/example on v5e at r3)
 caps a V100's 15.7 TFLOP/s fp32 peak at `15.7e12 / flops_per_example`
-≈ 765 ex/s at 100% utilization (emitted as `ref_v100_roofline`; the shipped
+≈ 608 ex/s at 100% utilization (emitted as `ref_v100_roofline`; the shipped
 configs run fp32 — apex fp16 is off), and a realistic 35% utilization lands
-near 270 ex/s. 1000 ex/s ≈ a fp16 V100 run at ~17% MFU or an A100-class
+near 213 ex/s. 1000 ex/s ≈ a fp16 V100 run at ~26% MFU or an A100-class
 card. >1.0 therefore understates the real speedup.
 
 Window size (steps per on-device scan dispatch) is measured on-chip:
@@ -193,12 +193,12 @@ def main() -> None:
             print(f"# {r}", file=sys.stderr)
             print(json.dumps(r))
         return
-    # headline configs; bf16 residual + moments are the measured r3 winners
-    # (see STATUS.md perf table) — numerics guarded by
-    # tests/test_fused_attention.py::{test_bf16_stored_probs_residual_guard,
-    # test_bf16_adam_moments_guard}
-    results = [measure("bfloat16", p_residual="bfloat16",
-                       moment_dtype="bfloat16"),
+    # headline config: bf16 backbone (dtype-adaptive gelu) + bf16 Adam
+    # moments — the measured r3 winners (STATUS.md perf section; moments
+    # +2.8%, guarded by test_bf16_adam_moments_guard). The bf16 stored-probs
+    # residual measured as noise (3582.6 vs 3581.3 ex/s), so the headline
+    # keeps the exact fp32 residual.
+    results = [measure("bfloat16", moment_dtype="bfloat16"),
                measure("float32")]
     for r in results:
         print(f"# {r}", file=sys.stderr)

@@ -9,6 +9,7 @@ optimizer/schedular blocks of `configs/full_model_debias.yaml`.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 
@@ -117,6 +118,18 @@ def main(argv=None) -> None:
             vit=ViTConfig(image_res=args.image_res, dtype=dtype,
                           use_remat=args.use_checkpoint),
             distill=args.distill)
+    if not args.synthetic and args.vocab_file:
+        # the reference derives bos/eos/pad from ITS tokenizer (eos '[SEP]',
+        # full_model_debias.yaml; vqa_mplug.py:429-431) — with a custom
+        # vocab the bert-base defaults (101/102/0) would point at the wrong
+        # rows, so sync the decode token ids from the actual vocab
+        from ..data.vqacp import make_tokenizer as _mk
+
+        _tok = _mk(args.vocab_file)
+        config = dataclasses.replace(
+            config, bos_token_id=int(_tok.cls_token_id),
+            eos_token_id=int(_tok.sep_token_id),
+            pad_token_id=int(_tok.pad_token_id))
     model = MPlug(config)
 
     from ..data.mplug_data import (

@@ -14,11 +14,30 @@ from flax import linen as nn
 
 Dtype = Any
 
+def gelu(x):
+    """Dtype-adaptive gelu — the single gelu used across the model zoo.
+
+    The reference's "gelu" is torch F.gelu = EXACT erf gelu
+    (hg_transformers/activations.py:32-35), NOT the tanh approximation
+    (flax's nn.gelu default). In fp32 we match it exactly (oracle-tested in
+    tests/test_ref_oracle_lxmert.py / test_ref_oracle_mplug.py).
+
+    In bf16 the erf lowering is a measured 12% of the WHOLE stage-2 step on
+    v5e (3050 vs 3469 ex/s — TPU's VPU has a fast tanh unit, erf lowers to a
+    long polynomial), while the tanh form's absolute error vs erf is
+    <= 4.8e-4 — below the bf16 rounding granularity of the surrounding FFN
+    activations (ulp = 3.9e-3 at |v| in [1, 2)); elementwise relative error
+    exceeds rounding only where gelu outputs are exponentially small
+    (|out| < ~1e-3), whose absolute contribution to the next 3072-wide
+    matmul is negligible. bf16 therefore takes the tanh form; end-to-end
+    gradient deviation is bounded by
+    tests/test_bf16_policy.py::test_bf16_tanh_gelu_guard.
+    """
+    return nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
+
+
 ACT2FN: dict[str, Callable] = {
-    # the reference's "gelu" is torch F.gelu = EXACT erf gelu
-    # (hg_transformers/activations.py:32-35), NOT the tanh approximation
-    # (flax's nn.gelu default); oracle-tested in tests/test_ref_oracle_lxmert.py
-    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "gelu": gelu,
     "relu": nn.relu,
     "tanh": jnp.tanh,
 }

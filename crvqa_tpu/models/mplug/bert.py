@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .. import layers
 from ..layers import (
     AttentionOutput,
     FFNOutput,
@@ -285,9 +286,10 @@ class TextDecoder(nn.Module):
         # LM head: transform + tied decoder
         t = nn.Dense(c.hidden_size, dtype=c.dtype,
                      name="predictions_transform_dense")(h)
-        # transform_act_fn is ACT2FN["gelu"] = exact erf gelu
-        # (modeling_mplug.py:802, pip transformers GELUActivation)
-        t = nn.gelu(t, approximate=False)
+        # transform_act_fn is ACT2FN["gelu"] = erf gelu (modeling_mplug.py:
+        # 802, pip transformers GELUActivation); dtype-adaptive like the
+        # rest of the zoo (exact in fp32, tanh form in bf16 — layers.gelu)
+        t = layers.gelu(t)
         t = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype,
                          name="predictions_transform_LayerNorm")(t)
         logits = emb.attend(t.astype(jnp.float32))
