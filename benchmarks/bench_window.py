@@ -56,7 +56,10 @@ def build(window: int):
         controlled_init="magnitude")
     cfg = stage2.Stage2Config(masker_type="lmh", total_steps=10_000,
                               hidden_size=config.hidden_size,
-                              backbone_dtype="bfloat16")
+                              backbone_dtype="bfloat16",
+                              # match the bench.py headline config (r3)
+                              moment_dtype=os.environ.get(
+                                  "BENCH_MOMENT_DTYPE", "bfloat16"))
     state, tx = stage2.init_state(model, masker, params, cfg,
                                   jax.random.PRNGKey(1))
     multi = stage2.make_multi_step(model, masker, tx, cfg, window)

@@ -314,12 +314,17 @@ def main(argv=None) -> None:
         if args.eval_method == "rank":
             # answer-list re-ranking (`rank_answer`, model_vqa_mplug.py:188-245)
             if args.answer_list:
+                from ..data.mplug_data import _tokenize_fixed
+
                 with open(args.answer_list) as fh:
                     answers = json.load(fh)
-                enc = tokenizer(answers, padding="max_length", truncation=True,
-                                max_length=args.max_answer_len)
-                alist_ids = jnp.asarray(enc["input_ids"], jnp.int32)
-                alist_mask = jnp.asarray(enc["attention_mask"], jnp.float32)
+                # the reference appends config['eos'] to every candidate
+                # before tokenizing (vqa_mplug.py:231-232) — extra_eos
+                # reproduces its [SEP] [SEP] row ending
+                ids_np, mask_np = _tokenize_fixed(
+                    tokenizer, answers, args.max_answer_len, extra_eos=True)
+                alist_ids = jnp.asarray(ids_np, jnp.int32)
+                alist_mask = jnp.asarray(mask_np, jnp.float32)
             else:
                 # synthetic smoke path: rank over a tiny random list
                 answers = [f"ans_{i}" for i in range(8)]

@@ -38,11 +38,24 @@ class MPlugEntries:
 
 
 def _tokenize_fixed(tokenizer, texts: Sequence[str], max_len: int,
-                    add_special: bool = True) -> tuple[np.ndarray, np.ndarray]:
+                    add_special: bool = True,
+                    extra_eos: bool = False) -> tuple[np.ndarray, np.ndarray]:
     enc = tokenizer(list(texts), padding="max_length", truncation=True,
                     max_length=max_len, add_special_tokens=add_special)
-    return (np.asarray(enc["input_ids"], np.int32),
-            np.asarray(enc["attention_mask"], np.float32))
+    ids = np.asarray(enc["input_ids"], np.int32)
+    mask = np.asarray(enc["attention_mask"], np.float32)
+    if extra_eos:
+        # the reference appends the eos STRING to each answer before a
+        # tokenizer that adds specials (`answers = [answer+self.eos ...]`,
+        # vqa_dataset.py:107 with eos '[SEP]'), so its answer rows end
+        # [SEP] [SEP]; reproduce at the token level
+        sep = int(tokenizer.sep_token_id)
+        for r in range(ids.shape[0]):
+            end = int(mask[r].sum())
+            if end < max_len:
+                ids[r, end] = sep
+                mask[r, end] = 1.0
+    return ids, mask
 
 
 def pre_question(question: str, max_ques_words: int) -> str:
@@ -110,16 +123,18 @@ def load_entries(ann_files: Sequence[str], tokenizer, q_len: int = 25,
         # bias arrives aligned with the RAW answer list (build_vqacp_ocr
         # emits one prior per human answer, duplicates included) — carry it
         # through the dedup BY KEY, not positionally, or slot j's bias ends
-        # up belonging to a different answer
+        # up belonging to a different answer. FIRST occurrence wins, like
+        # the reference's `biases_.append(bias)` under the not-seen branch
+        # (vqa_dataset.py:85-91)
         uniq_bias: dict[str, float] = {}
         for j, ans in enumerate(answers):
             uniq[ans] = uniq.get(ans, 0.0) + 1.0 / max(len(answers), 1)
             if rb is not None and j < len(rb):
-                uniq_bias[ans] = float(rb[j])
+                uniq_bias.setdefault(ans, float(rb[j]))
         items = list(uniq.items())[:a_max]
         if items:
             texts = [t for t, _ in items]
-            tk, tm = _tokenize_fixed(tokenizer, texts, a_len)
+            tk, tm = _tokenize_fixed(tokenizer, texts, a_len, extra_eos=True)
             ans_tokens[i, : len(items)] = tk
             ans_mask[i, : len(items)] = tm
             weights[i, : len(items)] = [w for _, w in items]

@@ -7,6 +7,8 @@ from crvqa_tpu.data.mplug_data import MPlugEntries, load_entries
 
 
 class _Tok:
+    sep_token_id = 98
+
     def __call__(self, texts, padding=None, truncation=None, max_length=None,
                  add_special_tokens=True):
         ids, mask = [], []
@@ -43,10 +45,32 @@ def test_load_entries_weights_and_bias(tmp_path):
     # single-string answer becomes one slot of weight 1
     np.testing.assert_allclose(e.weights[1], [1.0, 0.0, 0.0])
     # per-answer bias follows each answer through the dedup BY KEY (review
-    # finding: positional truncation fed 'blue' the bias of 'red')
+    # finding: positional truncation fed 'blue' the bias of 'red'), and the
+    # FIRST occurrence of a duplicated answer keeps its bias, like the
+    # reference's not-seen-branch append (vqa_dataset.py:85-91)
     np.testing.assert_allclose(e.bias[0][:2], [0.5, 0.1])
     assert e.image_paths[0] == "/data/img/1.jpg"
     assert list(e.question_ids) == [7, 8]
+    # answer rows end with an EXTRA eos token — the reference tokenizes
+    # `answer + '[SEP]'` with auto specials (vqa_dataset.py:107), so rows
+    # read ... [SEP] [SEP]
+    row = e.answer_tokens[1, 0]
+    end = int(e.answer_mask[1, 0].sum())
+    assert row[end - 1] == _Tok.sep_token_id
+    assert e.answer_mask[0, 0].sum() == 2  # 'red' -> 1 tok + appended sep
+
+
+def test_first_wins_bias_on_conflicting_duplicates(tmp_path):
+    """A duplicated answer with DIFFERENT per-occurrence biases keeps the
+    first one (the reference appends bias only when the answer is first
+    seen, vqa_dataset.py:85-91)."""
+    records = [{"question_id": 1, "question": "q", "image": "i.jpg",
+                "answer": ["yes", "no", "yes"], "bias": [0.9, 0.2, 0.1]}]
+    path = tmp_path / "t.json"
+    json.dump(records, open(path, "w"))
+    e = load_entries([str(path)], _Tok(), q_len=4, a_len=4,
+                     answers_per_question=3)
+    np.testing.assert_allclose(e.bias[0][:2], [0.9, 0.2])
 
 
 class TestAugment:
@@ -206,6 +230,8 @@ def test_loader_augmented_questions_and_images(tmp_path):
     ann.write_text(json.dumps(records))
 
     class FakeTok:
+        sep_token_id = 98
+
         def __call__(self, texts, padding=None, truncation=None,
                      max_length=None, add_special_tokens=True):
             ids = []
