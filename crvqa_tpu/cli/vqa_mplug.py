@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--add_ocr", type=common.str2bool, default=False,
                    help="append OCR tokens to questions "
                         "(vqa_dataset.py:57-67)")
+    p.add_argument("--max_input_length", type=int, default=50,
+                   help="question token length when --add_ocr (the "
+                        "reference tokenizes at max_input_length with OCR, "
+                        "25 otherwise — vqa_mplug.py:159,474)")
     p.add_argument("--add_object", type=common.str2bool, default=False,
                    help="append object labels to questions "
                         "(vqa_dataset.py:68-70)")
@@ -159,12 +163,15 @@ def main(argv=None) -> None:
         from ..data.vqacp import make_tokenizer
 
         tokenizer = make_tokenizer(args.vocab_file)
+        # question rows are max_input_length wide with OCR splicing, 25
+        # otherwise (vqa_mplug.py:159)
+        q_len = args.max_input_length if args.add_ocr else 25
         train_entries = load_entries(args.train_files, tokenizer,
-                                     vqa_root=args.vqa_root,
+                                     q_len=q_len, vqa_root=args.vqa_root,
                                      add_ocr=args.add_ocr,
                                      add_object=args.add_object)
         test_entries = load_entries(args.test_files, tokenizer,
-                                    vqa_root=args.vqa_root,
+                                    q_len=q_len, vqa_root=args.vqa_root,
                                     add_ocr=args.add_ocr,
                                     add_object=args.add_object)
         n_train = len(train_entries)
