@@ -132,7 +132,7 @@ class WordPieceTokenizer:
                  vocab: Optional[dict] = None, do_lower_case: bool = True,
                  unk_token: str = "[UNK]", cls_token: str = "[CLS]",
                  sep_token: str = "[SEP]", pad_token: str = "[PAD]",
-                 mask_token: str = "[MASK]"):
+                 mask_token: str = "[MASK]", native: bool = True):
         if vocab is None:
             if vocab_file is None:
                 raise ValueError("need vocab_file or vocab")
@@ -156,6 +156,38 @@ class WordPieceTokenizer:
         self.sep_token_id = self.vocab[sep_token]
         self.pad_token_id = self.vocab[pad_token]
         self.mask_token_id = self.vocab[mask_token]
+        # native bulk path: None = build lazily on first batch call,
+        # False = disabled (pure Python only)
+        self._native = None if native else False
+
+    def _native_handle(self):
+        """Build (once) the C++ encoder; False if unavailable."""
+        if self._native is None:
+            try:
+                from ..native.wordpiece import NativeWordPiece
+
+                self._native = NativeWordPiece(
+                    self.vocab, self.all_special_tokens, self.unk_token_id)
+            except Exception:  # no g++ / dense-id violation -> pure Python
+                self._native = False
+        return self._native
+
+    def raw_ids_batch(self, texts: Sequence[str],
+                      cap: int = 512) -> list[list[int]]:
+        """Raw wordpiece ids per text (no specials added) — the bulk
+        tokenization entry. ASCII rows run through the native C++ encoder
+        (goldens in tests/test_tokenization.py prove id-equality with the
+        Python path); rows with any non-ASCII byte fall back to the Python
+        unicode implementation. `do_lower_case=False` vocabs always take
+        the Python path (the C++ encoder implements the lowercase spec)."""
+        native = self._native_handle() if self.do_lower_case else False
+        if native:
+            rows = native.encode_batch(list(texts), cap=cap)
+        else:
+            rows = [None] * len(texts)
+        return [r if r is not None
+                else self.convert_tokens_to_ids(self.tokenize(t))[:cap]
+                for r, t in zip(rows, texts)]
 
     # ---------------------------------------------------------------- core
     def tokenize(self, text: str) -> list[str]:
@@ -194,8 +226,16 @@ class WordPieceTokenizer:
                  add_special_tokens: bool = True, return_tensors=None):
         if isinstance(texts, str):
             texts = [texts]
-        rows = [self.encode(t, max_length if truncation else None,
-                            add_special_tokens) for t in texts]
+        raw = self.raw_ids_batch(texts, cap=max(512, max_length))
+        rows = []
+        for r in raw:
+            if add_special_tokens:
+                if truncation:
+                    r = r[: max_length - 2]
+                r = [self.cls_token_id] + r + [self.sep_token_id]
+            elif truncation:
+                r = r[:max_length]
+            rows.append(r)
         if padding == "longest":
             max_length = max((len(r) for r in rows), default=0)
         ids, mask = [], []

@@ -56,6 +56,14 @@ def tokenize_questions(questions: Sequence[str], tokenizer, max_length: int = 14
     pad_id = tokenizer.convert_tokens_to_ids("[PAD]")
     ids = np.full((len(questions), max_length), pad_id, np.int32)
     lengths = np.zeros(len(questions), np.int32)
+    if hasattr(tokenizer, "raw_ids_batch"):
+        # bulk path: the native C++ WordPiece encoder with per-row Python
+        # fallback (data/tokenization.py, native/wordpiece.cpp)
+        for i, row in enumerate(tokenizer.raw_ids_batch(questions,
+                                                        cap=max_length)):
+            ids[i, : len(row)] = row
+            lengths[i] = len(row)
+        return ids, lengths
     for i, q in enumerate(questions):
         toks = tokenizer.tokenize(q)[:max_length]
         ids[i, : len(toks)] = tokenizer.convert_tokens_to_ids(toks)

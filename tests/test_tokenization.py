@@ -120,3 +120,74 @@ def test_wordpiece_unk_and_long_token(pair):
     ours, hf = pair
     weird = "zqxjv" * 25  # 125 chars > max_input_chars_per_word
     assert ours.tokenize(weird) == hf.tokenize(weird) == ["[UNK]"]
+
+
+# ---------------------------------------------------------------- native path
+
+def test_native_encoder_matches_python(pair):
+    """The C++ bulk encoder (native/wordpiece.cpp) must produce id-identical
+    output to the pure-Python tokenizer on the real vocab — ASCII rows via
+    C++, unicode rows via the reported fallback."""
+    ours, _ = pair
+    native = ours._native_handle()
+    assert native, "native encoder failed to build"
+    # at least one ASCII question really took the C++ path
+    assert native.encode_batch(["what color is the dog?"])[0] is not None
+    # unicode rows are reported for fallback, not mis-encoded
+    assert native.encode_batch(["naïve café"])[0] is None
+
+    pure = WordPieceTokenizer(vocab_file=REF_VOCAB, native=False)
+    assert ours.raw_ids_batch(QUESTIONS) == pure.raw_ids_batch(QUESTIONS)
+    enc_n = ours(QUESTIONS, max_length=14)
+    enc_p = pure(QUESTIONS, max_length=14)
+    assert enc_n == enc_p
+
+
+def test_native_encoder_ascii_fuzz(pair):
+    """Randomized printable-ASCII strings (punctuation runs, control chars,
+    specials spliced mid-text) — native == Python on every row."""
+    import random
+    import string
+
+    ours, _ = pair
+    pure = WordPieceTokenizer(vocab_file=REF_VOCAB, native=False)
+    rng = random.Random(11)
+    alphabet = string.ascii_letters + string.digits + string.punctuation + " \t"
+    texts = []
+    for _ in range(200):
+        n = rng.randrange(0, 60)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        if rng.random() < 0.3:
+            s += " [SEP] " + "".join(rng.choice(alphabet)
+                                     for _ in range(rng.randrange(0, 10)))
+        if rng.random() < 0.1:
+            s = s[: n // 2] + "\x07\x01" + s[n // 2:]  # control chars drop
+        if rng.random() < 0.05:
+            s += "\x00x"  # embedded NUL: C-string hazard -> Python fallback
+        texts.append(s)
+    assert ours.raw_ids_batch(texts) == pure.raw_ids_batch(texts)
+
+
+def test_tokenize_questions_native_batch(pair):
+    """data/vqacp.tokenize_questions takes the bulk path and matches the
+    per-question Python loop (fixed-14 contract preserved)."""
+    from crvqa_tpu.data.vqacp import tokenize_questions
+
+    ours, _ = pair
+    pure = WordPieceTokenizer(vocab_file=REF_VOCAB, native=False)
+    delattr_ok = hasattr(pure, "raw_ids_batch")  # both have the method; force
+    ids_n, len_n = tokenize_questions(QUESTIONS, ours)
+
+    # reference loop semantics, computed directly
+    import numpy as _np
+
+    pad = pure.convert_tokens_to_ids("[PAD]")
+    ids_p = _np.full((len(QUESTIONS), 14), pad, _np.int32)
+    len_p = _np.zeros(len(QUESTIONS), _np.int32)
+    for i, q in enumerate(QUESTIONS):
+        toks = pure.tokenize(q)[:14]
+        ids_p[i, : len(toks)] = pure.convert_tokens_to_ids(toks)
+        len_p[i] = len(toks)
+    _np.testing.assert_array_equal(ids_n, ids_p)
+    _np.testing.assert_array_equal(len_n, len_p)
+    assert delattr_ok
