@@ -122,18 +122,20 @@ def main(argv=None) -> None:
             vit=ViTConfig(image_res=args.image_res, dtype=dtype,
                           use_remat=args.use_checkpoint),
             distill=args.distill)
+    tokenizer = None
     if not args.synthetic and args.vocab_file:
         # the reference derives bos/eos/pad from ITS tokenizer (eos '[SEP]',
         # full_model_debias.yaml; vqa_mplug.py:429-431) — with a custom
         # vocab the bert-base defaults (101/102/0) would point at the wrong
-        # rows, so sync the decode token ids from the actual vocab
-        from ..data.vqacp import make_tokenizer as _mk
+        # rows, so sync the decode token ids from the actual vocab. Built
+        # ONCE here; the data path below reuses it.
+        from ..data.vqacp import make_tokenizer
 
-        _tok = _mk(args.vocab_file)
+        tokenizer = make_tokenizer(args.vocab_file)
         config = dataclasses.replace(
-            config, bos_token_id=int(_tok.cls_token_id),
-            eos_token_id=int(_tok.sep_token_id),
-            pad_token_id=int(_tok.pad_token_id))
+            config, bos_token_id=int(tokenizer.cls_token_id),
+            eos_token_id=int(tokenizer.sep_token_id),
+            pad_token_id=int(tokenizer.pad_token_id))
     model = MPlug(config)
 
     from ..data.mplug_data import (
@@ -158,11 +160,11 @@ def main(argv=None) -> None:
                     vocab_size=config.bert.vocab_size, seed=90000 + i)
 
         n_train = args.synthetic
-        tokenizer = None
     else:
-        from ..data.vqacp import make_tokenizer
+        if tokenizer is None:
+            from ..data.vqacp import make_tokenizer
 
-        tokenizer = make_tokenizer(args.vocab_file)
+            tokenizer = make_tokenizer(args.vocab_file)
         # question rows are max_input_length wide with OCR splicing, 25
         # otherwise (vqa_mplug.py:159)
         q_len = args.max_input_length if args.add_ocr else 25

@@ -231,7 +231,7 @@ class WordPieceTokenizer:
         for r in raw:
             if add_special_tokens:
                 if truncation:
-                    r = r[: max_length - 2]
+                    r = r[: max(0, max_length - 2)]
                 r = [self.cls_token_id] + r + [self.sep_token_id]
             elif truncation:
                 r = r[:max_length]
@@ -239,9 +239,12 @@ class WordPieceTokenizer:
         if padding == "longest":
             max_length = max((len(r) for r in rows), default=0)
         ids, mask = [], []
+        # rows longer than max_length (truncation=False) stay unpadded —
+        # the HF behavior (ragged output), never a negative pad count
         for r in rows:
-            ids.append(r + [self.pad_token_id] * (max_length - len(r)))
-            mask.append([1] * len(r) + [0] * (max_length - len(r)))
+            pad_n = max(0, max_length - len(r))
+            ids.append(r + [self.pad_token_id] * pad_n)
+            mask.append([1] * len(r) + [0] * pad_n)
         return {"input_ids": ids, "attention_mask": mask}
 
     # ---------------------------------------------------------------- decode
@@ -252,7 +255,7 @@ class WordPieceTokenizer:
         text = " ".join(toks).replace(" ##", "")
         # HF clean_up_tokenization: reattach punctuation and contractions
         for a, b in ((" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
-                     (" ' ", "' "), (" n't", "n't"), (" 'm", "'m"),
+                     (" ' ", "'"), (" n't", "n't"), (" 'm", "'m"),
                      (" 's", "'s"), (" 've", "'ve"), (" 're", "'re")):
             text = text.replace(a, b)
         return text

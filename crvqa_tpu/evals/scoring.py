@@ -101,9 +101,20 @@ def compute_vqavs_scores(predictions: Sequence[dict], test_anno: dict) -> dict:
     `test_anno` is the `VQAvs_test_annotations.json` payload:
     {'annotations': [...], '<split>_qid': [...] for the 9 OOD splits}.
     """
-    annotations = test_anno["annotations"]
-    predictions = sorted(predictions, key=lambda x: x["question_id"])
-    annotations = sorted(annotations, key=lambda x: x["question_id"])
+    annotations = sorted(test_anno["annotations"],
+                         key=lambda x: x["question_id"])
+    # qid-keyed pairing (NOT positional zip of two sorted lists — one
+    # missing/duplicate qid would silently shift every later pair; same fix
+    # as compute_vqacp_scores above). Identical numbers when lists align,
+    # which the reference's own zip assumes.
+    by_qid = {p["question_id"]: p for p in predictions}
+    missing = [a["question_id"] for a in annotations
+               if a["question_id"] not in by_qid]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} annotated qids lack predictions "
+            f"(first: {missing[:3]})")
+    predictions = [by_qid[a["question_id"]] for a in annotations]
     result = {"iid": _vqavs_get_score(annotations, predictions)}
     split_ids = {s: set(test_anno[f"{s}_qid"]) for s in VQAVS_SPLITS}
     per_split_anno = {s: [] for s in VQAVS_SPLITS}

@@ -45,9 +45,12 @@ from .lxmert import (
 )
 
 class _ScanSelfLayer(nn.Module):
-    """Scan body for the homogeneous self-attention groups."""
+    """Scan body for the homogeneous self-attention groups. `collect=True`
+    emits each layer's output as a scan y (stacked [L, B, S, H]) for
+    layer-wise KD; unused ys are DCE'd by XLA when False."""
 
     config: LxmertConfig
+    collect: bool = False
 
     @nn.compact
     def __call__(self, carry, bias_and_det):
@@ -59,13 +62,14 @@ class _ScanSelfLayer(nn.Module):
             act=c.hidden_act, attn_dropout=c.attention_probs_dropout_prob,
             hidden_dropout=c.hidden_dropout_prob, dtype=c.dtype, name="body",
         )(carry, bias, deterministic)
-        return out, None
+        return out, (out if self.collect else None)
 
 
 class _ScanXLayer(nn.Module):
     """Scan body for the cross-modality group (carry = (lang, visn))."""
 
     config: LxmertConfig
+    collect: bool = False
 
     @nn.compact
     def __call__(self, carry, biases_and_det):
@@ -73,7 +77,7 @@ class _ScanXLayer(nn.Module):
         lang_bias, visn_bias, deterministic = biases_and_det
         lang, visn = LxmertXLayer(self.config, name="body")(
             lang, lang_bias, visn, visn_bias, deterministic)
-        return (lang, visn), None
+        return (lang, visn), (lang if self.collect else None)
 
 
 class ScanLxmertEncoder(nn.Module):
@@ -81,8 +85,13 @@ class ScanLxmertEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, lang_feats, lang_bias, visual_feats, visual_pos,
-                 visn_bias=None, deterministic=True):
+                 visn_bias=None, deterministic=True, collect_hidden=False):
         c = self.config
+        if c.lang_num_heads is not None or c.lang_intermediate_size is not None:
+            raise ValueError(
+                "compaction overrides (lang_num_heads/lang_intermediate_size) "
+                "are an unrolled-model feature; the scan groups are "
+                "homogeneous — use models.lxmert.LxmertForVQA")
         visn = LxmertVisualFeatureEncoder(c, name="visn_fc")(
             visual_feats, visual_pos, deterministic)
 
@@ -95,7 +104,8 @@ class ScanLxmertEncoder(nn.Module):
                 length=length,
             )
 
-        lang, _ = scan_self(c.l_layers)(c, name="layers_l")(
+        lang, lang_ys = scan_self(c.l_layers)(c, collect_hidden,
+                                              name="layers_l")(
             lang_feats, (lang_bias, deterministic))
         visn, _ = scan_self(c.r_layers)(c, name="layers_r")(
             visn, (visn_bias, deterministic))
@@ -106,8 +116,15 @@ class ScanLxmertEncoder(nn.Module):
             in_axes=nn.broadcast,
             length=c.x_layers,
         )
-        (lang, visn), _ = scan_x(c, name="layers_x")(
+        (lang, visn), x_ys = scan_x(c, collect_hidden, name="layers_x")(
             (lang, visn), (lang_bias, visn_bias, deterministic))
+        if collect_hidden:
+            # same list contract as LxmertEncoder: embedding output + after
+            # every lang layer + after every x layer (lang branch)
+            hidden = ([lang_feats]
+                      + [lang_ys[i] for i in range(c.l_layers)]
+                      + [x_ys[i] for i in range(c.x_layers)])
+            return lang, visn, hidden
         return lang, visn
 
 
@@ -119,7 +136,10 @@ class ScanLxmertForVQA(nn.Module):
     @nn.compact
     def __call__(self, input_ids, visual_feats, visual_pos,
                  attention_mask=None, visual_attention_mask=None,
-                 token_type_ids=None, deterministic=True):
+                 token_type_ids=None, deterministic=True,
+                 collect_hidden=False):
+        """Same return contract as LxmertForVQA, incl. `collect_hidden=True`
+        -> (logits, pooled, hidden) for layer-wise KD."""
         c = self.config
         lang_bias = extend_attention_mask(attention_mask)
         visn_bias = extend_attention_mask(visual_attention_mask)
@@ -129,23 +149,28 @@ class ScanLxmertForVQA(nn.Module):
 
             @nn.compact
             def __call__(self, input_ids, visual_feats, visual_pos,
-                         lang_bias, visn_bias, token_type_ids, deterministic):
+                         lang_bias, visn_bias, token_type_ids, deterministic,
+                         collect_hidden):
                 cc = self.config
                 emb = LxmertEmbeddings(cc, name="embeddings")(
                     input_ids, token_type_ids, deterministic)
-                lang, visn = ScanLxmertEncoder(cc, name="encoder")(
+                out = ScanLxmertEncoder(cc, name="encoder")(
                     emb, lang_bias, visual_feats, visual_pos, visn_bias,
-                    deterministic)
-                pooled = LxmertPooler(cc, name="pooler")(lang)
-                return lang, visn, pooled
+                    deterministic, collect_hidden=collect_hidden)
+                pooled = LxmertPooler(cc, name="pooler")(out[0])
+                return out + (pooled,)
 
-        lang, visn, pooled = _Backbone(c, name="lxmert")(
+        out = _Backbone(c, name="lxmert")(
             input_ids, visual_feats, visual_pos, lang_bias, visn_bias,
-            token_type_ids, deterministic)
+            token_type_ids, deterministic, collect_hidden)
+        pooled = out[-1]
         logits = SimpleClassifier(
-            hid_dim=2 * c.hidden_size, out_dim=c.ans_num, dropout=0.5,
-            dtype=c.dtype, name="classifier",
+            hid_dim=2 * c.hidden_size, out_dim=c.ans_num,
+            dropout=c.classifier_dropout, dtype=c.dtype, name="classifier",
         )(pooled, deterministic=deterministic)
+        if collect_hidden:
+            return (logits.astype(jnp.float32), pooled.astype(jnp.float32),
+                    out[2])
         return logits.astype(jnp.float32), pooled.astype(jnp.float32)
 
 

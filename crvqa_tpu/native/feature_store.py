@@ -24,10 +24,18 @@ def ensure_built(force: bool = False) -> str:
     """Compile the shared library if missing/stale; returns its path."""
     if force or not os.path.exists(_LIB) or (
             os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             "-pthread", _SRC, "-o", _LIB],
-            check=True)
+        # temp + atomic rename: concurrent builders must never dlopen a
+        # half-written .so (same pattern as native/wordpiece.py)
+        tmp = f"{_LIB}.{os.getpid()}.tmp"
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", "-pthread", _SRC, "-o", tmp],
+                check=True)
+            os.replace(tmp, _LIB)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return _LIB
 
 

@@ -23,10 +23,19 @@ _LIB = os.path.join(os.path.dirname(__file__), "libwordpiece.so")
 def ensure_built(force: bool = False) -> str:
     if force or not os.path.exists(_LIB) or (
             os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-             "-o", _LIB],
-            check=True)
+        # compile to a process-unique temp and rename atomically: concurrent
+        # processes (pytest workers, train + score CLIs) must never dlopen a
+        # half-written .so
+        tmp = f"{_LIB}.{os.getpid()}.tmp"
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+                 "-o", tmp],
+                check=True)
+            os.replace(tmp, _LIB)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return _LIB
 
 

@@ -73,6 +73,46 @@ def test_forward_equivalence(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_collect_hidden_equivalence(setup):
+    """The scan model's collect_hidden (layer-wise KD surface) matches the
+    unrolled model's hidden-state list element-wise, and honors
+    config.classifier_dropout like the unrolled head."""
+    config, unrolled, scanned, params_u, jb = setup
+    kw = dict(input_ids=jb["input_ids"], visual_feats=jb["visual_feats"],
+              visual_pos=jb["visual_pos"],
+              attention_mask=jb["attention_mask"], deterministic=True,
+              collect_hidden=True)
+    lo_u, po_u, hid_u = unrolled.apply({"params": params_u}, **kw)
+    lo_s, po_s, hid_s = scanned.apply(
+        {"params": stack_params(params_u, config)}, **kw)
+    assert len(hid_u) == len(hid_s) == 1 + config.l_layers + config.x_layers
+    for hu, hs in zip(hid_u, hid_s):
+        np.testing.assert_allclose(np.asarray(hu), np.asarray(hs),
+                                   rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lo_u), np.asarray(lo_s),
+                               rtol=1e-5, atol=1e-5)
+
+    # classifier_dropout must be honored (the scan head previously
+    # hardcoded 0.5): with EVERY dropout rate zeroed, a training-mode
+    # forward must equal the deterministic one — it would differ if the
+    # head still dropped at 0.5.
+    import dataclasses as _dc
+
+    cfg0 = _dc.replace(config, classifier_dropout=0.0,
+                       hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0)
+    sc0 = ScanLxmertForVQA(cfg0)
+    base_kw = dict(input_ids=jb["input_ids"], visual_feats=jb["visual_feats"],
+                   visual_pos=jb["visual_pos"],
+                   attention_mask=jb["attention_mask"])
+    sp = {"params": stack_params(params_u, config)}
+    lo_train, _ = sc0.apply(sp, **base_kw, deterministic=False,
+                            rngs={"dropout": jax.random.PRNGKey(3)})
+    lo_det, _ = sc0.apply(sp, **base_kw, deterministic=True)
+    np.testing.assert_allclose(np.asarray(lo_train), np.asarray(lo_det),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_scan_specs_and_per_layer_thresholds(setup):
     config, _, _, params_u, _ = setup
     params_s = stack_params(params_u, config)

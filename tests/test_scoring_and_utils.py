@@ -50,6 +50,17 @@ def test_vqavs_scoring_nine_splits():
         assert res[s] == 100.0  # every even qid predicted correctly
     assert res["Final_Score"] == 100.0
 
+    # qid-keyed pairing: shuffled/duplicated prediction lists score
+    # identically, and a missing qid is an error (not a silent desync of
+    # every later positional pair)
+    shuffled = list(reversed(preds)) + [preds[0]]
+    res2 = compute_vqavs_scores(shuffled, test_anno)
+    assert res2 == res
+    import pytest
+
+    with pytest.raises(ValueError, match="lack predictions"):
+        compute_vqavs_scores(preds[:-1], test_anno)
+
 
 def test_dict_parser():
     conf = dict_parser(
