@@ -1,10 +1,13 @@
 """Official-style VQA evaluation with answer normalization.
 
 Equivalent of `mPLUG/vqaTools/{vqa.py,vqaEval.py}` — the standard VQA v2
-evaluation protocol: normalize predicted and ground-truth answers
-(contractions, digit words, article stripping, punctuation rules), then
-score each prediction as min(#matching-humans / 3, 1), aggregated overall
-and per question-type / answer-type.
+evaluation protocol: fully normalize the predicted answer (punctuation
+rules, then contractions / digit words / article stripping); ground-truth
+answers get only the punctuation pass and only when the ten humans
+disagree (the official protocol's asymmetry, vqaEval.py:93-97). Score each
+prediction as min(#matching-humans / 3, 1) leave-one-out, aggregated
+overall and per question-type / answer-type. Behavior-equality with the
+reference evaluator is oracle-tested (tests/test_vqa_eval.py).
 """
 from __future__ import annotations
 
@@ -117,7 +120,15 @@ class VQAEval:
                  annotations: Sequence[dict]) -> dict:
         """predictions: [{question_id, answer}]; annotations:
         [{question_id, answers: [{'answer': str}...], question_type,
-        answer_type}]."""
+        answer_type}].
+
+        Leave-one-out is by index — equal to the reference's whole-dict
+        `item != gtAnsDatum` exclusion (vqaEval.py:98) on real VQA
+        annotation files, whose answer dicts are pairwise distinct
+        (answer_id 1..10). On stripped duplicate dicts the reference
+        excludes ALL copies at once (unanimous GT scores 0 no matter the
+        prediction) — a degenerate-input artifact we do not reproduce.
+        Oracle-tested on realistic rows (test_vqa_eval_reference_oracle)."""
         pred_by_id = {p["question_id"]: p["answer"] for p in predictions}
         acc_qa: list[float] = []
         acc_ques_type: dict[str, list] = {}
@@ -127,8 +138,14 @@ class VQAEval:
             if qid not in pred_by_id:
                 continue
             res_ans = normalize_answer(pred_by_id[qid])
-            gts = [normalize_answer(a["answer"] if isinstance(a, dict) else a)
+            # official-protocol asymmetry (vqaEval.py:93-97): ground-truth
+            # answers get processPunctuation ONLY when the humans disagree,
+            # and NEVER processDigitArticle — e.g. pred "2" does NOT match
+            # GT "two". Oracle-tested against the reference evaluator.
+            gts = [a["answer"] if isinstance(a, dict) else a
                    for a in anno["answers"]]
+            if len(set(gts)) > 1:
+                gts = [process_punctuation(g) for g in gts]
             # official leave-one-out: average over subsets excluding each human
             accs = []
             for i in range(len(gts)):
