@@ -10,11 +10,18 @@ the host data pipeline stays reproducible and the device only ever sees
 fixed-shape float batches.
 
 Pixel-level notes: geometric ops use an inverse-mapped bilinear affine warp
-with the reference's (128,128,128) fill; Sharpness uses the PIL smoothing
-kernel. Magnitude scaling matches the reference's level_to_args tables
-(randaugment.py:195-307): enhance factor = level/10*1.8+0.1, shear =
-level/10*0.3, translate = level/10*10 px, rotate = level/10*30 deg, each
-sign-flipped with p=0.5, each op applied with p=0.5.
+with the reference's (128,128,128) fill and ITS exact conventions (forward
+cv2 shear matrices, rotation about (w/2, h/2)); Sharpness reproduces the
+reference's interior-only blend including its uint8 wraparound. Magnitude
+scaling matches the reference's level_to_args tables (randaugment.py:
+195-307): enhance factor = level/10*1.8+0.1, shear = level/10*0.3,
+translate = level/10*10 px, rotate = level/10*30 deg, each sign-flipped
+with p=0.5, each op applied with p=0.5. The full reference op menu
+(FULL_AUGS: + Solarize/Color/Contrast/Posterize) is available even though
+no shipped config selects it. Every op is verified against the reference
+implementation run side by side (tests/test_augment_oracle.py):
+elementwise ops byte-identical, warps within 1 fixed-point LSB on
+source-valid pixels.
 """
 from __future__ import annotations
 
@@ -33,6 +40,9 @@ FILL = np.array([128, 128, 128], np.float32)
 SHIPPED_AUGS = ("Identity", "AutoContrast", "Equalize", "Brightness",
                 "Sharpness", "ShearX", "ShearY", "TranslateX", "TranslateY",
                 "Rotate")
+# the reference's full op menu (randaugment.py:func_dict) — Solarize/Color/
+# Contrast/Posterize are selectable but absent from every shipped config
+FULL_AUGS = SHIPPED_AUGS + ("Solarize", "Color", "Contrast", "Posterize")
 
 
 # --------------------------------------------------------------- primitives
@@ -56,10 +66,6 @@ def _affine_inverse_warp(img: np.ndarray, inv: np.ndarray) -> np.ndarray:
            + f[y1i, x0i] * (1 - fx) * fy + f[y1i, x1i] * fx * fy)
     out = np.where(valid[..., None], out, FILL)
     return np.clip(out, 0, 255).astype(img.dtype)
-
-
-def _center(h: int, w: int) -> tuple[float, float]:
-    return (w - 1) / 2.0, (h - 1) / 2.0
 
 
 def identity(img: np.ndarray) -> np.ndarray:
@@ -99,28 +105,94 @@ def brightness(img: np.ndarray, factor: float) -> np.ndarray:
     return np.clip(img.astype(np.float32) * factor, 0, 255).astype(img.dtype)
 
 
-def sharpness(img: np.ndarray, factor: float) -> np.ndarray:
-    """Blend between a 3x3-smoothed copy and the original
-    (PIL ImageEnhance.Sharpness kernel [[1,1,1],[1,5,1],[1,1,1]]/13)."""
+def _smooth3x3(img: np.ndarray) -> np.ndarray:
+    """3x3 PIL smoothing kernel [[1,1,1],[1,5,1],[1,1,1]]/13 with
+    reflect-101 borders, rounded to uint8 like cv2.filter2D."""
     f = img.astype(np.float32)
     k = np.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], np.float32) / 13.0
-    pad = np.pad(f, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    pad = np.pad(f, ((1, 1), (1, 1), (0, 0)), mode="reflect")
     smooth = np.zeros_like(f)
     for dy in range(3):
         for dx in range(3):
             smooth += k[dy, dx] * pad[dy:dy + f.shape[0], dx:dx + f.shape[1]]
-    out = smooth + factor * (f - smooth)
-    return np.clip(out, 0, 255).astype(img.dtype)
+    return np.clip(np.rint(smooth), 0, 255).astype(np.uint8)
+
+
+def sharpness(img: np.ndarray, factor: float) -> np.ndarray:
+    """Blend between a 3x3-smoothed copy and the original on the INTERIOR
+    only — the 1-px border keeps the original pixels, exactly like the
+    reference's sharpness_func (randaugment.py:131-149; oracle-tested)."""
+    if factor == 1.0:
+        return img
+    smooth = _smooth3x3(img)
+    if factor == 0.0:
+        return smooth
+    out = img.astype(np.float32)
+    deg = smooth.astype(np.float32)[1:-1, 1:-1]
+    out[1:-1, 1:-1] = deg + factor * (out[1:-1, 1:-1] - deg)
+    # deliberately NO clip: the reference casts the raw float straight to
+    # uint8 (sharpness_func:148), wrapping over/undershoot around 256 —
+    # reproduced for distribution parity
+    return out.astype(np.uint8)
+
+
+def solarize(img: np.ndarray, thresh: int = 128) -> np.ndarray:
+    """Invert pixels >= thresh (PIL ImageOps.solarize; solarize_func)."""
+    lut = np.arange(256)
+    lut = np.where(lut < thresh, lut, 255 - lut).clip(0, 255).astype(np.uint8)
+    return lut[img]
+
+
+def posterize(img: np.ndarray, bits: int) -> np.ndarray:
+    """Keep the top `bits` bits per channel (posterize_func; the shift is
+    masked to 8 bits — numpy 2 rejects the reference's overflowing
+    np.uint8(255 << 7))."""
+    return np.bitwise_and(img, np.uint8((255 << (8 - bits)) & 0xFF))
+
+
+# PIL's ITU-R 601-2 luma weights in the BGR order the reference's cv2-based
+# funcs assume; the mPLUG pipeline feeds RGB arrays, so channel 0 gets the
+# blue weight — reproduced as-is for parity (color/contrast are on the
+# reference's op menu but NOT in any shipped mPLUG aug list).
+_LUMA_BGR = np.array([0.114, 0.587, 0.299], np.float32)
+
+
+def color(img: np.ndarray, factor: float) -> np.ndarray:
+    """Blend toward the per-pixel luma gray (PIL ImageEnhance.Color).
+
+    Uses the same fused-matrix float arithmetic as color_func:
+    out = x @ ((I - 1*w^T)*factor + 1*w^T) — the algebraically equal
+    gray + factor*(x - gray) form truncates differently on ~1e-4 of
+    pixels, so the matrix form is kept for byte parity."""
+    m = ((np.eye(3, dtype=np.float32) - _LUMA_BGR[:, None]) * factor
+         + _LUMA_BGR[:, None])
+    return np.matmul(img, m).clip(0, 255).astype(img.dtype)
+
+
+def contrast(img: np.ndarray, factor: float) -> np.ndarray:
+    """Blend toward the global mean luma (PIL ImageEnhance.Contrast;
+    contrast_func's LUT form — float64 like the reference's python-list
+    LUT, so truncation boundaries agree)."""
+    # float64 literals, NOT _LUMA_BGR.astype: the float32-rounded weights no
+    # longer sum to exactly 1.0, which shifts truncation boundaries (e.g. a
+    # uniform-77 image would map to 76)
+    mean = float(np.sum(np.mean(img, axis=(0, 1))
+                        * np.array([0.114, 0.587, 0.299], np.float64)))
+    lut = ((np.arange(256, dtype=np.float64) - mean) * factor
+           + mean).clip(0, 255).astype(np.uint8)
+    return lut[img]
 
 
 def shear_x(img: np.ndarray, mag: float) -> np.ndarray:
-    return _affine_inverse_warp(img, np.array([[1.0, mag, 0.0],
+    """Forward shear dst_x = src_x + mag*y (shear_x_func's cv2 forward
+    matrix — the inverse warp samples at x - mag*y; oracle-tested)."""
+    return _affine_inverse_warp(img, np.array([[1.0, -mag, 0.0],
                                                [0.0, 1.0, 0.0]], np.float32))
 
 
 def shear_y(img: np.ndarray, mag: float) -> np.ndarray:
     return _affine_inverse_warp(img, np.array([[1.0, 0.0, 0.0],
-                                               [mag, 1.0, 0.0]], np.float32))
+                                               [-mag, 1.0, 0.0]], np.float32))
 
 
 def translate_x(img: np.ndarray, px: float) -> np.ndarray:
@@ -134,14 +206,17 @@ def translate_y(img: np.ndarray, px: float) -> np.ndarray:
 
 
 def rotate(img: np.ndarray, degrees: float) -> np.ndarray:
+    """Counter-clockwise rotation about (w/2, h/2) — rotate_func's
+    cv2.getRotationMatrix2D convention (center at w/2, NOT (w-1)/2, and
+    positive degrees CCW in image coordinates; oracle-tested)."""
     h, w = img.shape[:2]
-    cx, cy = _center(h, w)
+    cx, cy = w / 2.0, h / 2.0
     t = np.deg2rad(degrees)
     cos, sin = np.cos(t), np.sin(t)
-    # inverse rotation about the image center
+    # inverse of rotation-by-degrees about the center = rotation by -degrees
     inv = np.array([
-        [cos, sin, cx - cos * cx - sin * cy],
-        [-sin, cos, cy + sin * cx - cos * cy],
+        [cos, -sin, cx - cos * cx + sin * cy],
+        [sin, cos, cy - sin * cx - cos * cy],
     ], np.float32)
     return _affine_inverse_warp(img, inv)
 
@@ -188,6 +263,14 @@ def random_augment(img: np.ndarray, rng: np.random.Generator, n: int = 2,
         elif name == "Rotate":
             deg = m / MAX_LEVEL * 30.0 * (-1 if rng.random() < 0.5 else 1)
             img = rotate(img, deg)
+        elif name == "Solarize":
+            img = solarize(img, int(m / MAX_LEVEL * 256))
+        elif name == "Color":
+            img = color(img, _enhance_factor(m))
+        elif name == "Contrast":
+            img = contrast(img, _enhance_factor(m))
+        elif name == "Posterize":
+            img = posterize(img, int(m / MAX_LEVEL * 4))
         else:
             raise ValueError(f"unknown aug {name!r}")
     return img
