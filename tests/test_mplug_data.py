@@ -284,3 +284,33 @@ def test_eval_batches_mark_ragged_padding_valid():
     assert batches[0]["valid"].all()
     assert list(batches[1]["valid"]) == [True, False, False, False]
     assert len(batches[1]["qid"]) == bs  # shapes stay static
+
+
+def test_pre_question_reference_oracle():
+    """Fuzz `pre_question` against the ACTUAL reference implementation
+    (mPLUG/dataset/utils.py:3-16, executed from its source slice — the
+    module tail pulls torch/vqaTools, which the oracle doesn't need)."""
+    import random
+
+    from crvqa_tpu.data.mplug_data import pre_question
+
+    src = open("/root/reference/mPLUG/dataset/utils.py").read()
+    src = src.split("from vqaTools.vqaEval import VQAEval")[0]
+    ns: dict = {}
+    exec(compile(src, "ref_dataset_utils", "exec"), ns)
+    ref = ns["pre_question"]
+
+    corpus = [
+        "What color is the dog?", "Don't you think it's nice?!",
+        "is this a left-handed man or right/left?", "WHAT IS THAT *thing*;",
+        "trailing spaces   ", 'quotes "inside" (and) #tags ~x:',
+        "a b c d e f g h i j k l m n o p", "", "   ", "one-two/three-four",
+        "what's on the sign: 'STOP'?", "naïve café — unicode dash",
+    ]
+    rng = random.Random(5)
+    alphabet = "abc '?,.-/\"()*#:;~! "
+    corpus += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(40)))
+               for _ in range(200)]
+    for q in corpus:
+        for max_words in (3, 25, 30):
+            assert pre_question(q, max_words) == ref(q, max_words), repr(q)
