@@ -154,3 +154,89 @@ def test_length_penalty_flips_winner():
     ids0, scores0 = _run_jax(table, w, max_len, 1, 0.0)
     _assert_match(r00, ids0[0], scores0[0], max_len)
     assert list(ids[0]) != list(ids0[0])
+
+
+# ------------------------------------------------- the REAL reference code
+def _run_ref_predictor(tables, beam_size, max_length, min_length):
+    """Drive the ACTUAL `mPLUG/models/predictor.py:TextGenerator` under
+    torch on a scripted decoder. `tables[item, step, last_token] -> [V]`;
+    the item index rides in the encoder states, which the predictor tiles
+    and reorders with `select_indices` every step — so per-item divergent
+    finishing (non_finished removal, :289-293) is exercised for real."""
+    import types
+
+    import torch
+
+    from ref_oracle import load_ref_module
+
+    pred_mod = load_ref_module("ref_predictor", "mPLUG/models/predictor.py")
+    tt = torch.from_numpy(np.asarray(tables, np.float32))
+
+    class ScriptedDecoder:
+        def __call__(self, alive_seq, encoder_hidden_states=None,
+                     encoder_attention_mask=None, return_dict=True,
+                     reduction="none"):
+            sel = encoder_hidden_states[:, 0, 0].long()  # item per row
+            pos = torch.arange(alive_seq.shape[1])
+            logits = tt[sel[:, None], pos[None, :], alive_seq]
+            return types.SimpleNamespace(logits=logits)
+
+    args = {"beam_size": beam_size, "min_length": min_length,
+            "max_length": max_length}
+    gen = pred_mod.TextGenerator(args, ScriptedDecoder())
+    gen.start_token, gen.end_token = BOS, EOS
+    b = len(tables)
+    src = torch.arange(b, dtype=torch.float32).view(b, 1, 1)
+    mask = torch.ones(b, 1)
+    pred_ids, scores = gen.translate_batch((src, mask))
+    return ([p[0].numpy() for p in pred_ids],
+            [float(s[0]) for s in scores])
+
+
+def test_beam_matches_real_reference_predictor():
+    """beam_generate vs the reference TextGenerator itself (not a replay):
+    a 4-item batch whose items finish at different steps, plus the
+    min_length EOS-block case."""
+    rng = np.random.default_rng(17)
+    v, w, max_len, b = 7, 3, 7, 4
+    tables = rng.normal(size=(b, max_len, v, v)).astype(np.float32) * 1.5
+    # item 2: EOS overwhelming at step 0 so it finishes first
+    tables[2, 0, BOS, EOS] = 8.0
+
+    jt = jnp.asarray(tables)
+
+    def decode(ids, mask, states, state_mask):
+        sel = states[:, 0, 0].astype(jnp.int32)
+        pos = jnp.arange(max_len)
+        return jt[sel[:, None], pos[None, :], ids]
+
+    states = jnp.arange(b, dtype=jnp.float32).reshape(b, 1, 1)
+    state_mask = jnp.ones((b, 1), jnp.float32)
+
+    for min_length in (1, 2):
+        ref_seqs, ref_scores = _run_ref_predictor(
+            tables, w, max_len - 1, min_length)
+        ids, scores = beam_generate(decode, states, state_mask, beam_size=w,
+                                    max_len=max_len, bos=BOS, eos=EOS,
+                                    pad=PAD, lp_alpha=0.6,
+                                    min_length=min_length)
+        ids, scores = np.asarray(ids), np.asarray(scores)
+        for i in range(b):
+            np.testing.assert_allclose(scores[i], ref_scores[i],
+                                       rtol=2e-5, atol=1e-6)
+            want = np.full((max_len,), PAD, np.int64)
+            want[: len(ref_seqs[i])] = ref_seqs[i]
+            np.testing.assert_array_equal(ids[i], want, err_msg=f"item {i}")
+
+
+def test_replay_matches_real_reference_predictor():
+    """The numpy replay the other oracles lean on is itself validated
+    against the real predictor on single-item batches."""
+    rng = np.random.default_rng(23)
+    v, w, max_len = 6, 4, 6
+    for _ in range(6):
+        table = rng.normal(size=(max_len, v, v)).astype(np.float32) * 1.5
+        ref_score, ref_seq = onmt_beam_reference(table, w, max_len - 1, 1, 0.6)
+        seqs, scores = _run_ref_predictor(table[None], w, max_len - 1, 1)
+        np.testing.assert_allclose(ref_score, scores[0], rtol=1e-6)
+        np.testing.assert_array_equal(ref_seq, seqs[0])
