@@ -73,7 +73,11 @@ def _fabricate(root, n_train=32, n_test=20, seed=0):
                               "image_id": images[i % len(images)],
                               "question": template.format(subj)})
             targets.append({
-                "question_id": qid0 + i, "question_type": qtype,
+                # image_id is part of the real target.pkl contract: the
+                # reference loader pops + cross-checks it
+                # (dataset_LXM.py:105,149)
+                "question_id": qid0 + i, "image_id": images[i % len(images)],
+                "question_type": qtype,
                 "labels": [int(a) for a in ans_idx],
                 "scores": [min(1.0, c1 / 3.0), min(1.0, c2 / 3.0)],
             })
