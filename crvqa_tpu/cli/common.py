@@ -113,6 +113,15 @@ def dump_args(args: argparse.Namespace, output_dir: str) -> None:
         json.dump(vars(args), f, indent=2, default=str)
 
 
+def crossed(step: int, prev: int, every) -> bool:
+    """True when (prev, step] contains a multiple of `every` — the cadence
+    check for logging/checkpoint/reset actions. With multi-step dispatch
+    the step counter advances by `steps_per_dispatch` at a time, so the
+    reference's `step % N == 0` would only fire at lcm(spd, N); this fires
+    once per crossed window regardless of stride."""
+    return bool(every) and step // every > prev // every
+
+
 def log_step(step: int, **metrics) -> None:
     """JSON-line step logs like the reference trainer's `_log`."""
     payload = {"step": step}

@@ -53,7 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--masking_scheduler_conf", type=str,
                    default="lambdas_lr=0,sparsity_warmup=automated_gradual_sparsity,"
                            "sparsity_warmup_interval_epoch=0.1,init_epoch=0,final_epoch=1",
-                   help="k=v,... mini-DSL (utils/param_parser.dict_parser)")
+                   help="k=v,... mini-DSL (utils/param_parser.dict_parser). "
+                        "Parsed/validated for flag parity but — like the "
+                        "reference stage-2 trainer — NOT consulted: its "
+                        "reset_threshold ignores the scheduler's sparsity "
+                        "(mask_trainer_Robust_VQA.py:467-482, the "
+                        "init_sparsity arg is dead) and nothing calls "
+                        "scheduler.step. The live scheduler is the mPLUG "
+                        "path (vqa_mplug --masker_update_step).")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--accumulate_grads", type=common.str2bool, default=False,
                    help="integrate |grad| per step into the optimizer state "
@@ -129,6 +136,12 @@ def run(args) -> None:
                   if x.strip() != ""]
         specs = lxmert_mask_specs(config.l_layers, config.r_layers,
                                   config.x_layers, layers_to_mask=layers)
+    if args.masking_scheduler_conf:
+        # fail fast on DSL typos; see the flag help — the reference stage-2
+        # trainer never consults the parsed values
+        from ..utils.param_parser import dict_parser
+
+        dict_parser(args.masking_scheduler_conf)
     sparsity = ModalSparsity.from_compression(
         args.Lang_comp, args.Vis_comp, args.Fus_comp, args.zero_rate)
     masker = Masker.create(
@@ -152,6 +165,12 @@ def run(args) -> None:
         backbone_dtype=args.backbone_dtype)
     state, tx = stage2.init_state(model, masker, params, cfg,
                                   jax.random.PRNGKey(args.seed))
+    if args.resume_from:
+        # BEFORE device placement: from_bytes yields host numpy leaves, so
+        # loading after shard_params_tp/shard_opt_state would silently
+        # discard those placements (fully replicated state -> TP/ZeRO
+        # memory scaling lost)
+        state = ckpt.load_checkpoint(args.resume_from, state)
 
     mesh = make_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
     state = jax.device_put(state, replicated_sharding(mesh))
@@ -179,9 +198,6 @@ def run(args) -> None:
     step_fn = stage2.make_train_step(model, masker, tx, cfg, mesh=zero_mesh)
     reset_fn = stage2.make_threshold_reset(masker)
     eval_fn = stage2.make_eval_step(model, masker)
-
-    if args.resume_from:
-        state = ckpt.load_checkpoint(args.resume_from, state)
 
     def evaluate(state):
         out = predict(eval_fn, state, eval_batches(), shard_fn=shard_fn)
@@ -230,8 +246,11 @@ def run(args) -> None:
             common.logger.info(
                 "pre-train eval acc %.2f (expected LOW right after mask "
                 "patching)", acc0)
-        import numpy as _np
-
+        # host-side step counter: reading int(state.step) every iteration
+        # would force a sync on the just-dispatched step and serialize
+        # device compute with host batch prep (it advances deterministically
+        # by the dispatch width; the device value is only needed at resume)
+        step = int(state.step)
         pending = []
         for epoch in range(int(args.num_train_epochs)):
             for batch in train_batches(epoch):
@@ -245,7 +264,7 @@ def run(args) -> None:
 
                     stacked = {
                         k: jax.device_put(
-                            _np.stack([p[k] for p in pending]),
+                            np.stack([p[k] for p in pending]),
                             NamedSharding(mesh, P(None, "data")))
                         for k in pending[0] if k != "valid"}
                     pending = []
@@ -254,10 +273,11 @@ def run(args) -> None:
                         loss=losses[-1], score=scores_sum[-1],
                         batch_size=jnp.asarray(args.train_batch_size,
                                                jnp.float32))
+                    prev, step = step, step + spd
                 else:
                     state, metrics = step_fn(state, shard_fn(batch))
-                step = int(state.step)
-                if args.logging_steps and step % args.logging_steps == 0:
+                    prev, step = step, step + 1
+                if common.crossed(step, prev, args.logging_steps):
                     state = reset_fn(state)
                     # mask distance vs init / change vs last log (log_mask_info)
                     distance = float(drift_fn(state.scores, state.thresholds,
@@ -272,7 +292,7 @@ def run(args) -> None:
                                     mask_distance=distance, mask_change=change)
                     writer.write(step, loss=float(metrics.loss), score=score_pct,
                                  mask_distance=distance, mask_change=change)
-                if args.save_steps and step % args.save_steps == 0:
+                if common.crossed(step, prev, args.save_steps):
                     ckpt.save_checkpoint(
                         os.path.join(args.output_dir, f"ckpt_{step}"), state,
                         metadata={"step": step})
@@ -289,6 +309,7 @@ def run(args) -> None:
             # flush a partial scan window through the single-step path
             for leftover in pending:
                 state, metrics = step_fn(state, shard_fn(leftover))
+                step += 1
             pending = []
         state = export_best(state)
 

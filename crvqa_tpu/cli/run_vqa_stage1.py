@@ -66,14 +66,17 @@ def main(argv=None) -> None:
         gamma=args.gamma, hidden_size=config.hidden_size)
     state, tx = stage1.init_state(params, cfg, jax.random.PRNGKey(args.seed))
 
+    if args.resume_from:
+        # before device placement, matching the TP/ZeRO CLIs (from_bytes
+        # yields host numpy and would drop any placement applied earlier)
+        state = ckpt.load_checkpoint(args.resume_from, state)
+
     mesh = make_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
     state = jax.device_put(state, replicated_sharding(mesh))
     shard_fn = common.make_shard_fn(mesh)
     step_fn = stage1.make_train_step(model, cfg, tx)
     eval_fn = stage1.make_eval_step(model)
 
-    if args.resume_from:
-        state = ckpt.load_checkpoint(args.resume_from, state)
 
     def evaluate(state):
         out = predict(eval_fn, state, eval_batches(), shard_fn=shard_fn)
@@ -90,15 +93,18 @@ def main(argv=None) -> None:
 
     best = -1.0
     if args.do_train:
+        # host-side counter — int(state.step) per iteration syncs on the
+        # in-flight step (cli/common.crossed docstring)
+        step = int(state.step)
         for epoch in range(int(args.num_train_epochs)):
             for batch in train_batches(epoch):
                 state, metrics = step_fn(state, shard_fn(batch))
-                step = int(state.step)
-                if args.logging_steps and step % args.logging_steps == 0:
+                prev, step = step, step + 1
+                if common.crossed(step, prev, args.logging_steps):
                     common.log_step(step, loss=float(metrics.loss),
                                     score=100 * float(metrics.score) /
                                     float(metrics.batch_size), epoch=epoch)
-                if args.save_steps and step % args.save_steps == 0:
+                if common.crossed(step, prev, args.save_steps):
                     ckpt.save_checkpoint(
                         os.path.join(args.output_dir, f"ckpt_{step}"), state,
                         metadata={"step": step})

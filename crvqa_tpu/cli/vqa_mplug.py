@@ -248,6 +248,10 @@ def main(argv=None) -> None:
     state, tx = mplug_train.init_state(model, params, cfg,
                                        jax.random.PRNGKey(args.seed),
                                        masker=masker)
+    if args.resume_from:
+        # BEFORE device placement — from_bytes yields host numpy, which
+        # would silently undo shard_opt_state's ZeRO placement below
+        state = ckpt.load_checkpoint(args.resume_from, state)
     mesh = make_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
     state = jax.device_put(state, replicated_sharding(mesh))
     from ..parallel.zero import shard_opt_state
@@ -266,26 +270,31 @@ def main(argv=None) -> None:
                                             max_len=args.max_answer_len,
                                             min_length=args.min_length)
 
-    if args.resume_from:
-        state = ckpt.load_checkpoint(args.resume_from, state)
-
     if args.do_train:
+        # host-side counter: int(state.step) every iteration would sync on
+        # the in-flight step and serialize device with host batch prep
+        step = int(state.step)
         for epoch in range(int(args.num_train_epochs)):
-            for batch in train_batches(epoch):
+            for batch_idx, batch in enumerate(train_batches(epoch)):
                 dev = shard_fn({k: v for k, v in batch.items()
                                 if k not in ("qid", "valid")})
                 state, loss = step_fn(state, dev)
-                step = int(state.step)
-                if masker is not None and step % args.masker_update_step == 0:
-                    _, target, _ = scheduler.step(epoch)
+                prev, step = step, step + 1
+                if masker is not None and common.crossed(
+                        step, prev, args.masker_update_step):
+                    # FRACTIONAL epoch: the AGP/stepwise ramps move at 0.1-
+                    # epoch granularity (sparsity_control.py:101); the bare
+                    # integer epoch froze the target within each epoch
+                    _, target, _ = scheduler.step(
+                        epoch + batch_idx / steps_per_epoch)
                     state = reset_fn(state, float(target))
                     report = jax.device_get(
                         report_fn(state.scores, state.thresholds))
                     common.log_step(step, sparsity=float(report["all"]),
                                     target=target)
-                if args.logging_steps and step % args.logging_steps == 0:
+                if common.crossed(step, prev, args.logging_steps):
                     common.log_step(step, loss=float(loss), epoch=epoch)
-                if args.save_steps and step % args.save_steps == 0:
+                if common.crossed(step, prev, args.save_steps):
                     ckpt.save_checkpoint(
                         os.path.join(args.output_dir, f"ckpt_{step}"), state,
                         metadata={"step": step})

@@ -60,15 +60,18 @@ def latest_checkpoint(directory: str, prefix: str = "ckpt_") -> Optional[str]:
 
 
 def rotate_checkpoints(directory: str, keep: int, prefix: str = "ckpt_") -> None:
-    """`_rotate_checkpoints` retention (mask_trainer_Robust_VQA.py:1040-1052)."""
-    if not os.path.isdir(directory):
+    """`_rotate_checkpoints` retention (mask_trainer_Robust_VQA.py:1040-1052).
+
+    `keep <= 0` means NO rotation (unlimited retention) — the reference
+    returns early when save_total_limit is None or <= 0."""
+    if keep <= 0 or not os.path.isdir(directory):
         return
     cands = sorted(
         (int(n[len(prefix):]), os.path.join(directory, n))
         for n in os.listdir(directory)
         if n.startswith(prefix) and n[len(prefix):].isdigit()
     )
-    for _, path in cands[:-keep] if keep > 0 else cands:
+    for _, path in cands[:-keep]:
         os.remove(path)
         if os.path.exists(path + ".meta.json"):
             os.remove(path + ".meta.json")

@@ -34,6 +34,29 @@ def test_checkpoint_latest_and_rotation(tmp_path):
     restored = load_checkpoint(os.path.join(d, "ckpt_40"),
                                {"x": jnp.zeros((2,))})
     np.testing.assert_array_equal(np.asarray(restored["x"]), [40, 40])
+    # keep<=0 means NO rotation (the reference returns early for
+    # save_total_limit None/<=0) — it must never mean "delete everything"
+    rotate_checkpoints(d, keep=0)
+    rotate_checkpoints(d, keep=-1)
+    assert sorted(n for n in os.listdir(d) if n.startswith("ckpt_")
+                  and not n.endswith(".json")) == ["ckpt_30", "ckpt_40"]
+
+
+def test_crossed_cadence():
+    """Multi-step dispatch cadence: fire once per crossed multiple of N
+    regardless of step stride (cli/common.crossed)."""
+    from crvqa_tpu.cli.common import crossed
+
+    # stride 64, N=100: reference `step % 100 == 0` would fire only at
+    # lcm(64,100)=1600; crossed fires on every window containing a multiple
+    fires = [s for s in range(64, 3201, 64) if crossed(s, s - 64, 100)]
+    assert fires[:5] == [128, 256, 320, 448, 512]  # windows crossing 100k
+    assert len(fires) == 32  # one per multiple of 100 in (0, 3200]
+    # stride 1 degenerates to step % N == 0
+    assert [s for s in range(1, 20) if crossed(s, s - 1, 5)] == [5, 10, 15]
+    # disabled cadences never fire
+    assert not crossed(100, 0, 0)
+    assert not crossed(100, 0, None)
 
 
 def test_metrics_writer_jsonl(tmp_path):
