@@ -226,7 +226,15 @@ class WordPieceTokenizer:
                  add_special_tokens: bool = True, return_tensors=None):
         if isinstance(texts, str):
             texts = [texts]
-        raw = self.raw_ids_batch(texts, cap=max(512, max_length))
+        cap = max(512, max_length)
+        raw = self.raw_ids_batch(texts, cap=cap)
+        if not truncation:
+            # a row that filled the whole cap may have been cut there —
+            # redo those unbounded through the Python path (HF returns all
+            # tokens when truncation is off)
+            raw = [self.convert_tokens_to_ids(self.tokenize(t))
+                   if len(r) >= cap else r
+                   for r, t in zip(raw, texts)]
         rows = []
         for r in raw:
             if add_special_tokens:
@@ -238,6 +246,8 @@ class WordPieceTokenizer:
             rows.append(r)
         if padding == "longest":
             max_length = max((len(r) for r in rows), default=0)
+        elif not padding:  # HF padding=False: ragged, unpadded rows
+            max_length = 0
         ids, mask = [], []
         # rows longer than max_length (truncation=False) stay unpadded —
         # the HF behavior (ragged output), never a negative pad count

@@ -95,6 +95,14 @@ def load_entries(dataroot: str, split: str, tokenizer, ans_num: int,
         questions = [questions[i] for i in idx]
         answers = [answers[i] for i in idx]
 
+    return entries_from_qa(questions, answers, tokenizer, ans_num, seed)
+
+
+def entries_from_qa(questions: Sequence[dict], answers: Sequence[dict],
+                    tokenizer, ans_num: int, seed: int = 0) -> VQAEntries:
+    """qid-aligned (questions, target) records -> tensorized VQAEntries —
+    the shared tokenize/tensorize step of dataset_LXM.py:189-289, used by
+    both the VQA-CP and VQA-VS loaders."""
     n = len(questions)
     input_ids, lengths = tokenize_questions(
         [q["question"] for q in questions], tokenizer)

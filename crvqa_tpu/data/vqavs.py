@@ -10,11 +10,8 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import Optional
 
-import numpy as np
-
-from .vqacp import VQAEntries, tokenize_questions
+from .vqacp import VQAEntries, entries_from_qa
 
 VQAVS_QUESTION_FILES = {
     "train": "Training-Ques.json",
@@ -44,32 +41,5 @@ def load_entries(dataroot: str, split: str, tokenizer, ans_num: int,
         answers = sorted(pickle.load(f), key=lambda x: x["question_id"])[
             : len(questions)]
     assert len(questions) == len(answers)
-
-    n = len(questions)
-    input_ids, lengths = tokenize_questions(
-        [q["question"] for q in questions], tokenizer)
-    labels = np.zeros((n, ans_num), np.float32)
-    max_label = np.zeros(n, np.int32)
-    qtypes = []
-    rng = np.random.RandomState(seed)
-    for i, (q, a) in enumerate(zip(questions, answers)):
-        assert q["question_id"] == a["question_id"]
-        qtypes.append(a.get("question_type", ""))
-        lab = a.get("labels")
-        sco = a.get("scores")
-        if lab is not None and len(lab):
-            lab = np.asarray(lab, np.int64)
-            sco = np.asarray(sco, np.float32)
-            labels[i, lab] = sco
-            max_label[i] = int(lab[int(np.argmax(sco))])
-        else:
-            max_label[i] = rng.randint(0, ans_num)
-    return VQAEntries(
-        input_ids=input_ids,
-        lengths=lengths,
-        image_ids=np.asarray([str(q["image_id"]) for q in questions]),
-        question_ids=np.asarray([q["question_id"] for q in questions], np.int64),
-        labels=labels,
-        max_label=max_label,
-        question_types=qtypes,
-    )
+    # shared tokenize/tensorize with the VQA-CP loader (vqacp.entries_from_qa)
+    return entries_from_qa(questions, answers, tokenizer, ans_num, seed)

@@ -27,7 +27,7 @@ from flax import traverse_util
 
 from ..ops.kthvalue import kth_smallest
 from .binarizers import binarize_ste
-from .masker import Masker, PyTree, Scores, Thresholds, _get_leaf
+from .masker import Masker, PyTree, Scores, Thresholds, _bthr, _get_leaf
 from .spec import MaskSpec
 
 
@@ -131,9 +131,14 @@ class StructuredMasker(Masker):
             if spec.momentum_only and not momentum_tree:
                 continue
             w = flat[spec.path]
-            m = binarize(scores[spec.key], thresholds[spec.key])
             if self._is_structured(spec):
-                m = self._expand(spec, m, w)
+                m = self._expand(
+                    spec, binarize(scores[spec.key], thresholds[spec.key]), w)
+            else:
+                # unstructured fallback keeps the base semantics, incl. the
+                # stacked-spec per-layer threshold reshape (scan models)
+                t = _bthr(spec, thresholds[spec.key], w.ndim)
+                m = binarize(scores[spec.key], t)
             flat[spec.path] = w * m.astype(w.dtype)
         return traverse_util.unflatten_dict(flat)
 
@@ -141,14 +146,25 @@ class StructuredMasker(Masker):
                          sparsity_override: Optional[float] = None
                          ) -> Thresholds:
         out: Thresholds = {}
+        unstructured = [s for s in self.specs if not self._is_structured(s)]
+        if unstructured:
+            # delegate so stacked specs get their per-layer kth (the local
+            # loop would collapse them to one global kth) and global_prune
+            # keeps its base meaning
+            sub = dataclasses.replace(self, specs=tuple(unstructured),
+                                      structured_types=())
+            out.update(Masker.reset_thresholds(sub, scores,
+                                               sparsity_override))
         for s in self.specs:
+            if not self._is_structured(s):
+                continue
             sc = scores[s.key]
-            sp = (sparsity_override if sparsity_override is not None
-                  else self.spec_sparsity(s))
-            if self._is_structured(s) and sc.ndim == 0:
+            if sc.ndim == 0:
                 # scalar gates keep the nominal threshold
                 out[s.key] = jnp.asarray(self.threshold, jnp.float32)
             else:
+                sp = (sparsity_override if sparsity_override is not None
+                      else self.spec_sparsity(s))
                 k = max(int(sc.size * sp), 1)
                 out[s.key] = kth_smallest(sc, k).astype(jnp.float32)
         return out

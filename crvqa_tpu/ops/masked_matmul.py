@@ -109,7 +109,9 @@ def _fwd_call(x, w, scores, threshold, interpret=False):
     sp = _pad_to(_pad_to(scores, BK, 0), BN, 1)
     mp, kp = xp.shape
     np_ = wp.shape[1]
-    t = jnp.reshape(threshold.astype(w.dtype), (1,))
+    # threshold compares against SCORES (fp32), not weights: casting to a
+    # bf16 w.dtype would shift the binarization boundary vs the XLA path
+    t = jnp.reshape(threshold.astype(scores.dtype), (1,))
     out = pl.pallas_call(
         _fwd_kernel,
         grid=(mp // BM, np_ // BN, kp // BK),
@@ -139,7 +141,9 @@ def _dx_call(g, w, scores, threshold, x_dtype, interpret=False):
     sp = _pad_to(_pad_to(scores, BK, 0), BN, 1)
     mp, np_ = gp.shape
     kp = wp.shape[0]
-    t = jnp.reshape(threshold.astype(w.dtype), (1,))
+    # threshold compares against SCORES (fp32), not weights: casting to a
+    # bf16 w.dtype would shift the binarization boundary vs the XLA path
+    t = jnp.reshape(threshold.astype(scores.dtype), (1,))
     out = pl.pallas_call(
         _dx_kernel,
         grid=(mp // BM, kp // BK, np_ // BN),

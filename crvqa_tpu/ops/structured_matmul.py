@@ -150,10 +150,11 @@ def head_compact_matmul_pallas(x: jax.Array, wt: jax.Array,
     assert n == num_heads * head_size and wt.shape[1] == k
     assert m % bm == 0 and k % bk == 0, (m, k, bm, bk)
     # expand_keep_idx pads with the out-of-range sentinel H (dropped by the
-    # XLA scatter); here the index routes a BLOCK fetch, so clamp it — pad
-    # blocks recompute the last kept head, which this compacted-output
-    # inference path tolerates (callers slice the true kept rows)
-    keep_idx = jnp.minimum(keep_idx, num_heads - 1)
+    # XLA scatter); the index routes a BLOCK fetch, so the FETCH needs a
+    # clamped copy (pad blocks recompute the last kept head as garbage) —
+    # but the final scatter must use the ORIGINAL sentinel so mode="drop"
+    # actually drops those pad blocks instead of overwriting head H-1
+    fetch_idx = jnp.minimum(keep_idx, num_heads - 1)
 
     xt = x.T  # [K, M]
     grid = (n_kept, m // bm, k // bk)
@@ -178,7 +179,7 @@ def head_compact_matmul_pallas(x: jax.Array, wt: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_kept * head_size, m), x.dtype),
         interpret=interpret,
-    )(keep_idx, wt, xt)
+    )(fetch_idx, wt, xt)
     # scatter the compact heads back into the dense [M, N] layout
     y3 = jnp.zeros((m, num_heads, head_size), x.dtype)
     yc = yct.T.reshape(m, n_kept, head_size)

@@ -81,3 +81,21 @@ def test_bf16_activations():
     want = masked_matmul_reference(x.astype(jnp.float32), w, s, t)
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
                                rtol=0.05, atol=0.5)
+
+
+def test_bf16_threshold_boundary_matches_reference():
+    """Review finding (r3 pass 3): the kernel cast the fp32 threshold to
+    w.dtype, so with bf16 weights a score in (threshold, bf16(threshold)]
+    flipped mask membership vs the XLA path. The compare is against fp32
+    SCORES and must stay fp32."""
+    thr = jnp.float32(0.01)           # bf16 rounds UP to 0.010009765625
+    score_edge = jnp.float32(0.0100048)  # > thr but < bf16(thr)
+    k = 8
+    x = jnp.ones((8, k), jnp.bfloat16)
+    w = jnp.ones((k, 128), jnp.bfloat16)
+    scores = jnp.full((k, 128), score_edge, jnp.float32)
+    ref = masked_matmul_reference(x, w, scores, thr)
+    out = masked_matmul(x, w, scores, thr, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
+    assert float(ref[0, 0]) == k  # the edge scores ARE kept

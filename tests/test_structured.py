@@ -166,3 +166,49 @@ def test_structured_masker_momentum_contract_and_weighted_report():
     rep = masker.sparsity_report(scores, thr, params=params)
     # structured: 2/4 gates -> 32/64 weights zero; unstructured: 0/64
     np.testing.assert_allclose(float(rep["all"]), 32.0 / 128.0, atol=1e-6)
+
+
+def test_structured_masker_with_stacked_unstructured_specs():
+    """Review finding (r3 pass 3): StructuredMasker's unstructured fallback
+    must keep the base Masker's stacked-spec semantics — apply_masks needs
+    the per-layer threshold reshape and reset_thresholds the per-layer kth
+    (the local loop collapsed stacked specs to one global kth)."""
+    from crvqa_tpu.masking import Masker
+    from crvqa_tpu.masking.spec import MaskSpec
+
+    L, D = 3, 8
+    rng = np.random.default_rng(0)
+    params = {
+        "enc": {"self": {"kernel": jnp.asarray(
+            rng.normal(size=(4, 4 * 2)).astype(np.float32))},
+            "ffn": {"kernel": jnp.asarray(
+                rng.normal(size=(L, D, D)).astype(np.float32))}},
+    }
+    specs = (
+        MaskSpec(path=("enc", "self", "kernel"), torch_name="enc.self",
+                 weight_type="lK", modality="Lang"),
+        MaskSpec(path=("enc", "ffn", "kernel"), torch_name="enc.ffn",
+                 weight_type="lI", modality="Lang", stacked=L),
+    )
+    masker = StructuredMasker(specs=specs, zerorate=(("Lang", 0.5),),
+                              controlled_init="magnitude", num_heads=2,
+                              structured_types=("self",))
+    scores, thr = masker.init(params, jax.random.PRNGKey(1))
+    assert thr["enc/ffn/kernel"].shape == (L,)
+    out = masker.apply_masks(params, scores, thr)  # must not raise
+    assert out["enc"]["ffn"]["kernel"].shape == (L, D, D)
+
+    thr2 = masker.reset_thresholds(scores)
+    assert thr2["enc/ffn/kernel"].shape == (L,)
+    # per-layer kth == the base Masker's behavior on the same stacked spec
+    base = Masker(specs=(specs[1],), zerorate=(("Lang", 0.5),),
+                  controlled_init="magnitude")
+    base_thr = base.reset_thresholds(
+        {"enc/ffn/kernel": scores["enc/ffn/kernel"]})
+    np.testing.assert_allclose(np.asarray(thr2["enc/ffn/kernel"]),
+                               np.asarray(base_thr["enc/ffn/kernel"]))
+    # each layer hits ~50% zero rate independently
+    masks = (scores["enc/ffn/kernel"]
+             > thr2["enc/ffn/kernel"][:, None, None])
+    per_layer = 1 - np.asarray(masks).reshape(L, -1).mean(axis=1)
+    np.testing.assert_allclose(per_layer, 0.5, atol=1 / (D * D) + 1e-6)

@@ -98,3 +98,19 @@ def test_all_masked_head_mask_gives_zero_output():
     g = jax.grad(lambda w: jnp.sum(
         head_compact_matmul(x, w, idx, H_, D_) ** 2))(w)
     np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_pallas_padded_keep_idx_drops_pad_blocks(data):
+    """Review finding (r3 pass 3): the Pallas scatter used the CLAMPED
+    fetch index, so padded keep_idx rows overwrote head H-1 with an
+    unmasked recompute whenever that head was masked. The scatter must use
+    the original out-of-range sentinel so mode='drop' drops pad blocks."""
+    x, w, head_mask = data
+    kept = int(head_mask.sum())
+    for n_keep in (kept + 1, kept + 3):  # padded beyond the true kept count
+        keep = expand_keep_idx(head_mask, n_keep)
+        ref = dense_masked_matmul(x, w, head_mask, HS)
+        out = head_compact_matmul_pallas(x, w.T, keep, H, HS, bm=256,
+                                         bk=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)

@@ -205,3 +205,23 @@ def test_tokenize_questions_native_batch(pair):
     _np.testing.assert_array_equal(ids_n, ids_p)
     _np.testing.assert_array_equal(len_n, len_p)
     assert delattr_ok
+
+
+def test_padding_false_and_no_truncation_vs_hf(pair):
+    """HF surface parity for the non-default knobs: padding=False returns
+    ragged unpadded rows; truncation=False keeps every token even past the
+    native encoder's 512 cap (review finding, r3 pass 3)."""
+    ours, hf = pair
+    texts = ["what color is the dog?", "is it raining?"]
+    enc_o = ours(texts, padding=False, truncation=True, max_length=8)
+    enc_h = hf(texts, padding=False, truncation=True, max_length=8)
+    assert enc_o["input_ids"] == enc_h["input_ids"]
+    assert enc_o["attention_mask"] == enc_h["attention_mask"]
+    assert len(enc_o["input_ids"][0]) != len(enc_o["input_ids"][1])
+
+    long = "what color is the dog " * 120  # ~600 wordpieces > the 512 cap
+    enc_o = ours([long], padding=False, truncation=False,
+                 add_special_tokens=False)
+    raw = ours.tokenize(long)
+    assert enc_o["input_ids"][0] == ours.convert_tokens_to_ids(raw)
+    assert len(enc_o["input_ids"][0]) > 512
