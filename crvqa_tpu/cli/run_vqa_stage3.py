@@ -19,7 +19,8 @@ import numpy as np
 
 from ..core import checkpoint as ckpt
 from ..core import torch_compat
-from ..masking import Masker, ModalSparsity, lxmert_mask_specs, magnitude_masks
+from ..masking import (Masker, ModalSparsity, lxmert_mask_specs,
+                       magnitude_masks, reference_rand_masks)
 from ..models import LxmertConfig, LxmertForVQA
 from ..parallel import MeshConfig, make_mesh, replicated_sharding
 from ..train import stage1
@@ -41,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--classifier_bin", type=str, default=None,
                    help="stage-2 classifier4masker.bin")
     p.add_argument("--zero_rate", type=float, default=0.7)
+    p.add_argument("--rand_scope", type=str, default="reference",
+                   choices=["reference", "all"],
+                   help="FT_randMask scope: 'reference' = the reference's "
+                        "mag_pruning module list (language layers + pooler + "
+                        "word embeddings ONLY, run_vqa_stage3.py:209-226); "
+                        "'all' = every masked matrix at the modal rates")
     # Structured alternative (reference `--structured --prune_head/--prune_ffn`
     # with head_mask_dir/ffn_mask_dir .npy files, run_vqa_stage3.py:307-324,
     # 766-772): physically compact the language branch instead of applying an
@@ -114,9 +121,16 @@ def main(argv=None) -> None:
                                          ("Lang", "Vis", "Fus", "P")))
 
         if args.training_type == "FT_randMask":
-            masks = jax.device_get(jax.jit(
-                lambda p: magnitude_masks(p, list(masker.specs),
-                                          masker.zerorate_dict))(params))
+            if args.rand_scope == "reference":
+                # mag_pruning's exact module list: language layers + pooler +
+                # word embeddings; visual/cross branches stay dense
+                masks = jax.device_get(jax.jit(
+                    lambda p: reference_rand_masks(p, list(masker.specs),
+                                                   args.zero_rate))(params))
+            else:
+                masks = jax.device_get(jax.jit(
+                    lambda p: magnitude_masks(p, list(masker.specs),
+                                              masker.zerorate_dict))(params))
         else:
             assert args.mask_pt, "--mask_pt required for FT_trainedMask"
             masks = torch_compat.import_mask_pt(args.mask_pt, masker.specs)

@@ -53,6 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["cosine", "tanh", "step"])
     p.add_argument("--decay_rate", type=float, default=0.1)
     p.add_argument("--decay_steps", type=int, default=0)
+    # reference-exact epoch-granular driving (timm t_in_epochs=True; the
+    # yaml ships warmup_epochs 4 / warmup_lr 1e-5 / decay_rate 1 and the
+    # loop advances warmup per 100 iterations of epoch 0 then steps once per
+    # epoch, vqa_mplug.py:145-146,200-201,431). 'step' = smooth step-granular
+    # schedules driven by --warmup_steps (TPU-native alternative).
+    p.add_argument("--sched_granularity", type=str, default="epoch",
+                   choices=["epoch", "step"])
+    p.add_argument("--warmup_epochs", type=int, default=4)
+    p.add_argument("--warmup_lr", type=float, default=1e-5)
+    p.add_argument("--decay_epochs", type=int, default=1)
     # yaml `optimizer:` block (optim_factory.py:56-127; shipped = adamW)
     p.add_argument("--opt", type=str, default="adamw")
     p.add_argument("--opt_momentum", type=float, default=0.9)
@@ -210,6 +220,14 @@ def main(argv=None) -> None:
                       else args.warmup_steps),
         total_steps=total_steps, min_lr=args.min_lr, sched=args.sched,
         decay_rate=args.decay_rate, decay_steps=args.decay_steps,
+        # epoch granularity = the reference trajectory exactly; explicit
+        # --warmup_steps opts into the smooth step-granular surface
+        steps_per_epoch=(steps_per_epoch
+                         if args.sched_granularity == "epoch"
+                         and args.warmup_steps is None else 0),
+        epochs=int(args.num_train_epochs),
+        warmup_epochs=args.warmup_epochs, warmup_lr_init=args.warmup_lr,
+        decay_epochs=args.decay_epochs,
         opt=args.opt, opt_momentum=args.opt_momentum,
         max_grad_norm=args.max_grad_norm,
         use_bias_reweight=args.use_bias_reweight, distill=args.distill,

@@ -12,7 +12,7 @@ from .compaction import (
     compact_lang_heads,
     head_mask_from_scores,
 )
-from .masker import Masker, magnitude_masks
+from .masker import Masker, magnitude_masks, reference_rand_masks
 from .spec import (
     MaskSpec,
     lxmert_mask_specs,
@@ -31,7 +31,7 @@ from .sparsity_control import (
 __all__ = [
     "binarize_ste", "binarize_sign", "make_binarize_bernoulli",
     "clamp_scores_sign", "get_binarizer",
-    "Masker", "magnitude_masks",
+    "Masker", "magnitude_masks", "reference_rand_masks",
     "compact_lang_heads", "compact_lang_ffns", "head_mask_from_scores",
     "apply_dense_head_mask", "apply_dense_ffn_mask",
     "MaskSpec", "lxmert_mask_specs", "visualbert_mask_specs",

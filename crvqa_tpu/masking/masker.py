@@ -316,12 +316,65 @@ class Masker:
 
 def magnitude_masks(params: PyTree, specs: Sequence[MaskSpec],
                     zerorate: dict[str, float]) -> dict[str, jax.Array]:
-    """Random-magnitude pruning baseline for stage 3 `FT_randMask`
-    (`run_vqa_stage3.py:209-226`): keep the top-(1-sparsity) |w| per matrix."""
+    """Per-matrix magnitude pruning over EVERY masked module at the
+    per-modality rates: keep the top-(1-sparsity) |w| per matrix. This is the
+    all-modality variant of the stage-3 rand baseline (`--rand_scope all`);
+    the reference-exact scope is `reference_rand_masks` below."""
     masks = {}
     for spec in specs:
         w = _get_leaf(params, spec.path)
         sp = zerorate[spec.modality]
-        kth = kth_smallest(jnp.abs(w), max(int(w.size * sp), 1))
+        if spec.stacked:
+            k = max(int((w.size // spec.stacked) * sp), 1)
+            kth = _bthr(spec, _per_layer_kth(jnp.abs(w), k), w.ndim)
+        else:
+            kth = kth_smallest(jnp.abs(w), max(int(w.size * sp), 1))
+        masks[spec.key] = jnp.abs(w) > kth
+    return masks
+
+
+# substrings of spec.torch_name covered by the reference's mag_pruning
+# module list (run_vqa_stage3.py:209-226): the 9 language layers (its
+# range(12) loop names layers 9-11 that exist only in 12-layer BERT stacks —
+# those names simply never match), the pooler, and the word embeddings.
+# r_layers / x_layers / visn_fc are NEVER magnitude-pruned by the reference.
+_REFERENCE_RAND_SCOPE = (".encoder.layer.", ".pooler.dense",
+                         ".embeddings.word_embeddings")
+
+
+def reference_rand_masks(params: PyTree, specs: Sequence[MaskSpec],
+                         zero_rate: float) -> dict[str, jax.Array]:
+    """The stage-3 `FT_randMask` baseline exactly as the reference ships it
+    (`mag_pruning`, run_vqa_stage3.py:209-226): `prune.l1_unstructured`
+    over ONLY the language-layer linears + pooler + word embeddings, each at
+    `zero_rate`; the visual and cross-modal branches stay dense. Prune count
+    per matrix is round(zero_rate * n) (torch's _compute_nparams_toprune);
+    out-of-scope modules get all-ones masks so `prune_params` /
+    `see_weight_rate` can treat the mask dict uniformly.
+
+    (As shipped, the reference then crashes in `see_weight_rate` — it reads
+    `weight_mask` keys for r_layers/x_layers that mag_pruning never created.
+    We keep its pruning behavior and make the audit total well-defined by
+    counting unpruned modules as dense.)
+
+    Tie handling deviates by one detail: torch's topk keeps exactly n-k
+    entries breaking |w| ties by index order; we keep strictly-above-kth
+    (measure-zero difference for float weights).
+    """
+    masks = {}
+    for spec in specs:
+        w = _get_leaf(params, spec.path)
+        if not any(s in spec.torch_name for s in _REFERENCE_RAND_SCOPE):
+            masks[spec.key] = jnp.ones(w.shape, bool)
+            continue
+        per_n = w.size // spec.stacked if spec.stacked else w.size
+        k = int(round(zero_rate * per_n))
+        if k <= 0:
+            masks[spec.key] = jnp.ones(w.shape, bool)
+            continue
+        if spec.stacked:
+            kth = _bthr(spec, _per_layer_kth(jnp.abs(w), k), w.ndim)
+        else:
+            kth = kth_smallest(jnp.abs(w), k)
         masks[spec.key] = jnp.abs(w) > kth
     return masks

@@ -173,9 +173,19 @@ class MPlug(nn.Module):
         Returns (topk_ids [B, k] — indices into the answer list, re-ranked
         best first; topk_probs [B, k]). `k` is static (lax.top_k + gather).
         """
-        c = self.config
         states, state_mask = self.encode(images, question_ids, question_mask,
                                          deterministic)
+        return self.rank_answers_from_states(
+            states, state_mask, answer_list_ids, answer_list_mask, k,
+            deterministic)
+
+    def rank_answers_from_states(self, states, state_mask, answer_list_ids,
+                                 answer_list_mask, k: int = 10,
+                                 deterministic=True):
+        """The post-encoder half of `rank_answers_topk`, oracle-testable
+        against the reference `MPLUG.rank_answer` on shared fused states
+        (tests/test_ref_oracle_rank.py)."""
+        c = self.config
         b = states.shape[0]
         n_ans, l = answer_list_ids.shape
         # 1. bos-only pass: p(first token | states)

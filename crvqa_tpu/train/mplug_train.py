@@ -47,6 +47,17 @@ class MPlugTrainConfig:
     sched: str = "cosine"  # cosine | tanh | step (scheduler_factory.py:10)
     decay_rate: float = 0.1  # 'step' schedule only
     decay_steps: int = 0  # 'step' schedule only
+    # Reference-exact epoch-granular driving (timm t_in_epochs=True): when
+    # steps_per_epoch > 0 the LR follows `timm_epoch_schedule` — the exact
+    # trajectory of the reference loop (yaml `schedular:` block: epochs 8,
+    # warmup_epochs 4, warmup_lr 1e-5, decay_rate 1). steps_per_epoch == 0
+    # keeps the smooth step-granular surface (`make_lr_schedule`) driven by
+    # warmup_steps/total_steps above.
+    steps_per_epoch: int = 0
+    epochs: int = 8
+    warmup_epochs: int = 4
+    warmup_lr_init: float = 1e-5
+    decay_epochs: int = 1  # 'step' sched, epoch mode
     opt: str = "adamw"  # optim_factory.py:56-127 surface (yaml `opt:`)
     opt_momentum: float = 0.9  # sgd/momentum/rmsprop only
     max_grad_norm: float = 1.0
@@ -111,6 +122,85 @@ def _cosine(lr: float, warmup: int, total: int, min_lr: float):
         decay_steps=max(total, warmup + 1), end_value=min_lr)
 
 
+def timm_epoch_schedule(sched: str, lr: float, warmup_epochs: int,
+                        epochs: int, min_lr: float, steps_per_epoch: int,
+                        decay_rate: float = 1.0, decay_epochs: int = 1,
+                        warmup_lr_init: float = 1e-5,
+                        step_size: int = 100) -> optax.Schedule:
+    """The EXACT LR trajectory the reference mPLUG loop produces, as a pure
+    function of the global step.
+
+    The reference drives the vendored timm schedulers epoch-granularly
+    (`t_in_epochs=True`): during epoch 0 it advances warmup one unit every
+    `step_size`=100 iterations while `i <= warmup_epochs*step_size`
+    (`vqa_mplug.py:145-146,200-201`), and at each epoch end calls
+    `lr_scheduler.step(epoch + warmup_epochs)` (`:431`), so epoch e>=1 runs
+    entirely at `_get_lr(e - 1 + warmup_epochs)`. Scheduler construction
+    presets the lr to `warmup_lr_init` (`scheduler/cosine_lr.py:63-65`).
+
+    `_get_lr` semantics reproduced per scheduler (single cycle, t_mul=1,
+    cycle_limit=1):
+    - cosine (`cosine_lr.py:68-95`, warmup_prefix=True): linear
+      warmup_lr_init -> lr over warmup_epochs units, then
+      gamma^i * (min_lr + (lr-min_lr)/2 * (1+cos(pi*t_curr/epochs))) on the
+      POST-warmup clock; min_lr once the cycle is exhausted.
+    - tanh (`tanh_lr.py:64-99`, warmup_prefix=False): warmup ramps to the
+      tanh value AT t=warmup_epochs (`t_v = self._get_lr(self.warmup_t)`),
+      and the tanh clock `tr = t/epochs` INCLUDES the warmup span.
+    - step (`step_lr.py:46-51`): lr * decay_rate**(t // decay_epochs) on the
+      raw clock, no min_lr floor.
+    """
+    spe = max(int(steps_per_epoch), 1)
+    warmup_t = int(warmup_epochs)
+    t_initial = max(int(epochs), 1)
+    # warmup sub-steps that actually fire inside epoch 0: multiples of
+    # step_size that are both <= warmup_iterations and < steps-in-epoch-0
+    cap = min(warmup_t, (spe - 1) // step_size) if warmup_t > 0 else 0
+
+    def _decay_lr(tf):
+        """timm `_get_lr` decay branch at (float) unit clock tf."""
+        if sched == "cosine":
+            td = tf - warmup_t  # warmup_prefix=True
+            i = jnp.floor(td / t_initial)
+            t_curr = td - i * t_initial
+            gamma = decay_rate ** i
+            val = gamma * (min_lr + 0.5 * (lr - min_lr)
+                           * (1.0 + jnp.cos(jnp.pi * t_curr / t_initial)))
+            return jnp.where(i < 1, val, min_lr)  # cycle_limit=1
+        if sched == "tanh":
+            lb, ub = -6.0, 4.0
+            i = jnp.floor(tf / t_initial)  # warmup_prefix=False: raw clock
+            t_curr = tf - i * t_initial
+            tr = t_curr / t_initial
+            gamma = decay_rate ** i
+            val = gamma * min_lr + 0.5 * (lr - min_lr) * gamma * (
+                1.0 - jnp.tanh(lb * (1.0 - tr) + ub * tr))
+            return jnp.where(i < 1, val, min_lr * decay_rate)
+        if sched == "step":
+            d = max(int(decay_epochs), 1)
+            return lr * decay_rate ** jnp.floor(tf / d)
+        raise ValueError(f"unsupported sched '{sched}'")
+
+    if sched == "tanh" and warmup_t > 0:
+        # ramp target is the tanh value at t=warmup_t, not the base lr
+        warm_target = float(_decay_lr(jnp.asarray(float(warmup_t))))
+    else:
+        warm_target = lr
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.int32)
+        e = s // spe
+        t0 = jnp.clip((s - 1) // step_size, 0, cap)
+        t = jnp.where(e == 0, t0, e - 1 + warmup_t)
+        tf = t.astype(jnp.float32)
+        if warmup_t > 0:
+            warm = warmup_lr_init + tf * (warm_target - warmup_lr_init) / warmup_t
+            return jnp.where(t < warmup_t, warm, _decay_lr(tf))
+        return _decay_lr(tf)
+
+    return schedule
+
+
 def make_lr_schedule(sched: str, lr: float, warmup: int, total: int,
                      min_lr: float, decay_rate: float = 0.1,
                      decay_steps: int = 0) -> optax.Schedule:
@@ -166,11 +256,24 @@ def two_group_labels(tree) -> PyTree:
 
 def decay_mask(tree) -> PyTree:
     """True where AdamW weight decay applies. The reference's no_decay list
-    is ["bias", "LayerNorm.weight"] by substring on the torch name
-    (optim_factory.py:141-171); the flax equivalent is any leaf whose name
-    contains 'bias' or is a LayerNorm 'scale'."""
-    return _map_with_path(
-        tree, lambda parts: not ("bias" in parts[-1] or parts[-1] == "scale"))
+    is ["bias", "LayerNorm.weight"] by SUBSTRING on the torch name
+    (optim_factory.py:142-155). Note the substring test misses the CLIP
+    ViT's norms — torch names them ln_1/ln_2/ln_pre/ln_post, so
+    "…ln_1.weight" does NOT contain "LayerNorm.weight" and the reference
+    DECAYS the visual encoder's norm weights. Our modules mirror the torch
+    attribute names, so the flax-equivalent rule is: leaf name containing
+    'bias', or a 'scale' whose owning module name ends with 'LayerNorm'
+    (oracle: tests/test_ref_oracle_optim.py)."""
+
+    def fn(parts):
+        if "bias" in parts[-1]:
+            return False
+        if (parts[-1] == "scale" and len(parts) > 1
+                and parts[-2].endswith("LayerNorm")):
+            return False
+        return True
+
+    return _map_with_path(tree, fn)
 
 
 def _inner_optimizer(config: "MPlugTrainConfig", schedule) -> optax.GradientTransformation:
@@ -224,9 +327,18 @@ def make_two_group_adamw(config: MPlugTrainConfig):
     """
 
     def group(lr):
-        return _inner_optimizer(config, make_lr_schedule(
-            config.sched, lr, config.warmup_steps, config.total_steps,
-            config.min_lr, config.decay_rate, config.decay_steps))
+        if config.steps_per_epoch > 0:
+            sched = timm_epoch_schedule(
+                config.sched, lr, config.warmup_epochs, config.epochs,
+                config.min_lr, config.steps_per_epoch,
+                decay_rate=config.decay_rate,
+                decay_epochs=config.decay_epochs,
+                warmup_lr_init=config.warmup_lr_init)
+        else:
+            sched = make_lr_schedule(
+                config.sched, lr, config.warmup_steps, config.total_steps,
+                config.min_lr, config.decay_rate, config.decay_steps)
+        return _inner_optimizer(config, sched)
 
     return optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),

@@ -66,6 +66,40 @@ def install_mplug():
     return torch
 
 
+def install_mplug_package():
+    """install_mplug() + the timm stubs `mPLUG/models/vit.py` imports, and
+    `/root/reference/mPLUG` on sys.path — enough to `from models import
+    model_vqa_mplug` and run its methods unbound (the stubbed timm symbols
+    are ViT-construction helpers the oracle paths never call)."""
+    torch = install_mplug()
+
+    def _mod(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        m.__path__ = []
+        sys.modules[name] = m
+        return m
+
+    class _DropPath(torch.nn.Module):
+        def forward(self, x):
+            return x
+
+    _mod("timm")
+    _mod("timm.models")
+    _mod("timm.models.layers", trunc_normal_=lambda *a, **k: None,
+         DropPath=_DropPath)
+    _mod("timm.models.vision_transformer", _cfg=lambda **k: {},
+         PatchEmbed=type("PatchEmbed", (torch.nn.Module,), {}))
+    _mod("timm.models.registry", register_model=lambda f: f)
+    mplug_dir = f"{REFERENCE}/mPLUG"
+    if mplug_dir not in sys.path:
+        sys.path.insert(0, mplug_dir)
+    return torch
+
+
 def load_ref_module(alias: str, relpath: str):
     """Import a reference source file directly (no package __init__ chain —
     `mPLUG/models/clip/__init__.py` pulls torchvision, absent here)."""

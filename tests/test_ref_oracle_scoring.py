@@ -56,3 +56,39 @@ def test_vqavs_scorer_oracle():
     for s, want in zip(VQAVS_SPLITS, ref_splits):
         assert ours[s] == want, s
     assert ours["Final_Score"] == sum(ref_splits) / 9
+
+
+def test_compare_mask_oracle(tmp_path):
+    """`evals.compare_mask` vs the reference `compare_mask.py:compare`
+    (Jaccard of bool mask dicts, :31-43), on real torch-saved mask.pt files.
+
+    The reference module creates its hardcoded output dir at import time;
+    os.path.exists is patched to skip that side effect.
+    """
+    import os
+    import torch
+
+    rng = np.random.default_rng(7)
+    m1 = {f"layer.{i}.weight": rng.random((6, 8)) > 0.6 for i in range(5)}
+    m2 = {k: (rng.random(v.shape) > 0.4) for k, v in m1.items()}
+    p1, p2 = str(tmp_path / "m1.pt"), str(tmp_path / "m2.pt")
+    torch.save({k: torch.from_numpy(v) for k, v in m1.items()}, p1)
+    torch.save({k: torch.from_numpy(v) for k, v in m2.items()}, p2)
+
+    real_exists = os.path.exists
+    os.path.exists = lambda *_: True
+    try:
+        ref_cm = ref_oracle.load_ref_module("ref_compare_mask",
+                                            "compare_mask.py")
+    finally:
+        os.path.exists = real_exists
+
+    ref_sim = float(ref_cm.compare(p1, p2, show_every_matrix=False))
+
+    from crvqa_tpu.evals.compare_mask import compare_mask_dicts
+
+    ours = compare_mask_dicts(m1, m2)
+    assert abs(ours - ref_sim) < 1e-6
+    # self-similarity is exactly 1 on both sides
+    assert float(ref_cm.compare(p1, p1, False)) == 1.0
+    assert compare_mask_dicts(m1, m1) == 1.0
