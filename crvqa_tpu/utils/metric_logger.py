@@ -27,8 +27,14 @@ class SmoothedValue:
 
     @property
     def median(self) -> float:
+        # torch.median returns the LOWER median on even-length windows
+        # (mPLUG/utils.py:43-45) — index (n-1)//2, not n//2
         d = sorted(self.deque)
-        return d[len(d) // 2] if d else 0.0
+        return d[(len(d) - 1) // 2] if d else 0.0
+
+    @property
+    def max(self) -> float:
+        return max(self.deque) if self.deque else 0.0
 
     @property
     def avg(self) -> float:

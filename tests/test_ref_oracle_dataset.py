@@ -92,3 +92,70 @@ def test_dataset_entries_match_reference(tmp_path, monkeypatch,
             np.testing.assert_array_equal(spatials.numpy(), sp_ours[0])
             assert (ds.entries[i]["answer"]["question_type"]
                     == ours.question_types[i])
+
+
+@pytest.mark.slow
+def test_trim_collator_batch_matches_ours(tmp_path, monkeypatch,
+                                          ref_dataset_mod):
+    """Batch-assembly oracle: the reference `TrimCollator.collate_batch`
+    (hg_transformers/data/data_collator.py:47-95) over the positional
+    8-tuples vs our `iterate_batches` dict batches — same stacked ids,
+    features, spatials, targets, qids, max_labels. (Box counts are fixed at
+    36 on both sides, so the reference's pad-to-batch-max is the identity —
+    our static shapes are behavior-equal, not just compatible.)"""
+    _fabricate(tmp_path)
+    feat_dir = tmp_path / "xxxx" / "CompressVQA" / "coco" / "object_features"
+    feat_dir.mkdir(parents=True)
+    shutil.copy(tmp_path / "vqa_img_feature_trainval.pickle",
+                feat_dir / "vqa_img_feature_trainval.pickle")
+    monkeypatch.chdir(tmp_path)
+
+    import collections
+    import collections.abc
+
+    # py3.10 removed the collections.* ABC aliases the 2019-era collator
+    # uses (data_collator.py:91-94) — the same class of environment shim as
+    # torch._six in ref_oracle.install()
+    monkeypatch.setattr(collections, "Mapping", collections.abc.Mapping,
+                        raising=False)
+    monkeypatch.setattr(collections, "Sequence", collections.abc.Sequence,
+                        raising=False)
+
+    from hg_transformers.data.data_collator import TrimCollator
+
+    from crvqa_tpu.data.vqacp import (
+        ImageFeatures,
+        iterate_batches,
+        load_answer_vocab,
+        load_entries,
+        make_tokenizer,
+    )
+
+    ref_tok = _ref_tokenizer()(str(tmp_path / "vocab.txt"))
+    ans2label, _ = load_answer_vocab(str(tmp_path))
+    ours_tok = make_tokenizer(str(tmp_path / "vocab.txt"))
+    feats = ImageFeatures(str(tmp_path / "vqa_img_feature_trainval.pickle"))
+
+    ds = ref_dataset_mod.VQAFeatureDataset("train", str(tmp_path), "", 1.0,
+                                           ref_tok)
+    for e in ds.entries:
+        e["bias"] = 0.0
+    entries = load_entries(str(tmp_path), "train", ours_tok,
+                           ans_num=len(ans2label))
+
+    bs = min(4, len(ds))
+    ref_batch = TrimCollator().collate_batch([ds[i] for i in range(bs)])
+    (q_token, features, spatials, target, qid, image_id, _bias,
+     max_label) = ref_batch
+
+    ours = next(iterate_batches(entries, feats, batch_size=bs))
+    np.testing.assert_array_equal(q_token.numpy(), ours["input_ids"])
+    np.testing.assert_array_equal(features.numpy(), ours["visual_feats"])
+    np.testing.assert_array_equal(spatials.numpy(), ours["visual_pos"])
+    np.testing.assert_array_equal(target.numpy(), ours["labels"])
+    np.testing.assert_array_equal(np.asarray(qid), ours["question_id"])
+    np.testing.assert_array_equal(np.asarray(max_label), ours["max_label"])
+    assert ours["valid"].all()
+    # equal box counts per image -> the reference's pad-to-batch-max is the
+    # identity and both sides carry the same static feature shape
+    assert features.shape == ours["visual_feats"].shape

@@ -92,3 +92,28 @@ def test_compare_mask_oracle(tmp_path):
     # self-similarity is exactly 1 on both sides
     assert float(ref_cm.compare(p1, p1, False)) == 1.0
     assert compare_mask_dicts(m1, m1) == 1.0
+
+
+def test_smoothed_value_oracle():
+    """utils.metric_logger.SmoothedValue vs the reference's
+    (`mPLUG/utils.py:11-69`): identical median (torch lower-median on even
+    windows), avg, global_avg, max, value, and formatted string over a
+    randomized update sequence including window eviction."""
+    ref_utils = ref_oracle.load_ref_module("ref_mplug_utils", "mPLUG/utils.py")
+
+    from crvqa_tpu.utils.metric_logger import SmoothedValue
+
+    rng = np.random.default_rng(9)
+    ref_sv = ref_utils.SmoothedValue(window_size=6)
+    ours = SmoothedValue(window_size=6)
+    for step in range(25):
+        v = float(rng.normal())
+        n = int(rng.integers(1, 4))
+        ref_sv.update(v, n=n)
+        ours.update(v, n=n)
+        # reference medians/avgs round through torch float32
+        assert abs(ours.median - ref_sv.median) < 1e-6, step
+        assert abs(ours.avg - ref_sv.avg) < 1e-6, step
+        assert abs(ours.global_avg - ref_sv.global_avg) < 1e-12, step
+        assert ours.max == ref_sv.max and ours.value == ref_sv.value
+    assert str(ours) == str(ref_sv)

@@ -195,3 +195,26 @@ def test_stage2_two_step_trajectory_oracle(setup, loss_type):
         np.testing.assert_array_equal(
             np.asarray(st.train_params["lmh"]["smooth_param"]),
             np.asarray(lmh_params["smooth_param"]))
+
+
+def test_linear_warmup_schedule_oracle():
+    """`train.common.linear_warmup_schedule` vs the reference's
+    `get_linear_schedule_with_warmup` lambda (hg_transformers/
+    optimization.py), including a real warmup ramp. `hf_adamw` reads the
+    schedule at the PRE-increment count (torch LambdaLR steps after
+    optimizer.step()), so compare at the same epoch index."""
+    import torch as _torch
+    from hg_transformers.optimization import get_linear_schedule_with_warmup
+
+    from crvqa_tpu.train.common import linear_warmup_schedule
+
+    lr, warmup, total = 5e-5, 7, 40
+    opt = _torch.optim.SGD([_torch.nn.Parameter(_torch.zeros(1))], lr=lr)
+    sched = get_linear_schedule_with_warmup(
+        opt, num_warmup_steps=warmup, num_training_steps=total)
+    ours = linear_warmup_schedule(lr, warmup, total)
+    for step in range(total + 3):
+        ref_lr = opt.param_groups[0]["lr"]
+        # optax schedules evaluate in fp32
+        assert abs(float(ours(step)) - ref_lr) <= 1e-6 * lr, step
+        sched.step()
