@@ -138,8 +138,10 @@ def main(argv=None) -> None:
         with open(os.path.join(args.output_dir, f"{name}.json"), "w") as fh:
             json.dump(splits[name], fh)
     for name in ("test", "val"):
+        # reference filename: {split}_labels.json (build_vqacp_ocr.py:81;
+        # the yaml's val_label_file/test_label_file point at these)
         with open(os.path.join(args.output_dir,
-                               f"{name}_label.json"), "w") as fh:
+                               f"{name}_labels.json"), "w") as fh:
             json.dump(splits[f"{name}_label"], fh)
     print(json.dumps({k: len(v) for k, v in splits.items()}))
 

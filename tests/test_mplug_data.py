@@ -181,7 +181,7 @@ def test_build_vqacp_ocr(tmp_path):
     test = json.load(open(out / "test.json"))
     val = json.load(open(out / "val.json"))
     bias = json.load(open(out / "train_bias.json"))
-    labels = json.load(open(out / "test_label.json"))
+    labels = json.load(open(out / "test_labels.json"))
     assert [d["question_id"] for d in train] == list(range(6))
     assert [d["question_id"] for d in test] == list(range(6, 10))
     assert len(val) == 2 and all(d["question_id"] >= 6 for d in val)
