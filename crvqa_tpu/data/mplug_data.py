@@ -94,12 +94,18 @@ def augment_question(record: dict, add_ocr: bool, add_object: bool,
 def load_entries(ann_files: Sequence[str], tokenizer, q_len: int = 25,
                  a_len: int = 12, answers_per_question: int = 10,
                  vqa_root: str = "", add_ocr: bool = False,
-                 add_object: bool = False) -> MPlugEntries:
+                 add_object: bool = False,
+                 max_ques_words: int = 30) -> MPlugEntries:
     """Parse the reference's annotation JSONs (`vqa_dataset.__getitem__`,
     mPLUG/dataset/vqa_dataset.py:82-109): training entries carry answer
     lists; each unique answer gets weight count/len(answers); `train_bias`
     entries add a per-answer bias scalar. `add_ocr`/`add_object` splice OCR
-    and object tokens into the question text (:57-70)."""
+    and object tokens into the question text (:57-70). `max_ques_words`
+    bounds the pre_question'd OCR string; the reference's EFFECTIVE value is
+    always 30 whenever OCR is on — its test-split 50 ("do not limit
+    question length during test", vqa_dataset.py:33-34) is overwritten by
+    the `if self.add_ocr: max_ques_words = 30` that runs last (:36-37), and
+    without add_ocr the cap is never consulted."""
     records = []
     for f in ann_files:
         with open(f) as fh:
@@ -107,7 +113,8 @@ def load_entries(ann_files: Sequence[str], tokenizer, q_len: int = 25,
     n, a_max = len(records), answers_per_question
     q_tokens, q_mask = _tokenize_fixed(
         tokenizer,
-        [augment_question(r, add_ocr, add_object) for r in records], q_len)
+        [augment_question(r, add_ocr, add_object, max_ques_words)
+         for r in records], q_len)
     ans_tokens = np.zeros((n, a_max, a_len), np.int32)
     ans_mask = np.zeros((n, a_max, a_len), np.float32)
     weights = np.zeros((n, a_max), np.float32)

@@ -183,20 +183,64 @@ class WordPieceTokenizer:
         native = self._native_handle() if self.do_lower_case else False
         if native:
             rows = native.encode_batch(list(texts), cap=cap)
+            # GLUED special tokens (e.g. the reference's `answer+'[SEP]'`)
+            # must split as substrings like HF's split_on_tokens; the C++
+            # encoder only honors whitespace-delimited specials, so such
+            # rows take the Python path
+            rows = [None if self._has_glued_special(t) else r
+                    for r, t in zip(rows, texts)]
         else:
             rows = [None] * len(texts)
         return [r if r is not None
                 else self.convert_tokens_to_ids(self.tokenize(t))[:cap]
                 for r, t in zip(rows, texts)]
 
+    def _has_glued_special(self, text: str) -> bool:
+        """True if any special token occurs NOT whitespace-delimited."""
+        for sp in self.all_special_tokens:
+            start = 0
+            while True:
+                i = text.find(sp, start)
+                if i < 0:
+                    break
+                j = i + len(sp)
+                if not ((i == 0 or text[i - 1].isspace())
+                        and (j == len(text) or text[j].isspace())):
+                    return True
+                start = j
+        return False
+
     # ---------------------------------------------------------------- core
+    def _split_on_specials(self, text: str) -> list[str]:
+        """Split special tokens out of the raw text as SUBSTRINGS — HF's
+        PreTrainedTokenizer.tokenize `split_on_tokens` layer, which runs
+        BEFORE basic tokenization. Matters for glued occurrences: the
+        reference feeds `answer + '[SEP]'` strings to its tokenizer
+        (vqa_dataset.py:107), and HF still emits the special id there."""
+        parts = [text]
+        for sp in self.all_special_tokens:
+            nxt: list[str] = []
+            for p in parts:
+                if p in self.all_special_tokens:
+                    nxt.append(p)
+                    continue
+                pieces = p.split(sp)
+                for i, frag in enumerate(pieces):
+                    if i:
+                        nxt.append(sp)
+                    if frag:
+                        nxt.append(frag)
+            parts = nxt
+        return parts
+
     def tokenize(self, text: str) -> list[str]:
         out: list[str] = []
-        for token in basic_tokenize(text, self.do_lower_case,
-                                    self.all_special_tokens):
-            if token in self.all_special_tokens:
-                out.append(token)
-            else:
+        for part in self._split_on_specials(text):
+            if part in self.all_special_tokens:
+                out.append(part)
+                continue
+            for token in basic_tokenize(part, self.do_lower_case,
+                                        self.all_special_tokens):
                 out.extend(wordpiece_tokenize(token, self.vocab,
                                               self.unk_token))
         return out
