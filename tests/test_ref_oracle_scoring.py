@@ -117,3 +117,31 @@ def test_smoothed_value_oracle():
         assert abs(ours.global_avg - ref_sv.global_avg) < 1e-12, step
         assert ours.max == ref_sv.max and ours.value == ref_sv.value
     assert str(ours) == str(ref_sv)
+
+
+def test_compute_score_with_logits_oracle():
+    """`train.common.batch_score` vs the reference in-training metric
+    (`compute_score_with_logits`, hg_transformers/data/metrics/
+    __init__.py:90-104): summed soft score of the argmax answer, including
+    argmax tie behavior (torch.max picks the FIRST max index; jnp.argmax
+    does too)."""
+    import torch
+    import jax.numpy as jnp
+
+    from hg_transformers.data.metrics import compute_score_with_logits
+
+    from crvqa_tpu.train.common import batch_score
+
+    rng = np.random.default_rng(17)
+    logits = rng.normal(size=(16, 7)).astype(np.float32)
+    labels = (rng.random((16, 7)) < 0.3).astype(np.float32) * \
+        rng.choice([0.3, 0.6, 0.9, 1.0], size=(16, 7)).astype(np.float32)
+    # exact ties in two rows: both sides must pick the FIRST max index
+    logits[3, :] = 0.0
+    logits[7, 2] = logits[7, 5] = logits[7].max() + 1.0
+
+    ref = compute_score_with_logits(
+        "vqa", torch.from_numpy(logits.copy()),
+        torch.from_numpy(labels.copy()))["acc"]
+    ours = float(batch_score(jnp.asarray(logits), jnp.asarray(labels)))
+    assert abs(ours - float(ref)) < 1e-6
