@@ -113,6 +113,41 @@ def dump_args(args: argparse.Namespace, output_dir: str) -> None:
         json.dump(vars(args), f, indent=2, default=str)
 
 
+class PreemptionGuard:
+    """Preemption-safe checkpointing. A SIGTERM handler latches a flag the
+    train loops poll once per iteration: the in-flight dispatch finishes,
+    ONE checkpoint is written, and the driver returns cleanly for a
+    `--resume_from` restart. The reference has no preemption handling at
+    all (SURVEY §5.3 — its "resume" is an optimizer-state reload plus a
+    dead skip counter). SIGINT keeps its normal meaning.
+    """
+
+    def __init__(self):
+        import signal
+
+        self.triggered = False
+        try:
+            signal.signal(signal.SIGTERM, self._on_signal)
+        except ValueError:
+            pass  # not the main thread (embedded / test harness use)
+
+    def _on_signal(self, signum, frame):
+        self.triggered = True
+
+    def save_and_stop(self, args, state, step: int) -> bool:
+        """When triggered: write ckpt_<step> (+ preempted marker) and return
+        True so the caller can exit its train loop."""
+        if not self.triggered:
+            return False
+        from ..core import checkpoint as ckpt
+
+        path = os.path.join(args.output_dir, f"ckpt_{step}")
+        ckpt.save_checkpoint(path, state,
+                             metadata={"step": step, "preempted": True})
+        log_step(step, preempted=True, checkpoint=path)
+        return True
+
+
 def crossed(step: int, prev: int, every) -> bool:
     """True when (prev, step] contains a multiple of `every` — the cadence
     check for logging/checkpoint/reset actions. With multi-step dispatch

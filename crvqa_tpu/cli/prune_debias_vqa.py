@@ -252,6 +252,7 @@ def run(args) -> None:
         # by the dispatch width; the device value is only needed at resume)
         step = int(state.step)
         pending = []
+        guard = common.PreemptionGuard()
         for epoch in range(int(args.num_train_epochs)):
             for batch in train_batches(epoch):
                 if spd > 1:
@@ -306,6 +307,10 @@ def run(args) -> None:
                                 os.path.join(args.output_dir, "test.json"),
                                 out["logits"], out["question_id"], label2ans)
                             state = export_best(state)
+                if guard.save_and_stop(args, state, step):
+                    # pending partial-window batches are dropped; the
+                    # resumed run re-iterates the epoch
+                    return
             # flush a partial scan window through the single-step path
             for leftover in pending:
                 state, metrics = step_fn(state, shard_fn(leftover))

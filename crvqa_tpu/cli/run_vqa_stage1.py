@@ -96,6 +96,7 @@ def main(argv=None) -> None:
         # host-side counter — int(state.step) per iteration syncs on the
         # in-flight step (cli/common.crossed docstring)
         step = int(state.step)
+        guard = common.PreemptionGuard()
         for epoch in range(int(args.num_train_epochs)):
             for batch in train_batches(epoch):
                 state, metrics = step_fn(state, shard_fn(batch))
@@ -118,6 +119,8 @@ def main(argv=None) -> None:
                                 os.path.join(args.output_dir, "test.json"),
                                 out["logits"], out["question_id"], label2ans)
                             save_best(state)
+                if guard.save_and_stop(args, state, step):
+                    return
         if best < 0:
             # no best-eval save fired (no --evaluate_during_training, or
             # total steps below save_steps): persist the final params —

@@ -181,6 +181,7 @@ def main(argv=None) -> None:
         # host-side counter — int(state.step) per iteration syncs on the
         # in-flight step (cli/common.crossed docstring)
         step = int(state.step)
+        guard = common.PreemptionGuard()
         for epoch in range(int(args.num_train_epochs)):
             for batch in train_batches(epoch):
                 state, metrics = step_fn(state, shard_fn(batch))
@@ -212,6 +213,8 @@ def main(argv=None) -> None:
                                 os.path.join(args.output_dir,
                                              args.label4save + suffix + ".msgpack"),
                                 jax.device_get(state.params))
+                if guard.save_and_stop(args, state, step):
+                    return
         if best < 0:
             # the fine-tuned subnetwork must survive even when no best-eval
             # save fired (no --evaluate_during_training, or total steps

@@ -292,6 +292,7 @@ def main(argv=None) -> None:
         # host-side counter: int(state.step) every iteration would sync on
         # the in-flight step and serialize device with host batch prep
         step = int(state.step)
+        guard = common.PreemptionGuard()
         for epoch in range(int(args.num_train_epochs)):
             for batch_idx, batch in enumerate(train_batches(epoch)):
                 dev = shard_fn({k: v for k, v in batch.items()
@@ -317,6 +318,8 @@ def main(argv=None) -> None:
                         os.path.join(args.output_dir, f"ckpt_{step}"), state,
                         metadata={"step": step})
                     ckpt.rotate_checkpoints(args.output_dir, keep=2)
+                if guard.save_and_stop(args, state, step):
+                    return
         if masker is not None:
             state = reset_fn(state, None)
             masks = jax.device_get(masks_fn(state.scores, state.thresholds))

@@ -80,6 +80,11 @@ def install_mplug_package():
         for k, v in attrs.items():
             setattr(m, k, v)
         m.__path__ = []
+        # a real __spec__ keeps importlib.util.find_spec working for later
+        # importers (hg_transformers/lxmert_file_utils.py probes
+        # find_spec("timm"); a spec-less stub raises ValueError there)
+        m.__spec__ = importlib.util.spec_from_loader(name, loader=None,
+                                                     is_package=True)
         sys.modules[name] = m
         return m
 
@@ -96,6 +101,11 @@ def install_mplug_package():
     _mod("timm.models.registry", register_model=lambda f: f)
     mplug_dir = f"{REFERENCE}/mPLUG"
     if mplug_dir not in sys.path:
+        # NOTE: both /root/reference and mPLUG carry a namespace package
+        # named `masking` (and `maskers.py` exists in both). Import mPLUG
+        # masker modules ONLY via load_ref_module aliases; bare
+        # `import masking.<name>` is safe only for the root-unique
+        # `*_Robust` / `global_maskers` / `maskers_visualBert` names.
         sys.path.insert(0, mplug_dir)
     return torch
 

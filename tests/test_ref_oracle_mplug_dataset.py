@@ -30,7 +30,10 @@ torch = ref_oracle.install()
 
 @pytest.fixture(scope="module")
 def ref_vqa_dataset():
-    sys.modules.setdefault("oss2", types.ModuleType("oss2"))
+    if "oss2" not in sys.modules:
+        oss2 = types.ModuleType("oss2")
+        oss2.__spec__ = importlib.util.spec_from_loader("oss2", loader=None)
+        sys.modules["oss2"] = oss2
     # dataset/utils.py imports vqaTools.vqaEval (the official evaluator)
     mplug_dir = f"{ref_oracle.REFERENCE}/mPLUG"
     if mplug_dir not in sys.path:
@@ -40,6 +43,8 @@ def ref_vqa_dataset():
                                                    "__path__"):
         pkg = types.ModuleType("dataset")
         pkg.__path__ = [pkg_dir]
+        pkg.__spec__ = importlib.util.spec_from_loader("dataset", loader=None,
+                                                       is_package=True)
         sys.modules["dataset"] = pkg
     for name in ("dataset.utils", "dataset.vqa_dataset"):
         if name in sys.modules:
