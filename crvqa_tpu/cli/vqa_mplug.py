@@ -327,11 +327,13 @@ def main(argv=None) -> None:
             export_masks = dict(masks)
             if args.distill:
                 # reference mask.pt also carries the momentum twins' masks
-                # (chain_module_names adds _m modules, maskers.py:80-84); the
-                # twins' EMA'd scores binarize to the live masks, so export
-                # the live masks under the _m names
+                # (chain_module_names adds _m modules, maskers.py:80-84),
+                # binarized from the twins' own EMA'd scores + thresholds
                 import dataclasses as _dc
 
+                twin_masks = (jax.device_get(
+                    masks_fn(state.scores_m, state.thresholds_m))
+                    if state.scores_m is not None else masks)
                 for s in masker.specs:
                     if s.momentum_only:
                         continue
@@ -340,7 +342,7 @@ def main(argv=None) -> None:
                         s, path=(s.path[0] + "_m",) + s.path[1:],
                         torch_name=f"{tower}_m.{rest}")
                     export_specs.append(twin)
-                    export_masks[twin.key] = masks[s.key]
+                    export_masks[twin.key] = twin_masks[s.key]
             torch_compat.export_mask_pt(
                 os.path.join(args.output_dir, "mask.pt"), export_masks,
                 export_specs)

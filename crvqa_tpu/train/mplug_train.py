@@ -33,6 +33,14 @@ class MPlugState(struct.PyTreeNode):
     params_m: Optional[PyTree]  # momentum twins (distill)
     opt_state: Any
     rng: jax.Array
+    # EMA of the twins' mask scores (distill + mask mode): the reference's
+    # patched `_m` modules carry their own weight_mask params that
+    # `_momentum_update` EMAs from the live ones at momentum 0.995
+    # (model_vqa_mplug.py:150-181 over model_pairs incl. masked modules),
+    # and `reset_threshold` re-derives the twins' thresholds from THEIR
+    # scores (mPLUG/masking/maskers.py:689-711 walks every patched module).
+    scores_m: Optional[dict] = None
+    thresholds_m: Optional[dict] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -367,9 +375,16 @@ def init_state(model, params: PyTree, config: MPlugTrainConfig,
         opt_state = tx.init(params)
     params_m = (jax.tree_util.tree_map(jnp.copy, params)
                 if config.distill else None)
+    # twins start as exact copies (reference copy_params at ctor,
+    # model_vqa_mplug.py:139-148) — incl. their mask scores/thresholds
+    scores_m = (jax.tree_util.tree_map(jnp.copy, scores)
+                if config.distill and scores is not None else None)
+    thresholds_m = (jax.tree_util.tree_map(jnp.copy, thresholds)
+                    if config.distill and thresholds is not None else None)
     return MPlugState(step=jnp.zeros((), jnp.int32), params=params,
                       scores=scores, thresholds=thresholds, params_m=params_m,
-                      opt_state=opt_state, rng=rng), tx
+                      opt_state=opt_state, rng=rng,
+                      scores_m=scores_m, thresholds_m=thresholds_m), tx
 
 
 def make_train_step(model, config: MPlugTrainConfig,
@@ -380,14 +395,15 @@ def make_train_step(model, config: MPlugTrainConfig,
 
     def _soft_labels(state: MPlugState, batch):
         """Momentum twins -> soft labels (model_vqa_mplug.py:65-92). In mask
-        mode the twins are masked with the LIVE scores/thresholds — the
-        reference EMAs the twins' own weight_mask params from the live ones
-        (momentum 0.995), so the binarized twin masks track the live masks
-        up to the EMA lag; we take the limit of that."""
+        mode the twins are masked with their OWN EMA'd scores and thresholds
+        (state.scores_m/thresholds_m) — the reference EMAs the twins'
+        weight_mask params from the live ones at momentum 0.995 and resets
+        the twins' thresholds from the twin scores, so the binarized twin
+        masks track the live masks with the EMA lag."""
         params_m = state.params_m
         if config.mode == "mask":
-            params_m = masker.apply_masks(params_m, state.scores,
-                                          state.thresholds,
+            params_m = masker.apply_masks(params_m, state.scores_m,
+                                          state.thresholds_m,
                                           momentum_tree=True)
         logits_m = model.apply(
             {"params": params_m}, batch["images"], batch["question_ids"],
@@ -419,9 +435,14 @@ def make_train_step(model, config: MPlugTrainConfig,
         alpha = 0.0
         if config.distill:
             # EMA the twins BEFORE producing soft labels, like
-            # _momentum_update at the top of the distill branch
-            state = state.replace(params_m=momentum_update(
+            # _momentum_update at the top of the distill branch — the
+            # twins' mask scores EMA from the live scores too
+            kw_m = dict(params_m=momentum_update(
                 state.params, state.params_m, config.momentum))
+            if config.mode == "mask":
+                kw_m["scores_m"] = momentum_update(
+                    state.scores, state.scores_m, config.momentum)
+            state = state.replace(**kw_m)
             soft = _soft_labels(state, batch)
             alpha = jnp.asarray(config.alpha, jnp.float32)
             if config.alpha_warmup_steps:
@@ -459,14 +480,23 @@ def make_threshold_reset(masker: Masker) -> Callable:
     through the axon tunnel cost minutes; kth_smallest already takes a
     traced k)."""
 
+    def _reset(state: MPlugState, target=None) -> MPlugState:
+        kw = dict(thresholds=masker.reset_thresholds(state.scores, target))
+        if state.scores_m is not None:
+            # the reference reset walks EVERY patched module incl. the `_m`
+            # twins (maskers.py:689-711): twin thresholds come from the
+            # twins' own EMA'd scores
+            kw["thresholds_m"] = masker.reset_thresholds(state.scores_m,
+                                                         target)
+        return state.replace(**kw)
+
     @jax.jit
     def _reset_default(state: MPlugState) -> MPlugState:
-        return state.replace(thresholds=masker.reset_thresholds(state.scores))
+        return _reset(state)
 
     @jax.jit
     def _reset_target(state: MPlugState, target: jax.Array) -> MPlugState:
-        return state.replace(
-            thresholds=masker.reset_thresholds(state.scores, target))
+        return _reset(state, target)
 
     def reset(state: MPlugState, target: Optional[float] = None) -> MPlugState:
         if target is None:

@@ -288,11 +288,16 @@ def test_two_group_labels_and_decay_mask(setup):
 
     dm = mplug_train.decay_mask(
         {"a": {"kernel": 1.0, "bias": 2.0},
-         "ln": {"scale": 3.0, "bias": 4.0},
+         "LayerNorm": {"scale": 3.0, "bias": 4.0},
+         "ln_1": {"scale": 3.5, "bias": 4.5},
          "head": {"text_decoder/predictions_bias": 5.0},
          "emb": {"embedding": 6.0}})
     assert dm["a"]["kernel"] is True and dm["a"]["bias"] is False
-    assert dm["ln"]["scale"] is False and dm["ln"]["bias"] is False
+    # the reference's no_decay substring is "LayerNorm.weight": BERT-named
+    # norms are exempt, the CLIP ViT's ln_* norm weights ARE decayed
+    # (oracle: tests/test_ref_oracle_optim.py)
+    assert dm["LayerNorm"]["scale"] is False and dm["LayerNorm"]["bias"] is False
+    assert dm["ln_1"]["scale"] is True and dm["ln_1"]["bias"] is False
     assert dm["head"]["text_decoder/predictions_bias"] is False
     assert dm["emb"]["embedding"] is True
 
@@ -521,3 +526,50 @@ def test_position_sliced_decode_matches_full(setup):
                                   np.asarray(b_sliced[0]))
     np.testing.assert_allclose(np.asarray(b_full[1]), np.asarray(b_sliced[1]),
                                rtol=1e-6)
+
+
+def test_distill_twin_scores_ema_and_reset(setup):
+    """Mask-mode distill EMAs the twins' mask SCORES from the live ones
+    (reference `_momentum_update` covers patched modules' weight_mask
+    params) and `reset_threshold` re-derives twin thresholds from the
+    twins' own scores (maskers.py:689-711)."""
+    config, model, params, jb = setup
+    c = config.bert
+    specs = mplug_mask_specs(
+        vit_layers=config.vit.layers, text_encoder_layers=c.text_encoder_layers,
+        fusion_layers=c.fusion_layers, decoder_layers=c.text_decode_layers,
+        stride_layer=c.stride_layer)
+    masker = Masker.create(specs, ModalSparsity.uniform(0.5),
+                           controlled_init="magnitude_soft")
+    cfg = mplug_train.MPlugTrainConfig(mode="mask", total_steps=10,
+                                       warmup_steps=1, distill=True,
+                                       momentum=0.9, alpha=0.4)
+    state, tx = mplug_train.init_state(model, params, cfg,
+                                       jax.random.PRNGKey(2), masker=masker)
+    assert state.scores_m is not None and state.thresholds_m is not None
+    key = next(iter(state.scores))
+    # twins start as copies
+    np.testing.assert_array_equal(np.asarray(state.scores[key]),
+                                  np.asarray(state.scores_m[key]))
+
+    # bump the twin scores; one step must EMA them toward the PRE-update
+    # live scores at the configured momentum
+    bumped = jax.tree_util.tree_map(lambda x: x + 0.25, state.scores_m)
+    live0 = jax.tree_util.tree_map(jnp.copy, state.scores)
+    state = state.replace(scores_m=bumped)
+    step = mplug_train.make_train_step(model, cfg, tx, masker=masker)
+    state1, _ = step(jax.tree_util.tree_map(jnp.copy, state), jb)
+    expect = 0.9 * (np.asarray(live0[key]) + 0.25) + 0.1 * np.asarray(live0[key])
+    np.testing.assert_allclose(np.asarray(state1.scores_m[key]), expect,
+                               rtol=1e-6)
+
+    # threshold reset: twin thresholds come from the twin scores — both
+    # sides hit the target zero rate on their OWN score tensors
+    reset = mplug_train.make_threshold_reset(masker)
+    state1 = reset(state1, 0.5)
+    for k in (key,):
+        sc, th = np.asarray(state1.scores[k]), float(state1.thresholds[k])
+        sc_m, th_m = np.asarray(state1.scores_m[k]), float(state1.thresholds_m[k])
+        assert abs((sc <= th).mean() - 0.5) < 0.1
+        assert abs((sc_m <= th_m).mean() - 0.5) < 0.1
+    assert float(state1.thresholds_m[key]) != float(state1.thresholds[key])
