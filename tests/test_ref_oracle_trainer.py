@@ -49,7 +49,8 @@ def setup():
     return config, model, params, specs, jb
 
 
-def _build_torch_trainer(config, params, specs, rates, lmh_params):
+def _build_torch_trainer(config, params, specs, rates, lmh_params,
+                         warmup=0, weight_decay=0.0):
     """The reference stage-2 stack on the tiny model."""
     from masking.maskers_Robust import MaskedLinear1
     from optimization import AdamW
@@ -104,13 +105,13 @@ def _build_torch_trainer(config, params, specs, rates, lmh_params):
 
     # init_optimizer (prune_debias_VQA.py:612-630): one group per param
     groups = [
-        {"params": [v], "name": k, "weight_decay": 0.0,
+        {"params": [v], "name": k, "weight_decay": weight_decay,
          "param_size": v.size(), "nelement": v.nelement(), "lr": LR}
         for k, v in tm.named_parameters() if v.requires_grad
     ]
     opt = AdamW(groups, lr=LR, eps=1e-8)
     sched = get_linear_schedule_with_warmup(
-        opt, num_warmup_steps=0, num_training_steps=TOTAL_STEPS)
+        opt, num_warmup_steps=warmup, num_training_steps=TOTAL_STEPS)
 
     lmh = LearnedMixin(0.36)
     lmh.bias_lin = torch.nn.Linear(config.hidden_size, 1)
@@ -218,3 +219,59 @@ def test_linear_warmup_schedule_oracle():
         # optax schedules evaluate in fp32
         assert abs(float(ours(step)) - ref_lr) <= 1e-6 * lr, step
         sched.step()
+
+
+def test_stage2_trajectory_warmup_decay_accumulate_oracle(setup):
+    """The full optimizer surface in one trajectory: a LIVE warmup ramp
+    (step 1 at lambda(0)=0 — torch LambdaLR reads the pre-increment count),
+    per-group weight decay on the post-update param at the scheduled lr
+    (optimization.py:124-127), and the always-on |grad| accumulator
+    (state['sum'], :100-101) vs our accumulate_abs_grad state."""
+    from crvqa_tpu.train.common import abs_grad_sum
+
+    config, model, params, specs, jb = setup
+    WD, WARMUP = 0.01, 3
+    sparsity = ModalSparsity.from_compression(.3, .3, .3, .7)
+    masker = Masker.create(specs, sparsity, controlled_init="magnitude",
+                           threshold=THRESHOLD)
+    cfg = stage2.Stage2Config(masker_type="normal", learning_rate=LR,
+                              total_steps=TOTAL_STEPS, warmup_steps=WARMUP,
+                              weight_decay=WD, accumulate_abs_grad=True,
+                              hidden_size=config.hidden_size)
+    st, tx = stage2.init_state(model, masker, params, cfg,
+                               jax.random.PRNGKey(1))
+    lmh_params = {
+        "bias_lin": {"kernel": np.zeros((config.hidden_size, 1), np.float32),
+                     "bias": np.zeros((1,), np.float32)},
+        "smooth_param": np.full((1,), -1.0, np.float32)}
+
+    tm, opt, sched, lmh = _build_torch_trainer(
+        config, params, specs, masker.zerorate_dict, lmh_params,
+        warmup=WARMUP, weight_decay=WD)
+    ref_losses = _torch_two_steps(tm, opt, sched, lmh, jb, "normal")
+
+    step = stage2.make_train_step(model, masker, tx, cfg)
+    st, m1 = step(st, jb)
+    st, m2 = step(st, jb)
+    np.testing.assert_allclose([float(m1.loss), float(m2.loss)], ref_losses,
+                               rtol=3e-5)
+
+    probe = specs[3]
+    ref_sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    np.testing.assert_allclose(np.asarray(st.scores[probe.key]).T,
+                               ref_sd[f"{probe.torch_name}.weight_mask"],
+                               rtol=1e-4, atol=1e-7)
+    # the classifier weight saw REAL decay (nonzero lr at step 2)
+    ours_v = np.asarray(st.train_params["classifier"]["main_0"]["v"]).T
+    np.testing.assert_allclose(ours_v, ref_sd["classifier.main.0.weight_v"],
+                               rtol=1e-4, atol=1e-7)
+
+    # |grad| accumulator parity on the probed score tensor
+    sums = abs_grad_sum(st.opt_state)
+    assert sums is not None
+    ref_state = {g["name"]: opt.state[g["params"][0]]
+                 for g in opt.param_groups}
+    ref_sum = ref_state[f"{probe.torch_name}.weight_mask"]["sum"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(sums["scores"][probe.key]).T, ref_sum,
+        rtol=1e-5, atol=1e-8)
