@@ -99,15 +99,40 @@ def install_mplug_package():
     _mod("timm.models.vision_transformer", _cfg=lambda **k: {},
          PatchEmbed=type("PatchEmbed", (torch.nn.Module,), {}))
     _mod("timm.models.registry", register_model=lambda f: f)
-    mplug_dir = f"{REFERENCE}/mPLUG"
-    if mplug_dir not in sys.path:
-        # NOTE: both /root/reference and mPLUG carry a namespace package
-        # named `masking` (and `maskers.py` exists in both). Import mPLUG
-        # masker modules ONLY via load_ref_module aliases; bare
-        # `import masking.<name>` is safe only for the root-unique
-        # `*_Robust` / `global_maskers` / `maskers_visualBert` names.
-        sys.path.insert(0, mplug_dir)
+    add_mplug_path()
     return torch
+
+
+def add_mplug_path():
+    """Put `/root/reference/mPLUG` on sys.path AFTER the root reference dir.
+
+    Both trees carry colliding top-level names: `masking` (namespace-package
+    halves with a `maskers.py` in each) and `utils` (a root PACKAGE with
+    param_parser/versions vs mPLUG's utils.py MODULE). Root-first keeps
+    `utils.param_parser` importable for the root drivers
+    (prune_debias_VQA.py:35) — with mPLUG first, `utils` binds to the
+    module and `import utils.param_parser` raises ModuleNotFoundError for
+    every LATER oracle test loading a root driver. All mPLUG-unique names
+    (models/scheduler/optim/dataset/vqaTools) still resolve; mPLUG masker
+    modules must go through load_ref_module aliases.
+    """
+    mplug_dir = f"{REFERENCE}/mPLUG"
+    if mplug_dir in sys.path:
+        return
+    # root `utils` is a NAMESPACE package (no __init__.py) — a regular
+    # utils.py anywhere on sys.path beats namespace portions regardless of
+    # order, so once mPLUG/utils.py is reachable, a bare `import utils`
+    # binds the module and `import utils.param_parser` (the root drivers,
+    # prune_debias_VQA.py:35) dies with "'utils' is not a package".
+    # Pre-caching the root namespace package + its submodule pins them in
+    # sys.modules first. (mPLUG's own code only does bare `import utils`
+    # for helpers our oracle paths never call.)
+    importlib.import_module("utils.param_parser")
+    try:
+        idx = sys.path.index(REFERENCE) + 1
+    except ValueError:
+        idx = 0
+    sys.path.insert(idx, mplug_dir)
 
 
 def load_ref_module(alias: str, relpath: str):
@@ -119,7 +144,13 @@ def load_ref_module(alias: str, relpath: str):
         alias, f"{REFERENCE}/{relpath}")
     mod = importlib.util.module_from_spec(spec)
     sys.modules[alias] = mod
-    spec.loader.exec_module(mod)
+    try:
+        spec.loader.exec_module(mod)
+    except BaseException:
+        # never cache a half-executed module: the NEXT test's load would
+        # silently get the broken partial (AttributeError far from the cause)
+        sys.modules.pop(alias, None)
+        raise
     return mod
 
 

@@ -35,9 +35,7 @@ def ref_vqa_dataset():
         oss2.__spec__ = importlib.util.spec_from_loader("oss2", loader=None)
         sys.modules["oss2"] = oss2
     # dataset/utils.py imports vqaTools.vqaEval (the official evaluator)
-    mplug_dir = f"{ref_oracle.REFERENCE}/mPLUG"
-    if mplug_dir not in sys.path:
-        sys.path.insert(0, mplug_dir)
+    ref_oracle.add_mplug_path()
     pkg_dir = f"{ref_oracle.REFERENCE}/mPLUG/dataset"
     if "dataset" not in sys.modules or not hasattr(sys.modules["dataset"],
                                                    "__path__"):

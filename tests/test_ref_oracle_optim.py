@@ -22,8 +22,7 @@ from crvqa_tpu.train.mplug_train import decay_mask, two_group_labels
 
 torch = ref_oracle.install()
 
-if "/root/reference/mPLUG" not in sys.path:
-    sys.path.insert(0, "/root/reference/mPLUG")
+ref_oracle.add_mplug_path()
 
 LR1, LR2, WD = 3e-5, 5e-6, 0.02
 

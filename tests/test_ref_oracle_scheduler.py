@@ -20,8 +20,7 @@ from crvqa_tpu.train.mplug_train import timm_epoch_schedule
 
 torch = ref_oracle.install()
 
-if "/root/reference/mPLUG" not in sys.path:
-    sys.path.insert(0, "/root/reference/mPLUG")
+ref_oracle.add_mplug_path()
 
 STEP_SIZE = 100
 
