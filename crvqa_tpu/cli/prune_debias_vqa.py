@@ -82,6 +82,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ZeRO-shard the Adam moments of the mask scores over "
                         "the data mesh axis (parallel/zero.py; the DeepSpeed "
                         "ZeRO-2 analogue the reference applies to mPLUG)")
+    # Structured mask training (masking/structured.py — the redesign of the
+    # reference's per-head/per-matrix templates, maskers_Robust.py:139-178.
+    # The reference's own structured stage-2 is unreachable as shipped:
+    # assert 0==1 at prune_debias_VQA.py:840-842, and its LxmertModel
+    # forward takes no head_mask. Here 'heads' trains one gate per
+    # attention head of every matched module and exports head_mask.npy in
+    # the stage-3 `--head_mask_npy` format.)
+    p.add_argument("--structured_masking", type=str, default="none",
+                   choices=["none", "heads", "layers"])
+    p.add_argument("--structured_masking_types", type=str, default="self",
+                   help="comma-separated module-name substrings to mask "
+                        "structurally (the reference's "
+                        "structured_masking_types); others stay unstructured")
     return p
 
 
@@ -144,11 +157,21 @@ def run(args) -> None:
         dict_parser(args.masking_scheduler_conf)
     sparsity = ModalSparsity.from_compression(
         args.Lang_comp, args.Vis_comp, args.Fus_comp, args.zero_rate)
-    masker = Masker.create(
-        specs, sparsity,
+    masker_kw = dict(
         threshold=args.threshold, init_scale=args.init_scale,
         controlled_init=None if args.controlled_init == "none" else args.controlled_init,
         binarizer_name=args.name_of_masker, global_prune=args.global_prune)
+    if args.structured_masking != "none":
+        from ..masking.structured import StructuredMasker
+
+        masker = StructuredMasker.create(
+            specs, sparsity,
+            structured_masking=args.structured_masking,
+            structured_types=tuple(
+                t for t in args.structured_masking_types.split(",") if t),
+            num_heads=config.num_attention_heads, **masker_kw)
+    else:
+        masker = Masker.create(specs, sparsity, **masker_kw)
 
     train_batches, eval_batches, label2ans, n_train = common.build_data(args, config)
     steps_per_epoch = max(n_train // args.train_batch_size, 1)
@@ -207,8 +230,52 @@ def run(args) -> None:
     def export_best(state):
         state = reset_fn(state)
         masks = jax.device_get(masks_fn(state.scores, state.thresholds))
+        export_masks = dict(masks)
+        if args.structured_masking != "none":
+            # mask.pt carries weight-SHAPED bools; expand the structured
+            # gates onto their kernels (scalar 'layers' gate -> whole
+            # matrix; [H] head gate -> head column blocks, the flax
+            # transpose of reshape_mask_for_sp)
+            from flax import traverse_util
+
+            from ..masking.structured import expand_head_mask_to_kernel
+
+            flat_shapes = {k: v.shape for k, v in
+                           traverse_util.flatten_dict(
+                               state.frozen_params).items()}
+            for spec in masker.specs:
+                m = np.asarray(masks[spec.key])
+                shape = flat_shapes[spec.path]
+                if m.shape == shape:
+                    continue
+                if m.ndim == 0:
+                    export_masks[spec.key] = np.broadcast_to(
+                        m, shape).copy()
+                else:
+                    export_masks[spec.key] = np.asarray(
+                        expand_head_mask_to_kernel(jnp.asarray(m), shape))
         torch_compat.export_mask_pt(
-            os.path.join(args.output_dir, "mask.pt"), masks, masker.specs)
+            os.path.join(args.output_dir, "mask.pt"), export_masks,
+            masker.specs)
+        if args.structured_masking == "heads":
+            # head_mask.npy [l_layers, H] in the stage-3 --head_mask_npy /
+            # reference prune_with_mask format (save_struc_model_mask,
+            # mask_trainer_Robust_VQA.py:933-941). Each of q/k/v carries
+            # its own per-head gates; a head survives physically iff ANY of
+            # its gates survives (pruning it while some projection still
+            # keeps it would change the forward).
+            hm = np.ones((config.l_layers, config.num_attention_heads),
+                         np.float32) * 0.0
+            for spec in masker.specs:
+                marker = ".encoder.layer."
+                if marker not in spec.torch_name or spec.key not in masks:
+                    continue
+                m = np.asarray(masks[spec.key])
+                if m.shape != (config.num_attention_heads,):
+                    continue  # unstructured fallback spec
+                layer = int(spec.torch_name.split(marker)[1].split(".")[0])
+                hm[layer] = np.maximum(hm[layer], m.astype(np.float32))
+            np.save(os.path.join(args.output_dir, "head_mask.npy"), hm)
         torch_compat.export_classifier_bin(
             os.path.join(args.output_dir, "classifier4masker.bin"),
             jax.device_get(state.train_params["classifier"]))

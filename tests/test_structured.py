@@ -1,5 +1,7 @@
 """Structured masking tests: head/layer score shapes, expansion semantics,
 head binarizer global ranking, stage-2 training with a structured masker."""
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -212,3 +214,52 @@ def test_structured_masker_with_stacked_unstructured_specs():
              > thr2["enc/ffn/kernel"][:, None, None])
     per_layer = 1 - np.asarray(masks).reshape(L, -1).mean(axis=1)
     np.testing.assert_allclose(per_layer, 0.5, atol=1 / (D * D) + 1e-6)
+
+
+@pytest.mark.slow
+def test_structured_cli_end_to_end(tmp_path):
+    """Structured pipeline through the PRODUCT surface: stage-2
+    `--structured_masking heads` trains per-head gates (StructuredMasker),
+    exports a weight-shaped mask.pt (gates expanded onto head column
+    blocks) AND head_mask.npy in the stage-3 format; stage-3
+    `--head_mask_npy` physically compacts the language branch and
+    fine-tunes. (The reference's own structured stage-2 is unreachable —
+    assert 0==1 at prune_debias_VQA.py:840-842 and no head_mask input on
+    its model; this is the redesigned live path.)"""
+    import json
+
+    from crvqa_tpu.cli import prune_debias_vqa, run_vqa_stage3
+
+    s2, s3 = tmp_path / "s2", tmp_path / "s3"
+    common_flags = [
+        "--tiny", "--synthetic", "32", "--train_batch_size", "8",
+        "--eval_batch_size", "8", "--num_train_epochs", "1",
+        "--logging_steps", "2", "--save_steps", "100",
+        "--seed", "0", "--do_train", "--do_predict",
+    ]
+    prune_debias_vqa.main([
+        "--output_dir", str(s2), "--Masker_type", "normal",
+        "--structured_masking", "heads",
+        "--zero_rate", "0.7", *common_flags])
+
+    hm = np.load(s2 / "head_mask.npy")
+    assert hm.shape == (2, 4)  # tiny config: l_layers=2, 4 heads
+    assert set(np.unique(hm)) <= {0.0, 1.0}
+
+    # mask.pt entries are weight-shaped with whole head column blocks gated
+    import torch
+
+    mask = torch.load(s2 / "mask.pt", weights_only=False)
+    q0 = mask["lxmert.encoder.layer.0.attention.self.query.weight"].numpy()
+    assert q0.shape == (32, 32)
+    head_rows = q0.reshape(4, 8, 32)  # torch [out, in]: heads on rows
+    per_head = head_rows.reshape(4, -1).mean(axis=1)
+    assert set(np.unique(per_head)) <= {0.0, 1.0}
+
+    run_vqa_stage3.main([
+        "--output_dir", str(s3), "--FT_type", "normal",
+        "--head_mask_npy", str(s2 / "head_mask.npy"),
+        "--label4save", "t", *common_flags])
+    assert (s3 / "test.json").exists()
+    preds = json.load(open(s3 / "test.json"))
+    assert {"question_id", "answer"} == set(preds[0])
