@@ -34,6 +34,14 @@ QUESTIONS = [
     "",  # empty question
     "   ",  # whitespace only
     "naïve café résumé",  # NFD accent stripping
+    # special tokens inside raw text — HF's split_on_tokens layer, incl.
+    # GLUED occurrences (the reference feeds answer+'[SEP]' strings,
+    # vqa_dataset.py:107; OCR splicing inserts spaced ' [SEP] ')
+    "is this a dog? [SEP] stop sign",
+    "yes[SEP]",
+    "don't know[SEP]",
+    "[CLS]prefix and[SEP]glued[PAD]everywhere",
+    "[UNK] in text stays [MASK] special",
 ]
 
 
