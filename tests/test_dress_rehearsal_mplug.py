@@ -115,3 +115,39 @@ def test_mplug_dress_rehearsal(tmp_path):
     # are 2/3/0 here, not bert-base's 101/102/0)
     tok = WordPieceTokenizer(vocab_file=str(tmp_path / "vocab.txt"))
     assert (tok.cls_token_id, tok.sep_token_id, tok.pad_token_id) == (2, 3, 0)
+
+
+@pytest.mark.slow
+def test_mplug_rank_eval_rehearsal(tmp_path):
+    """--eval_method rank through the CLI on the same fabricated contract:
+    real answer_list.json tokenized with the reference's appended-eos rows
+    (vqa_mplug.py:231-232), first-token top-k shortlist + chain-rule
+    re-rank (rank_answer, model_vqa_mplug.py:188-245), answers mapped back
+    to list strings, cal_metric scoring."""
+    import json
+
+    from crvqa_tpu.cli import vqa_mplug
+
+    _fabricate(tmp_path)
+    out = tmp_path / "mplug_rank"
+    vqa_mplug.main([
+        "--output_dir", str(out), "--tiny", "--mode", "mask",
+        "--zero_rate", "0.5",
+        "--train_files", str(tmp_path / "vqa_train.json"),
+        "--test_files", str(tmp_path / "vqa_test.json"),
+        "--vqa_root", str(tmp_path),
+        "--vocab_file", str(tmp_path / "vocab.txt"),
+        "--train_batch_size", "8", "--eval_batch_size", "8",
+        "--num_train_epochs", "1", "--warmup_steps", "1",
+        "--dtype", "float32", "--max_answer_len", "6",
+        "--eval_method", "rank",
+        "--answer_list", str(tmp_path / "answer_list.json"),
+        "--k_test", "3",
+        "--do_predict", "--seed", "0",
+    ])
+    preds = json.load(open(out / "vqa_result.json"))
+    assert sorted(p["question_id"] for p in preds) == list(range(900, 908))
+    # ranked answers are exact answer-list strings, scorable by cal_metric
+    assert all(p["answer"] in ANSWERS for p in preds)
+    score = cal_metric(preds, str(tmp_path / "vqa_test_labels.json"))
+    assert 0.0 <= score <= 1.0
