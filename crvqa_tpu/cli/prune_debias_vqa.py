@@ -264,8 +264,9 @@ def run(args) -> None:
             # its own per-head gates; a head survives physically iff ANY of
             # its gates survives (pruning it while some projection still
             # keeps it would change the forward).
-            hm = np.ones((config.l_layers, config.num_attention_heads),
-                         np.float32) * 0.0
+            hm = np.zeros((config.l_layers, config.num_attention_heads),
+                          np.float32)
+            contributed = 0
             for spec in masker.specs:
                 marker = ".encoder.layer."
                 if marker not in spec.torch_name or spec.key not in masks:
@@ -275,7 +276,16 @@ def run(args) -> None:
                     continue  # unstructured fallback spec
                 layer = int(spec.torch_name.split(marker)[1].split(".")[0])
                 hm[layer] = np.maximum(hm[layer], m.astype(np.float32))
-            np.save(os.path.join(args.output_dir, "head_mask.npy"), hm)
+                contributed += 1
+            if contributed:
+                np.save(os.path.join(args.output_dir, "head_mask.npy"), hm)
+            else:
+                # structured_types matched no language self-attention spec;
+                # an all-zero npy would tell stage-3 to prune EVERY head
+                common.logger.warning(
+                    "structured 'heads' export skipped: no language-layer "
+                    "head gates under structured_masking_types=%s",
+                    args.structured_masking_types)
         torch_compat.export_classifier_bin(
             os.path.join(args.output_dir, "classifier4masker.bin"),
             jax.device_get(state.train_params["classifier"]))
