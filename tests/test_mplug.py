@@ -573,3 +573,41 @@ def test_distill_twin_scores_ema_and_reset(setup):
         assert abs((sc <= th).mean() - 0.5) < 0.1
         assert abs((sc_m <= th_m).mean() - 0.5) < 0.1
     assert float(state1.thresholds_m[key]) != float(state1.thresholds[key])
+
+
+def test_epoch_granular_schedule_under_jit():
+    """The CLI's default epoch-granular LR driving (timm_epoch_schedule)
+    must trace/jit inside the optimizer update — the rehearsals opt into
+    step mode via --warmup_steps, so pin the epoch path here. LR values at
+    probe steps match the eager schedule."""
+    import optax
+
+    cfg = mplug_train.MPlugTrainConfig(
+        lr1=3e-5, lr2=5e-6, weight_decay=0.02,
+        steps_per_epoch=10, epochs=8, warmup_epochs=4,
+        warmup_lr_init=1e-5, sched="cosine", max_grad_norm=1.0)
+    tx = mplug_train.make_two_group_adamw(cfg)
+    params = {"visual_encoder": {"k": jnp.ones((4,))},
+              "body": {"k": jnp.ones((4,))}}
+    state = tx.init(params)
+
+    @jax.jit
+    def one(state, params):
+        g = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, state = tx.update(g, state, params)
+        return state, optax.apply_updates(params, updates)
+
+    for _ in range(3):
+        state, params = one(state, params)
+    assert np.isfinite(np.asarray(params["body"]["k"])).all()
+
+    sched = mplug_train.timm_epoch_schedule(
+        "cosine", 3e-5, 4, 8, 1e-6, 10, warmup_lr_init=1e-5)
+    # epoch 0 runs at warmup_lr_init (10 steps/epoch < 100 per warmup unit);
+    # epoch 5 runs at cosine(t'=4-... e-1+warmup=4+4=8-4=4) of 8
+    assert float(sched(0)) == np.float32(1e-5)
+    assert float(sched(5)) == np.float32(1e-5)
+    import math
+
+    expect = 1e-6 + 0.5 * (3e-5 - 1e-6) * (1 + math.cos(math.pi * 4 / 8))
+    assert abs(float(sched(55)) - expect) < 1e-10
