@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init_scale", type=float, default=2e-2)
     p.add_argument("--global_prune", type=common.str2bool, default=False)
     p.add_argument("--name_of_masker", type=str, default="MaskedLinear1")
+    p.add_argument("--mask_biases", type=common.str2bool, default=False,
+                   help="also mask bias vectors with the module's weight "
+                        "threshold (maskers_Robust.py:360-367; default "
+                        "False in every shipped config)")
     p.add_argument("--training_type", type=str, default="Masker")
     p.add_argument("--masking_scheduler_conf", type=str,
                    default="lambdas_lr=0,sparsity_warmup=automated_gradual_sparsity,"
@@ -158,6 +162,7 @@ def run(args) -> None:
     sparsity = ModalSparsity.from_compression(
         args.Lang_comp, args.Vis_comp, args.Fus_comp, args.zero_rate)
     masker_kw = dict(
+        mask_biases=args.mask_biases,
         threshold=args.threshold, init_scale=args.init_scale,
         controlled_init=None if args.controlled_init == "none" else args.controlled_init,
         binarizer_name=args.name_of_masker, global_prune=args.global_prune)

@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=1e-2)
     p.add_argument("--init_scale", type=float, default=2e-2)
     p.add_argument("--name_of_masker", type=str, default="MaskedLinear1")
+    p.add_argument("--mask_biases", type=common.str2bool, default=False,
+                   help="also mask bias vectors (maskers_visualBert "
+                        "mask_biases; default False in every shipped config)")
     return p
 
 
@@ -83,6 +86,7 @@ def main(argv=None) -> None:
     specs = visualbert_mask_specs(config.num_hidden_layers)
     masker = Masker.create(
         specs, ModalSparsity.uniform(args.zero_rate),
+        mask_biases=args.mask_biases,
         threshold=args.threshold, init_scale=args.init_scale,
         controlled_init=args.controlled_init,
         binarizer_name=args.name_of_masker)

@@ -43,6 +43,10 @@ def _bthr(spec: MaskSpec, thr: jax.Array, ndim: int) -> jax.Array:
     return thr
 
 
+def bias_key(spec: MaskSpec) -> str:
+    return "/".join(spec.path[:-1] + ("bias",))
+
+
 def _per_layer_kth(x: jax.Array, k) -> jax.Array:
     """Batched exact kth-smallest over the leading layer axis: one sort of
     [L, n] instead of L separate sorts (the scan-over-layers win). `k` may be
@@ -73,6 +77,13 @@ class Masker:
     controlled_init: Optional[str] = "magnitude"
     binarizer_name: str = "MaskedLinear1"
     global_prune: bool = False
+    # also mask bias vectors (`mask_biases`, maskers_Robust.py:109,365-367 —
+    # default False in every shipped config). Bias scores live under
+    # '<spec dir>/bias' keys; the reference binarizes the bias mask with the
+    # MODULE's (weight) threshold — reset_threshold never touches a bias —
+    # so no separate bias thresholds exist here either. Embedding specs have
+    # no bias (the reference would crash there: controlled_init(None)).
+    mask_biases: bool = False
 
     @classmethod
     def create(cls, specs: Sequence[MaskSpec], zerorate: dict[str, float] | Any,
@@ -199,7 +210,62 @@ class Masker:
                 raise NotImplementedError(
                     f"controlled_init={self.controlled_init!r} not supported")
             thresholds[key] = jnp.asarray(thr, jnp.float32)
+        if self.mask_biases:
+            # the reference runs the SAME controlled_init on each module's
+            # bias vector (maskers_Robust.py:193-199); embeddings carry no
+            # bias (its mask_biases path would crash there) and the scan
+            # variant is unsupported with bias masking
+            rng_b = jax.random.fold_in(rng, 17)
+            for spec in self.specs:
+                if spec.is_embedding:
+                    continue
+                if spec.stacked:
+                    raise NotImplementedError(
+                        "mask_biases with stacked (scan-variant) specs")
+                parent = _get_leaf(params, spec.path[:-1])
+                if "bias" not in parent:
+                    continue
+                rng_b, sub = jax.random.split(rng_b)
+                scores[bias_key(spec)] = self._controlled_scores(
+                    parent["bias"], self.spec_sparsity(spec), sub,
+                    global_thr_value)
         return scores, thresholds
+
+    def _controlled_scores(self, x: jax.Array, sp: float, sub: jax.Array,
+                           global_thr_value=None) -> jax.Array:
+        """controlled_init on one tensor (the bias-mask path; mirrors the
+        unstacked weight branches above / maskers_Robust.py:212-280)."""
+        thr = self.threshold
+        n = x.size
+        k = max(int(n * sp), 1)
+        if self.controlled_init is None:
+            hi = (self.init_scale + thr) / sp - self.init_scale
+            return jax.random.uniform(sub, x.shape, jnp.float32,
+                                      -self.init_scale, hi)
+        if self.controlled_init == "magnitude":
+            kth = kth_smallest(jnp.abs(x), k)
+            return jnp.where(jnp.abs(x) > kth, 2.0 * thr, 0.0
+                             ).astype(jnp.float32)
+        if self.controlled_init == "magnitude_global":
+            return jnp.where(jnp.abs(x) > global_thr_value, 2.0 * thr, 0.0
+                             ).astype(jnp.float32)
+        if self.controlled_init == "magnitude_soft":
+            # NOTE: the module threshold stays the kth of the WEIGHT scores
+            return jnp.abs(x).astype(jnp.float32)
+        if self.controlled_init == "uniform":
+            perm = jax.random.permutation(sub, n)
+            return jnp.where(perm < k, 0.0, 2.0 * thr
+                             ).reshape(x.shape).astype(jnp.float32)
+        if self.controlled_init == "double_uniform":
+            sub1, sub2, sub3 = jax.random.split(sub, 3)
+            idx = jax.random.randint(sub1, (k,), 0, n)
+            keep = jnp.ones((n,), bool).at[idx].set(False)
+            above = jax.random.uniform(sub2, (n,), jnp.float32,
+                                       1.1 * thr, 1.5 * thr)
+            below = jax.random.uniform(sub3, (n,), jnp.float32,
+                                       0.5 * thr, 0.9 * thr)
+            return jnp.where(keep, above, below).reshape(x.shape)
+        raise NotImplementedError(self.controlled_init)
 
     # ------------------------------------------------------------------- apply
     def apply_masks(self, params: PyTree, scores: Scores, thresholds: Thresholds,
@@ -222,6 +288,17 @@ class Masker:
             t = _bthr(spec, thresholds[key], w.ndim)
             m = binarize(scores[key], t).astype(w.dtype)
             flat[spec.path] = w * m
+            if self.mask_biases:
+                bk = bias_key(spec)
+                bpath = spec.path[:-1] + ("bias",)
+                if bk in scores and bpath in flat:
+                    # the bias mask binarizes with the MODULE's (weight)
+                    # threshold — get_masks reuses self.threshold for both
+                    # (maskers_Robust.py:360-367) and reset_threshold only
+                    # ever re-derives it from the weight scores
+                    b = flat[bpath]
+                    mb = binarize(scores[bk], thresholds[key]).astype(b.dtype)
+                    flat[bpath] = b * mb
         return traverse_util.unflatten_dict(flat)
 
     # --------------------------------------------------------------- threshold

@@ -241,3 +241,42 @@ def test_masked_linear2_scores_stay_clamped():
     # by test_bernoulli_binarizer_trains_and_evals's step path; here assert
     # the masker name gates it
     assert masker.binarizer_name == "MaskedLinear2"
+
+
+def test_mask_biases_grads_flow_to_bias_scores():
+    """mask_biases=True: bias leaves are masked and the STE routes grads to
+    the '<dir>/bias' score entries; default False leaves biases untouched."""
+    from crvqa_tpu.masking.masker import bias_key
+    from crvqa_tpu.masking.spec import MaskSpec
+
+    spec = MaskSpec(path=("m", "a", "kernel"), torch_name="m.a",
+                    weight_type="K", modality="Lang")
+    rng = np.random.default_rng(0)
+    params = {"m": {"a": {"kernel": jnp.asarray(
+        rng.normal(size=(6, 5)).astype(np.float32)),
+        "bias": jnp.asarray(rng.normal(size=(5,)).astype(np.float32))}}}
+
+    masker = Masker.create([spec], {"Lang": 0.5},
+                           controlled_init="magnitude", mask_biases=True)
+    scores, thresholds = masker.init(params)
+    bk = bias_key(spec)
+    assert bk in scores and scores[bk].shape == (5,)
+
+    def loss(scores):
+        masked = masker.apply_masks(params, scores, thresholds)
+        return jnp.sum(masked["m"]["a"]["bias"] ** 2)
+
+    g = jax.grad(loss)(scores)
+    assert float(jnp.abs(g[bk]).sum()) > 0.0  # STE reaches bias scores
+    # and the masked bias is partially zeroed
+    masked = masker.apply_masks(params, scores, thresholds)
+    zb = np.asarray(masked["m"]["a"]["bias"])
+    assert (zb == 0).any() and (zb != 0).any()
+
+    # default: no bias entries, bias untouched
+    m2 = Masker.create([spec], {"Lang": 0.5}, controlled_init="magnitude")
+    s2, t2 = m2.init(params)
+    assert bk not in s2
+    masked2 = m2.apply_masks(params, s2, t2)
+    np.testing.assert_array_equal(np.asarray(masked2["m"]["a"]["bias"]),
+                                  np.asarray(params["m"]["a"]["bias"]))

@@ -174,3 +174,61 @@ def test_mplug_magnitude_soft_oracle():
                              ml.threshold).numpy().astype(bool)
     ours = np.asarray(masker.binary_masks(scores, thresholds)[spec.key])
     np.testing.assert_array_equal(ours.T, ref_mask)
+
+
+def test_mask_biases_forward_oracle():
+    """`mask_biases=True` vs the reference MaskedLinear1: the bias mask
+    gets the SAME controlled magnitude init as the weight's (on |b|) and
+    binarizes with the MODULE's weight threshold
+    (maskers_Robust.py:193-199, 360-367)."""
+    from masking.maskers_Robust import MaskedLinear1
+
+    from crvqa_tpu.masking import Masker
+    from crvqa_tpu.masking.masker import bias_key
+    from crvqa_tpu.masking.spec import MaskSpec
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(10, 12)).astype(np.float32)
+    b = rng.normal(size=(12,)).astype(np.float32)
+    x = rng.normal(size=(3, 10)).astype(np.float32)
+    sp = 0.4
+
+    ml = MaskedLinear1(
+        weight=torch.nn.Parameter(torch.from_numpy(
+            np.ascontiguousarray(w.T))),
+        bias=torch.nn.Parameter(torch.from_numpy(b.copy())),
+        mask_biases=True,
+        name="encoder.layer.0.attention.output.dense",
+        padding_idx=None,
+        threshold=torch.tensor(1e-2),
+        init_sparsity=sp,
+        init_scale=2e-2,
+        controlled_init="magnitude",
+        structured_masking_info={
+            "ptl_config": None, "structured_masking": None,
+            "structured_masking_types": None, "force_masking": "bert",
+        },
+    )
+    with torch.no_grad():
+        ref_y = ml(torch.from_numpy(x)).numpy()
+
+    spec = MaskSpec(path=("lin", "kernel"), torch_name="lin",
+                    weight_type="AO", modality="Uni")
+    masker = Masker.create([spec], {"Uni": sp}, controlled_init="magnitude",
+                           mask_biases=True)
+    params = {"lin": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}}
+    scores, thresholds = masker.init(params)
+    bk = bias_key(spec)
+    assert bk in scores
+
+    # bias-mask init parity (deterministic for 'magnitude')
+    np.testing.assert_allclose(np.asarray(scores[bk]),
+                               ml.bias_mask.detach().numpy(), rtol=1e-7)
+
+    masked = masker.apply_masks(params, scores, thresholds)
+    ours_y = np.asarray(jnp.asarray(x) @ masked["lin"]["kernel"]
+                        + masked["lin"]["bias"])
+    np.testing.assert_allclose(ours_y, ref_y, rtol=1e-6, atol=1e-6)
+    # the masked bias really has zeros at ~the target rate
+    zb = float((np.asarray(masked["lin"]["bias"]) == 0).mean())
+    assert abs(zb - sp) < 0.2
