@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=1e-2)
     p.add_argument("--init_scale", type=float, default=2e-2)
     p.add_argument("--controlled_init", type=str, default="magnitude_soft")
+    p.add_argument("--mask_biases", type=common.str2bool, default=False,
+                   help="also mask bias vectors (mask_config.py:mask_biases; "
+                        "default False in the shipped config)")
     p.add_argument("--lr1", type=float, default=3e-5)
     p.add_argument("--lr2", type=float, default=5e-6)
     p.add_argument("--min_lr", type=float, default=1e-6)
@@ -250,6 +253,7 @@ def main(argv=None) -> None:
             mask_classifier=args.mask_classifier)
         masker = Masker.create(
             specs, ModalSparsity.uniform(args.zero_rate),
+            mask_biases=args.mask_biases,
             threshold=args.threshold, init_scale=args.init_scale,
             controlled_init=args.controlled_init)
         scheduler = MaskerScheduler(

@@ -83,6 +83,9 @@ class Masker:
     # MODULE's (weight) threshold — reset_threshold never touches a bias —
     # so no separate bias thresholds exist here either. Embedding specs have
     # no bias (the reference would crash there: controlled_init(None)).
+    # With magnitude inits on FRESH (zero-initialized) biases every bias
+    # gate starts dropped — same as the reference; meaningful bias masks
+    # need a fine-tuned checkpoint's non-zero biases.
     mask_biases: bool = False
 
     @classmethod

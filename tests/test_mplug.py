@@ -611,3 +611,45 @@ def test_epoch_granular_schedule_under_jit():
 
     expect = 1e-6 + 0.5 * (3e-5 - 1e-6) * (1 + math.cos(math.pi * 4 / 8))
     assert abs(float(sched(55)) - expect) < 1e-10
+
+
+def test_mplug_mask_biases_trains(setup):
+    """mask_biases=True in the mPLUG mask step: bias-score entries exist,
+    are binarized with the module's weight threshold, and receive updates
+    through the jitted step."""
+    from crvqa_tpu.masking.masker import bias_key
+
+    config, model, params, jb = setup
+    c = config.bert
+    specs = mplug_mask_specs(
+        vit_layers=config.vit.layers, text_encoder_layers=c.text_encoder_layers,
+        fusion_layers=c.fusion_layers, decoder_layers=c.text_decode_layers,
+        stride_layer=c.stride_layer)
+    masker = Masker.create(specs, ModalSparsity.uniform(0.5),
+                           controlled_init="magnitude_soft", mask_biases=True)
+    # fresh flax biases are ZERO-initialized -> |b| scores would be all-zero
+    # masks with vanishing STE grads; give them realistic values
+    kb = jax.random.PRNGKey(9)
+
+    def _bump(path, x):
+        if path[-1].key == "bias":
+            return jax.random.normal(
+                jax.random.fold_in(kb, hash(path) % (2**31)), x.shape) * 0.05
+        return x
+
+    params = jax.tree_util.tree_map_with_path(_bump, params)
+    cfg = mplug_train.MPlugTrainConfig(mode="mask", total_steps=10,
+                                       warmup_steps=1)
+    state, tx = mplug_train.init_state(model, params, cfg,
+                                       jax.random.PRNGKey(3), masker=masker)
+    bk = bias_key(specs[2])  # a text-tower linear
+    assert bk in state.scores
+    before = np.asarray(state.scores[bk]).copy()
+
+    step = mplug_train.make_train_step(model, cfg, tx, masker=masker)
+    # two steps: the warmup schedule runs the first update at lr 0
+    state, loss = step(state, jb)
+    state, loss = step(state, jb)
+    assert np.isfinite(float(loss))
+    after = np.asarray(state.scores[bk])
+    assert not np.array_equal(before, after)  # bias scores actually train
