@@ -89,6 +89,13 @@ class StructuredMasker(Masker):
 
     def init(self, params: PyTree, rng: Optional[jax.Array] = None
              ) -> tuple[Scores, Thresholds]:
+        if self.mask_biases:
+            # the structured apply path gates whole heads/matrices of the
+            # KERNELS; silently training bias scores it never applies would
+            # be a trap (the reference's structured templates share one [H]
+            # template across weight and bias — unreachable dead code)
+            raise NotImplementedError(
+                "mask_biases with structured masking is not supported")
         if rng is None:
             rng = jax.random.PRNGKey(0)
         # independent streams: the delegated unstructured init consumes its
