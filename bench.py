@@ -175,6 +175,27 @@ def measure(backbone_dtype: str, window: int = 64, windows: int = 4,
     }
 
 
+def probe_backend(timeout_s: int = 240) -> None:
+    """Fail fast if the axon tunnel is down (observed r3: backend init can
+    hang for many minutes and then raise UNAVAILABLE — better to exit with a
+    clear error than burn the driver's bench window)."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print("bench.py: TPU backend init timed out after "
+              f"{timeout_s}s — axon tunnel down? (CLAUDE.md quirks)",
+              file=sys.stderr)
+        sys.exit(2)
+    except subprocess.CalledProcessError as e:
+        print("bench.py: TPU backend init failed:\n"
+              + e.stderr.decode(errors="replace")[-500:], file=sys.stderr)
+        sys.exit(2)
+
+
 def main() -> None:
     import argparse
 
@@ -183,6 +204,7 @@ def main() -> None:
                     help="measure the bf16-residual / bf16-moment ladder "
                          "instead of the two headline configs")
     args, _ = ap.parse_known_args()
+    probe_backend()
     if args.sweep:
         for r in [
             measure("bfloat16"),
