@@ -39,6 +39,9 @@ def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
     from crvqa_tpu.train import mplug_train
 
     layers.FUSED_ATTENTION = True
+    # --midseq: fuse the 577-patch ViT/fusion attention too — beam eval is
+    # encode-dominated, so this is where the midseq kernel should pay most
+    layers.MIDSEQ_ATTENTION = "--midseq" in sys.argv
     config = MPlugConfig(bert=MPlugBertConfig(dtype=jnp.bfloat16),
                          vit=ViTConfig(dtype=jnp.bfloat16))
     model = MPlug(config)
@@ -72,7 +75,8 @@ def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
 def main() -> None:
     ex_s = run()
     print(f"# beam-5 masked eval: {ex_s:.1f} ex/s", file=sys.stderr)
-    print(json.dumps({"mplug_beam5_eval_ex_s": round(ex_s, 1)}))
+    print(json.dumps({"mplug_beam5_eval_ex_s": round(ex_s, 1),
+                      "midseq": "--midseq" in sys.argv}))
 
 
 if __name__ == "__main__":

@@ -48,7 +48,7 @@ def _batch(config, b, a=5, ql=25, al=8, seed=0):
 
 
 def run(batch_size: int, steps: int = 8, dtype="bfloat16",
-        remat: bool = False) -> float:
+        remat: bool = False, midseq: bool = False) -> float:
     from crvqa_tpu.masking import Masker, ModalSparsity
     from crvqa_tpu.masking.mplug_specs import mplug_mask_specs
     from crvqa_tpu.models import layers
@@ -59,6 +59,10 @@ def run(batch_size: int, steps: int = 8, dtype="bfloat16",
     from crvqa_tpu.train import mplug_train
 
     layers.FUSED_ATTENTION = True  # text towers fuse; 577-patch xattn -> XLA
+    # --midseq: the mid-sequence kernel takes the 577-patch contexts too
+    # (ViT self-attention + fusion cross/joint attention,
+    # ops/midseq_attention.py) instead of the XLA fallback
+    layers.MIDSEQ_ATTENTION = midseq
     dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     # the cli/vqa_mplug.py full-size config (reference runs DeepSpeed bf16
     # with partition_activations; --remat is its analogue here)
@@ -94,10 +98,12 @@ def run(batch_size: int, steps: int = 8, dtype="bfloat16",
 def main() -> None:
     dtype = "float32" if "--fp32" in sys.argv else "bfloat16"
     remat = "--remat" in sys.argv
-    results = {"dtype": dtype, "remat": remat}
+    midseq = "--midseq" in sys.argv
+    results = {"dtype": dtype, "remat": remat, "midseq": midseq}
     for bs in (32, 64) if remat else (8, 16, 32):
         try:
-            results[str(bs)] = round(run(bs, dtype=dtype, remat=remat), 2)
+            results[str(bs)] = round(
+                run(bs, dtype=dtype, remat=remat, midseq=midseq), 2)
             print(f"# bs {bs}: {results[str(bs)]} ex/s", file=sys.stderr)
         except Exception as e:  # OOM at the top of the sweep is information
             results[str(bs)] = f"failed: {type(e).__name__}"

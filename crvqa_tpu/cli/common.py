@@ -69,6 +69,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "(ops/fused_attention.py): measured +8.8%% stage-2 "
                         "throughput on v5e (3260 vs 2997 ex/s). Runs "
                         "interpreted off-TPU (tests)")
+    p.add_argument("--midseq_attention", type=str2bool, default=False,
+                   help="mid-sequence attention kernel "
+                        "(ops/midseq_attention.py): VMEM-fused softmax for "
+                        "the 577-patch image attention contexts the "
+                        "short-seq kernel rejects (mPLUG ViT/fusion). Runs "
+                        "interpreted off-TPU (tests)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="run on N synthetic examples instead of real data")
     p.add_argument("--resume_from", type=str, default=None)
@@ -95,6 +101,12 @@ def apply_prng_impl(args: argparse.Namespace) -> None:
         layers.FUSED_ATTENTION = True
         # Mosaic kernels need a TPU; anywhere else run interpreted so the
         # flag stays testable on the virtual CPU mesh
+        layers.FUSED_ATTENTION_INTERPRET = (
+            jax.devices()[0].platform != "tpu")
+    if getattr(args, "midseq_attention", False):
+        from ..models import layers
+
+        layers.MIDSEQ_ATTENTION = True
         layers.FUSED_ATTENTION_INTERPRET = (
             jax.devices()[0].platform != "tpu")
 

@@ -65,6 +65,14 @@ ATTN_LAYOUT = "bqhd"
 FUSED_ATTENTION = False
 FUSED_ATTENTION_INTERPRET = False
 
+# Mid-sequence attention kernel (ops/midseq_attention.py): per-(batch,
+# head-group) full-row softmax in VMEM for the contexts the short-seq
+# kernel's H*S <= 1024 guard rejects — mPLUG's 577-patch image attention
+# (ViT self-attention, fusion cross-/joint attention). Keeps the [B,H,S,S]
+# probability tensor out of HBM entirely. Trace-time switch, same interpret
+# convention as FUSED_ATTENTION.
+MIDSEQ_ATTENTION = False
+
 # Bidirectional cross-attention batching (LxmertXLayer): project q/k/v and
 # the output dense ONCE over the [lang; visn] concatenation instead of two
 # calls of the shared `visual_attention` module — same math and params,
@@ -207,6 +215,26 @@ class MultiHeadAttention(nn.Module):
             return fused_attention_seeded(
                 q, k, v, bias2d, seed, self.num_heads, self.head_size,
                 rate, FUSED_ATTENTION_INTERPRET)
+
+        if MIDSEQ_ATTENTION and bias_keywise:
+            from ..ops import midseq_attention as ma
+
+            if ma.supported(q.shape[0], q.shape[1], k.shape[1],
+                            self.num_heads, self.head_size,
+                            jnp.dtype(q.dtype).itemsize):
+                if attention_bias is None:
+                    bias2d = jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
+                else:
+                    bias2d = attention_bias.astype(jnp.float32)[:, 0, 0, :]
+                rate = 0.0 if deterministic else self.dropout_rate
+                if rate > 0.0:
+                    key_data = jax.random.key_data(self.make_rng("dropout"))
+                    seed = key_data.ravel()[:1].astype(jnp.int32)
+                else:
+                    seed = jnp.zeros((1,), jnp.int32)
+                return ma.midseq_attention_seeded(
+                    q, k, v, bias2d, seed, self.num_heads, self.head_size,
+                    rate, FUSED_ATTENTION_INTERPRET)
 
         return self._attend_heads(self._split_heads(q), self._split_heads(k),
                                   self._split_heads(v), attention_bias,

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .. import layers as _layers
+
 
 def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
@@ -69,15 +71,42 @@ class ResidualAttentionBlock(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = c.width // c.heads
 
-        def split_heads(t):
-            return t.reshape(t.shape[0], t.shape[1], c.heads, hd)
+        use_midseq = False
+        if _layers.MIDSEQ_ATTENTION:
+            from ...ops import midseq_attention as _ma
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", split_heads(q), split_heads(k))
-        scores = scores.astype(jnp.float32) / jnp.sqrt(hd).astype(jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1).astype(c.dtype)
-        probs = nn.Dropout(c.attn_dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, split_heads(v))
-        ctx = ctx.reshape(x.shape[0], x.shape[1], c.width)
+            # the 577-token self-attention is the dominant mPLUG cost; the
+            # kernel keeps each head's [S, S] probs in VMEM instead of the
+            # [B, H, S, S] HBM tensor XLA materializes per layer
+            use_midseq = _ma.supported(
+                x.shape[0], x.shape[1], x.shape[1], c.heads, hd,
+                jnp.dtype(c.dtype).itemsize)
+        if use_midseq:
+            from ...ops.midseq_attention import midseq_attention_seeded
+
+            rate = 0.0 if deterministic else c.attn_dropout
+            if rate > 0.0:
+                key_data = jax.random.key_data(self.make_rng("dropout"))
+                seed = key_data.ravel()[:1].astype(jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            bias = jnp.zeros((x.shape[0], x.shape[1]), jnp.float32)
+            ctx = midseq_attention_seeded(
+                q, k, v, bias, seed, c.heads, hd, rate,
+                _layers.FUSED_ATTENTION_INTERPRET)
+        else:
+            def split_heads(t):
+                return t.reshape(t.shape[0], t.shape[1], c.heads, hd)
+
+            scores = jnp.einsum("bqhd,bkhd->bhqk",
+                                split_heads(q), split_heads(k))
+            scores = (scores.astype(jnp.float32)
+                      / jnp.sqrt(hd).astype(jnp.float32))
+            probs = jax.nn.softmax(scores, axis=-1).astype(c.dtype)
+            probs = nn.Dropout(c.attn_dropout)(probs,
+                                               deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, split_heads(v))
+            ctx = ctx.reshape(x.shape[0], x.shape[1], c.width)
         attn_out = nn.Dense(c.width, dtype=c.dtype, name="attn_out_proj")(ctx)
         x = x + attn_out
 

@@ -69,9 +69,11 @@ def _keep_mask(shape, rate: float, seed, b, h: int):
     mode (pltpu.prng_* are TPU-compiled-only)."""
     i = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     j = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    # h may be traced (midseq_attention keys on a program-id-derived head
+    # index); for static ints asarray(h)*C == uint32(h*C) mod 2^32 exactly
     key = (seed.astype(jnp.uint32) * jnp.uint32(2654435761)
            + jnp.asarray(b, jnp.uint32) * jnp.uint32(97531)
-           + jnp.uint32(h * 1000003))
+           + jnp.asarray(h, jnp.uint32) * jnp.uint32(1000003))
     x = i * jnp.uint32(374761393) + j * jnp.uint32(668265263) + key
     x = x ^ (x >> 13)
     x = x * jnp.uint32(1274126177)
