@@ -186,14 +186,29 @@ def probe_backend(timeout_s: int = 240) -> None:
             [sys.executable, "-c", "import jax; jax.devices()"],
             timeout=timeout_s, check=True, capture_output=True)
     except subprocess.TimeoutExpired:
-        print("bench.py: TPU backend init timed out after "
-              f"{timeout_s}s — axon tunnel down? (CLAUDE.md quirks)",
-              file=sys.stderr)
-        sys.exit(2)
+        _emit_unavailable(f"TPU backend init timed out after {timeout_s}s "
+                          "— axon tunnel down (CLAUDE.md quirks)")
     except subprocess.CalledProcessError as e:
-        print("bench.py: TPU backend init failed:\n"
-              + e.stderr.decode(errors="replace")[-500:], file=sys.stderr)
-        sys.exit(2)
+        _emit_unavailable("TPU backend init failed: "
+                          + e.stderr.decode(errors="replace")[-300:])
+
+
+def _emit_unavailable(reason: str) -> None:
+    """Still print ONE parseable JSON line so the driver's bench record
+    shows WHY there is no fresh number (value null — never a stale value in
+    the value field). last_measured carries the most recent on-chip result
+    for context (STATUS.md round-3 perf section)."""
+    print(f"bench.py: {reason}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "lxmert_stage2_mask_train_examples_per_sec_per_chip",
+        "value": None, "unit": "examples/sec", "vs_baseline": None,
+        "error": reason.splitlines()[0],
+        "last_measured": {"value": 3576.5, "mfu": 0.466,
+                          "when": "round 3, earlier in the round",
+                          "config": "bf16 backbone + bf16 Adam moments, "
+                                    "window 64, bs 256"},
+    }))
+    sys.exit(2)
 
 
 def main() -> None:
