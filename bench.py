@@ -193,20 +193,29 @@ def probe_backend(timeout_s: int = 240) -> None:
                           + e.stderr.decode(errors="replace")[-300:])
 
 
+_LAST_PATH = "/root/repo/.bench_last.json"
+
+
 def _emit_unavailable(reason: str) -> None:
     """Still print ONE parseable JSON line so the driver's bench record
     shows WHY there is no fresh number (value null — never a stale value in
     the value field). last_measured carries the most recent on-chip result
-    for context (STATUS.md round-3 perf section)."""
+    for context: read from the record the last successful run wrote, with
+    the round-3 measurement (STATUS.md perf section) as the fallback."""
     print(f"bench.py: {reason}", file=sys.stderr)
+    try:
+        with open(_LAST_PATH) as f:
+            last = json.load(f)
+    except (OSError, ValueError):
+        last = {"value": 3576.5, "mfu": 0.466,
+                "when": "round 3 (STATUS.md perf section)",
+                "config": "bf16 backbone + bf16 Adam moments, "
+                          "window 64, bs 256"}
     print(json.dumps({
         "metric": "lxmert_stage2_mask_train_examples_per_sec_per_chip",
         "value": None, "unit": "examples/sec", "vs_baseline": None,
         "error": reason.splitlines()[0],
-        "last_measured": {"value": 3576.5, "mfu": 0.466,
-                          "when": "round 3, earlier in the round",
-                          "config": "bf16 backbone + bf16 Adam moments, "
-                                    "window 64, bs 256"},
+        "last_measured": last,
     }))
     sys.exit(2)
 
@@ -242,7 +251,7 @@ def main() -> None:
     best = max(results, key=lambda r: r["examples_per_sec"])
     other = min(results, key=lambda r: r["examples_per_sec"])
     fpe = best.get("flops_per_example")
-    print(json.dumps({
+    record = {
         "metric": "lxmert_stage2_mask_train_examples_per_sec_per_chip",
         "value": round(best["examples_per_sec"], 2),
         "unit": "examples/sec",
@@ -258,7 +267,13 @@ def main() -> None:
                 "examples_per_sec": round(other["examples_per_sec"], 2),
                 "mfu": other["mfu"]},
         "device_kind": best["device_kind"],
-    }))
+    }
+    print(json.dumps(record))
+    try:  # feeds _emit_unavailable's last_measured on a later outage
+        with open(_LAST_PATH, "w") as f:
+            json.dump({**record, "measured_at": time.strftime("%F %T")}, f)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -29,7 +29,7 @@ from bench_mplug import _batch  # noqa: E402  (same synthetic contract)
 
 
 def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
-        iters: int = 8) -> float:
+        iters: int = 8, midseq: bool = False) -> float:
     from crvqa_tpu.masking import Masker, ModalSparsity
     from crvqa_tpu.masking.mplug_specs import mplug_mask_specs
     from crvqa_tpu.models import layers
@@ -39,9 +39,9 @@ def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
     from crvqa_tpu.train import mplug_train
 
     layers.FUSED_ATTENTION = True
-    # --midseq: fuse the 577-patch ViT/fusion attention too — beam eval is
+    # midseq: fuse the 577-patch ViT/fusion attention too — beam eval is
     # encode-dominated, so this is where the midseq kernel should pay most
-    layers.MIDSEQ_ATTENTION = "--midseq" in sys.argv
+    layers.MIDSEQ_ATTENTION = midseq
     config = MPlugConfig(bert=MPlugBertConfig(dtype=jnp.bfloat16),
                          vit=ViTConfig(dtype=jnp.bfloat16))
     model = MPlug(config)
@@ -73,10 +73,11 @@ def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
 
 
 def main() -> None:
-    ex_s = run()
+    midseq = "--midseq" in sys.argv
+    ex_s = run(midseq=midseq)
     print(f"# beam-5 masked eval: {ex_s:.1f} ex/s", file=sys.stderr)
     print(json.dumps({"mplug_beam5_eval_ex_s": round(ex_s, 1),
-                      "midseq": "--midseq" in sys.argv}))
+                      "midseq": midseq}))
 
 
 if __name__ == "__main__":

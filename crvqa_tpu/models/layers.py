@@ -73,6 +73,29 @@ FUSED_ATTENTION_INTERPRET = False
 # convention as FUSED_ATTENTION.
 MIDSEQ_ATTENTION = False
 
+
+def kernel_bias_and_seed(module, attention_bias, q, k, deterministic,
+                         rate=None):
+    """The shared kernel-input contract for the fused/midseq attention
+    kernels: squeeze a key-wise [B, 1, 1, Sk] additive bias (or None) to
+    the [B, Sk] fp32 the kernels consume, and derive the int32[1]
+    counter-hash dropout seed from the module's 'dropout' rng stream (only
+    drawn when dropout is live, so deterministic traces stay rng-free).
+    Returns (bias2d, seed, rate)."""
+    if attention_bias is None:
+        bias2d = jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
+    else:  # [B, 1, 1, Sk] additive -> [B, Sk]
+        bias2d = attention_bias.astype(jnp.float32)[:, 0, 0, :]
+    if rate is None:
+        rate = module.dropout_rate
+    rate = 0.0 if deterministic else rate
+    if rate > 0.0:
+        key_data = jax.random.key_data(module.make_rng("dropout"))
+        seed = key_data.ravel()[:1].astype(jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    return bias2d, seed, rate
+
 # Bidirectional cross-attention batching (LxmertXLayer): project q/k/v and
 # the output dense ONCE over the [lang; visn] concatenation instead of two
 # calls of the shared `visual_attention` module — same math and params,
@@ -179,7 +202,8 @@ class MultiHeadAttention(nn.Module):
         kernel builds [H*Sk, H*Sk] / [H*Sk, H*D] masks in VMEM — only
         profitable (and only safe) for short contexts. LXMERT (H*Sk <= 432)
         and mPLUG text towers (<= 960) qualify; mPLUG's image
-        cross-attention (Sk = 577 patches) falls back to XLA.
+        cross-attention (Sk = 577 patches) goes to the mid-length kernel
+        when enabled, else XLA.
 
         The kernel consumes a KEY-wise bias [B, Sk]: only query-independent
         biases (None or broadcast [B, 1, 1, Sk] padding masks) are eligible
@@ -193,45 +217,32 @@ class MultiHeadAttention(nn.Module):
                         or (attention_bias.ndim == 4
                             and attention_bias.shape[1] == 1
                             and attention_bias.shape[2] == 1))
-        fits = (k.shape[1] * self.num_heads <= 1024
-                and q.shape[1] * self.num_heads <= 1024
-                and bias_keywise
+        short = (k.shape[1] * self.num_heads <= 1024
+                 and q.shape[1] * self.num_heads <= 1024)
+        fits = (short and bias_keywise
                 and fa.supported(q.shape[0], q.shape[1], k.shape[1],
                                  self.num_heads, self.head_size,
                                  jnp.dtype(q.dtype).itemsize))
         if FUSED_ATTENTION and fits:
             from ..ops.fused_attention import fused_attention_seeded
 
-            if attention_bias is None:
-                bias2d = jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
-            else:  # [B, 1, 1, Sk] additive -> [B, Sk]
-                bias2d = attention_bias.astype(jnp.float32)[:, 0, 0, :]
-            rate = 0.0 if deterministic else self.dropout_rate
-            if rate > 0.0:
-                key_data = jax.random.key_data(self.make_rng("dropout"))
-                seed = key_data.ravel()[:1].astype(jnp.int32)
-            else:
-                seed = jnp.zeros((1,), jnp.int32)
+            bias2d, seed, rate = kernel_bias_and_seed(
+                self, attention_bias, q, k, deterministic)
             return fused_attention_seeded(
                 q, k, v, bias2d, seed, self.num_heads, self.head_size,
                 rate, FUSED_ATTENTION_INTERPRET)
 
-        if MIDSEQ_ATTENTION and bias_keywise:
+        # mid-length tier: ONLY the contexts out of the short-seq kernel's
+        # scope (a 14-key LXMERT layer padded to 128 lanes would be ~9x
+        # wasted dot width — short contexts stay on fused/XLA)
+        if MIDSEQ_ATTENTION and bias_keywise and not short:
             from ..ops import midseq_attention as ma
 
             if ma.supported(q.shape[0], q.shape[1], k.shape[1],
                             self.num_heads, self.head_size,
                             jnp.dtype(q.dtype).itemsize):
-                if attention_bias is None:
-                    bias2d = jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
-                else:
-                    bias2d = attention_bias.astype(jnp.float32)[:, 0, 0, :]
-                rate = 0.0 if deterministic else self.dropout_rate
-                if rate > 0.0:
-                    key_data = jax.random.key_data(self.make_rng("dropout"))
-                    seed = key_data.ravel()[:1].astype(jnp.int32)
-                else:
-                    seed = jnp.zeros((1,), jnp.int32)
+                bias2d, seed, rate = kernel_bias_and_seed(
+                    self, attention_bias, q, k, deterministic)
                 return ma.midseq_attention_seeded(
                     q, k, v, bias2d, seed, self.num_heads, self.head_size,
                     rate, FUSED_ATTENTION_INTERPRET)

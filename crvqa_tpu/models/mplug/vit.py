@@ -72,25 +72,23 @@ class ResidualAttentionBlock(nn.Module):
         hd = c.width // c.heads
 
         use_midseq = False
-        if _layers.MIDSEQ_ATTENTION:
+        if _layers.MIDSEQ_ATTENTION and x.shape[1] * c.heads > 1024:
             from ...ops import midseq_attention as _ma
 
             # the 577-token self-attention is the dominant mPLUG cost; the
             # kernel keeps each head's [S, S] probs in VMEM instead of the
-            # [B, H, S, S] HBM tensor XLA materializes per layer
+            # [B, H, S, S] HBM tensor XLA materializes per layer. Same
+            # mid-length-only lower bound as layers._attend: short contexts
+            # (tiny test configs) stay on XLA — the x128 key-lane padding
+            # would dominate them
             use_midseq = _ma.supported(
                 x.shape[0], x.shape[1], x.shape[1], c.heads, hd,
                 jnp.dtype(c.dtype).itemsize)
         if use_midseq:
             from ...ops.midseq_attention import midseq_attention_seeded
 
-            rate = 0.0 if deterministic else c.attn_dropout
-            if rate > 0.0:
-                key_data = jax.random.key_data(self.make_rng("dropout"))
-                seed = key_data.ravel()[:1].astype(jnp.int32)
-            else:
-                seed = jnp.zeros((1,), jnp.int32)
-            bias = jnp.zeros((x.shape[0], x.shape[1]), jnp.float32)
+            bias, seed, rate = _layers.kernel_bias_and_seed(
+                self, None, q, k, deterministic, rate=c.attn_dropout)
             ctx = midseq_attention_seeded(
                 q, k, v, bias, seed, c.heads, hd, rate,
                 _layers.FUSED_ATTENTION_INTERPRET)

@@ -74,10 +74,10 @@ def _pad_to(n: int, m: int) -> int:
 
 
 def _bwd_bytes(sqp: int, skp: int, w: int, itemsize: int) -> int:
-    """Backward VMEM estimate: double-buffered io blocks + the per-head
-    fp32 temporaries (scores/e, p, dp, ds — 4 [Sqp, Skp] planes live at the
-    peak)."""
-    io = (3 * sqp * w + 3 * skp * w) * itemsize + skp * 4
+    """Backward VMEM estimate: double-buffered io blocks (q, g, dq sized
+    [Sqp, w]; k, v, dk, dv sized [Skp, w]) + the per-head fp32 temporaries
+    (scores/e, p, dp, ds — 4 [Sqp, Skp] planes live at the peak)."""
+    io = (3 * sqp * w + 4 * skp * w) * itemsize + skp * 4
     return 2 * io + 4 * sqp * skp * 4
 
 

@@ -121,9 +121,11 @@ def test_supported_budget():
 def test_vit_equivalence():
     from crvqa_tpu.models.mplug.vit import ViTConfig, VisionTransformer
 
-    c = ViTConfig(image_res=64, patch_size=16, width=256, layers=2, heads=4)
+    # 145 tokens x 8 heads = 1160 > 1024: past the mid-length lower bound,
+    # so the kernel actually dispatches (short tiny configs stay on XLA)
+    c = ViTConfig(image_res=192, patch_size=16, width=256, layers=1, heads=8)
     m = VisionTransformer(c)
-    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(1, 192, 192, 3)),
                        jnp.float32)
     params = m.init(jax.random.PRNGKey(0), imgs)["params"]
     out0 = m.apply({"params": params}, imgs, deterministic=True)
@@ -154,9 +156,11 @@ def test_mha_dispatch_and_causal_fallback(monkeypatch):
     rng = np.random.default_rng(5)
     mha = layers.MultiHeadAttention(num_heads=2, head_size=64,
                                     dropout_rate=0.1)
+    # 600 keys x 2 heads = 1200 > 1024 -> mid-length tier (short contexts
+    # must NOT take the kernel: the x128 lane padding would dominate)
     hid = jnp.asarray(rng.normal(size=(2, 9, 128)), jnp.float32)
-    ctx = jnp.asarray(rng.normal(size=(2, 300, 128)), jnp.float32)
-    keybias = jnp.zeros((2, 1, 1, 300), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(2, 600, 128)), jnp.float32)
+    keybias = jnp.zeros((2, 1, 1, 600), jnp.float32)
     params = mha.init(jax.random.PRNGKey(1), hid, ctx, keybias)["params"]
 
     out = mha.apply({"params": params}, hid, ctx, keybias, True)
@@ -166,11 +170,23 @@ def test_mha_dispatch_and_causal_fallback(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
-    # causal self-attention: [B, 1, L, L] bias -> XLA path only
+    # short contexts (H*Sk <= 1024) must stay off the kernel even with the
+    # flag on — the x128 key padding would dominate a 300-key context
     monkeypatch.setattr(layers, "MIDSEQ_ATTENTION", True)
     calls.clear()
+    short_ctx = ctx[:, :300]
+    p_s = mha.init(jax.random.PRNGKey(3), hid, short_ctx,
+                   keybias[..., :300])["params"]
+    mha.apply({"params": p_s}, hid, short_ctx, keybias[..., :300], True)
+    assert not calls, "short context must not take the midseq kernel"
+
+    # causal self-attention: [B, 1, L, L] bias -> XLA path only, even at
+    # mid length (the kernel has no per-query bias)
+    calls.clear()
+    long_hid = jnp.asarray(rng.normal(size=(1, 600, 128)), jnp.float32)
     causal = jnp.where(
-        jnp.tril(jnp.ones((9, 9), bool))[None, None], 0.0, -10000.0)
-    p2 = mha.init(jax.random.PRNGKey(2), hid, hid, causal)["params"]
-    mha.apply({"params": p2}, hid, hid, causal, True)
+        jnp.tril(jnp.ones((600, 600), bool))[None, None], 0.0, -10000.0)
+    p2 = mha.init(jax.random.PRNGKey(2), long_hid, long_hid,
+                  causal)["params"]
+    mha.apply({"params": p2}, long_hid, long_hid, causal, True)
     assert not calls, "causal bias must not take the midseq kernel"
