@@ -77,6 +77,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "interpreted off-TPU (tests)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="run on N synthetic examples instead of real data")
+    p.add_argument("--prefetch_batches", type=int, default=2,
+                   help="host batches prepared ahead on a producer thread "
+                        "(data/prefetch.py) — the DataLoader(num_workers) "
+                        "overlap; 0 disables")
     p.add_argument("--resume_from", type=str, default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny 2/1/1-layer config for smoke tests")
@@ -177,11 +181,32 @@ def log_step(step: int, **metrics) -> None:
     print(json.dumps(payload), flush=True)
 
 
+def wrap_prefetch(batches_fn, args):
+    """Wrap a batches-fn (0 or 1 positional args -> iterator) with the
+    background prefetcher (`data/prefetch.py`) at --prefetch_batches depth.
+    Host floats are device_put from the producer only when a single device
+    is live — under a mesh the driver's shard_fn owns placement."""
+    from ..data.prefetch import prefetch_batches
+
+    depth = getattr(args, "prefetch_batches", 2)
+    if depth <= 0:
+        return batches_fn
+
+    def wrapped(*a):
+        import jax
+
+        return prefetch_batches(batches_fn(*a), depth=depth,
+                                to_device=len(jax.devices()) == 1)
+
+    return wrapped
+
+
 def build_data(args, config):
     """Returns (train_batches_fn, eval_batches_fn, label2ans, n_train).
 
     Real VQA-CP data when --dataroot/--img_root are given; synthetic
-    otherwise (--synthetic N).
+    otherwise (--synthetic N). Both paths ride the background prefetcher
+    (wrap_prefetch) so host batch prep overlaps device steps.
     """
     from ..data.synthetic import synthetic_batch
 
@@ -208,7 +233,8 @@ def build_data(args, config):
                     feat_dim=config.visual_feat_dim,
                     pos_dim=config.visual_pos_dim)
 
-        return train_batches, eval_batches, label2ans, n
+        return (wrap_prefetch(train_batches, args),
+                wrap_prefetch(eval_batches, args), label2ans, n)
 
     from ..data import vqacp
 
@@ -240,7 +266,8 @@ def build_data(args, config):
         return vqacp.iterate_batches(
             test, features, args.eval_batch_size, shuffle=False)
 
-    return train_batches, eval_batches, label2ans, len(train)
+    return (wrap_prefetch(train_batches, args),
+            wrap_prefetch(eval_batches, args), label2ans, len(train))
 
 
 def make_shard_fn(mesh):

@@ -201,6 +201,11 @@ def main(argv=None) -> None:
             return iterate_batches(test_entries, args.eval_batch_size,
                                    config.vit.image_res)
 
+    # overlap image decode + RandAugment with device steps (the reference
+    # runs DataLoader(num_workers=[12,8,8]), vqa_mplug.py:422)
+    train_batches = common.wrap_prefetch(train_batches, args)
+    eval_batches = common.wrap_prefetch(eval_batches, args)
+
     b0 = next(iter(train_batches(0)))
     jb0 = {k: jnp.asarray(v) for k, v in b0.items()
            if k not in ("qid", "valid")}
