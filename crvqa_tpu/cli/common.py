@@ -185,18 +185,23 @@ def wrap_prefetch(batches_fn, args):
     """Wrap a batches-fn (0 or 1 positional args -> iterator) with the
     background prefetcher (`data/prefetch.py`) at --prefetch_batches depth.
     Host floats are device_put from the producer only when a single device
-    is live — under a mesh the driver's shard_fn owns placement."""
+    is live — under a mesh the driver's shard_fn owns placement — and only
+    at steps_per_dispatch 1: the multi-step window path np.stack()s leaves
+    on host first, and stacking device arrays would read every float leaf
+    back before re-uploading it."""
     from ..data.prefetch import prefetch_batches
 
     depth = getattr(args, "prefetch_batches", 2)
     if depth <= 0:
         return batches_fn
+    host_stacked = getattr(args, "steps_per_dispatch", 1) > 1
 
     def wrapped(*a):
         import jax
 
-        return prefetch_batches(batches_fn(*a), depth=depth,
-                                to_device=len(jax.devices()) == 1)
+        return prefetch_batches(
+            batches_fn(*a), depth=depth,
+            to_device=len(jax.devices()) == 1 and not host_stacked)
 
     return wrapped
 

@@ -201,12 +201,13 @@ def main(argv=None) -> None:
             return iterate_batches(test_entries, args.eval_batch_size,
                                    config.vit.image_res)
 
-    # overlap image decode + RandAugment with device steps (the reference
-    # runs DataLoader(num_workers=[12,8,8]), vqa_mplug.py:422)
+    # shape-probe the UNWRAPPED iterator (exactly one batch of host work),
+    # then wrap with the prefetcher: overlap image decode + RandAugment
+    # with device steps (the reference runs DataLoader(num_workers=[12,8,8]),
+    # vqa_mplug.py:422)
+    b0 = next(iter(train_batches(0)))
     train_batches = common.wrap_prefetch(train_batches, args)
     eval_batches = common.wrap_prefetch(eval_batches, args)
-
-    b0 = next(iter(train_batches(0)))
     jb0 = {k: jnp.asarray(v) for k, v in b0.items()
            if k not in ("qid", "valid")}
     params = model.init(jax.random.PRNGKey(args.seed), jb0["images"],

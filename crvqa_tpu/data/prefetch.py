@@ -59,27 +59,27 @@ def prefetch_batches(src: Iterable[dict], depth: int = 2,
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
+    def put_until_stop(item) -> bool:
+        """Blocking put that also watches the consumer's stop flag; False
+        once the consumer has gone away."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.05)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def produce():
         try:
             for batch in src:
                 item = (_put_floats(batch) if to_device else batch, None)
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.05)
-                        break
-                    except queue.Full:
-                        continue
-                else:
+                if not put_until_stop(item):
                     return
             tail = (_END, None)
         except BaseException as e:  # re-raised at the consumer
             tail = (_END, e)
-        while not stop.is_set():
-            try:
-                q.put(tail, timeout=0.05)
-                return
-            except queue.Full:
-                continue
+        put_until_stop(tail)
 
     t = threading.Thread(target=produce, daemon=True, name="batch-prefetch")
     t.start()
