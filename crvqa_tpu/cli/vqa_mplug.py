@@ -110,6 +110,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--add_object", type=common.str2bool, default=False,
                    help="append object labels to questions "
                         "(vqa_dataset.py:68-70)")
+    p.add_argument("--data_workers", type=int, default=4,
+                   help="thread-pool width for per-image decode+augment "
+                        "inside a batch (reference num_workers=[12,8,8]); "
+                        "pixels depend only on the seed, never on this. "
+                        "Scales on multi-core TPU hosts; neutral on a "
+                        "1-core box (the native ops release the GIL)")
     p.add_argument("--augment", type=common.str2bool, default=True,
                    help="train-time RandomResizedCrop+HFlip+RandAugment(2,7) "
                         "(dataset/__init__.py:28-35); eval always uses the "
@@ -195,11 +201,13 @@ def main(argv=None) -> None:
             return iterate_batches(train_entries, args.train_batch_size,
                                    config.vit.image_res, shuffle=True,
                                    seed=args.seed + epoch, drop_last=True,
-                                   augment=args.augment)
+                                   augment=args.augment,
+                                   workers=args.data_workers)
 
         def eval_batches():
             return iterate_batches(test_entries, args.eval_batch_size,
-                                   config.vit.image_res)
+                                   config.vit.image_res,
+                                   workers=args.data_workers)
 
     # shape-probe the UNWRAPPED iterator (exactly one batch of host work),
     # then wrap with the prefetcher: overlap image decode + RandAugment

@@ -46,8 +46,29 @@ FULL_AUGS = SHIPPED_AUGS + ("Solarize", "Color", "Contrast", "Posterize")
 
 
 # --------------------------------------------------------------- primitives
+_NATIVE = None
+
+
+def _native():
+    """native/augment_native.py hot ops (warp + normalize), or None — the
+    numpy path below is the fallback and the byte-parity oracle."""
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from ..native.augment_native import load
+
+            _NATIVE = load() or False
+        except Exception:
+            _NATIVE = False
+    return _NATIVE or None
+
+
 def _affine_inverse_warp(img: np.ndarray, inv: np.ndarray) -> np.ndarray:
     """Bilinear warp: out[y, x] = img[inv @ (x, y, 1)] with constant fill."""
+    if img.dtype == np.uint8 and img.ndim == 3:
+        n = _native()
+        if n is not None:  # byte-identical (test_augment_native.py)
+            return n.warp(img, np.asarray(inv, np.float32), float(FILL[0]))
     h, w = img.shape[:2]
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
     sx = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
@@ -72,8 +93,16 @@ def identity(img: np.ndarray) -> np.ndarray:
     return img
 
 
+def _u8rgb(img: np.ndarray) -> bool:
+    return img.dtype == np.uint8 and img.ndim == 3 and img.shape[-1] == 3
+
+
 def autocontrast(img: np.ndarray) -> np.ndarray:
     """Per-channel min/max stretch to the full [0, 255] range."""
+    if _u8rgb(img):
+        n = _native()
+        if n is not None:
+            return n.autocontrast(img)
     f = img.astype(np.float32)
     lo = f.reshape(-1, 3).min(axis=0)
     hi = f.reshape(-1, 3).max(axis=0)
@@ -84,6 +113,10 @@ def autocontrast(img: np.ndarray) -> np.ndarray:
 
 def equalize(img: np.ndarray) -> np.ndarray:
     """PIL-style per-channel histogram equalization."""
+    if _u8rgb(img):
+        n = _native()
+        if n is not None:
+            return n.equalize(img)
     out = img.copy()
     for c in range(3):
         ch = img[..., c]
@@ -124,6 +157,10 @@ def sharpness(img: np.ndarray, factor: float) -> np.ndarray:
     reference's sharpness_func (randaugment.py:131-149; oracle-tested)."""
     if factor == 1.0:
         return img
+    if _u8rgb(img) and img.shape[0] >= 3 and img.shape[1] >= 3:
+        n = _native()
+        if n is not None:
+            return n.sharpness(img, float(factor))
     smooth = _smooth3x3(img)
     if factor == 0.0:
         return smooth
@@ -316,7 +353,7 @@ def train_transform(img, rng: np.random.Generator, image_res: int,
     if rng.random() < 0.5:
         arr = arr[:, ::-1]
     arr = random_augment(np.ascontiguousarray(arr), rng, n=n, m=m)
-    return ((arr.astype(np.float32) / 255.0) - CLIP_MEAN) / CLIP_STD
+    return _normalize_u8(arr)
 
 
 def test_transform(img, image_res: int) -> np.ndarray:
@@ -324,5 +361,17 @@ def test_transform(img, image_res: int) -> np.ndarray:
     from PIL import Image
 
     arr = np.asarray(img.resize((image_res, image_res), Image.BICUBIC),
-                     np.float32)
-    return (arr / 255.0 - CLIP_MEAN) / CLIP_STD
+                     np.uint8)
+    return _normalize_u8(arr)
+
+
+def _normalize_u8(arr: np.ndarray) -> np.ndarray:
+    """((arr/255) - CLIP_MEAN) / CLIP_STD on uint8 [H, W, 3] -> float32;
+    native single pass when available (bit-exact — the fp32 value of a
+    uint8 is exact, so float-then-divide == divide-in-C)."""
+    if arr.ndim == 3 and arr.shape[-1] == 3:
+        n = _native()
+        if n is not None:
+            return n.normalize(np.ascontiguousarray(arr, np.uint8),
+                               CLIP_MEAN, CLIP_STD)
+    return ((arr.astype(np.float32) / 255.0) - CLIP_MEAN) / CLIP_STD

@@ -158,20 +158,38 @@ def load_entries(ann_files: Sequence[str], tokenizer, q_len: int = 25,
 
 
 def load_images(paths: Sequence[str], image_res: int = 384,
-                rng: Optional[np.random.Generator] = None) -> np.ndarray:
+                rng: Optional[np.random.Generator] = None,
+                workers: int = 0) -> np.ndarray:
     """Decode + transform. With `rng`, the train transform stack
     (RandomResizedCrop + HFlip + RandomAugment(2,7),
     `mPLUG/dataset/__init__.py:28-35`) runs deterministically from the
-    generator; without it, the test transform (resize+normalize). PIL."""
+    generator; without it, the test transform (resize+normalize). PIL.
+
+    Each image draws from its own `rng.spawn()` child, so the augment
+    stream is a function of the seed alone — `workers` (thread-pool decode
+    + transform; PIL/numpy release the GIL) changes wall time, never
+    pixels. The in-batch parallelism the reference gets from
+    DataLoader(num_workers=[12,8,8], `mPLUG/vqa_mplug.py:422`)."""
     from PIL import Image
 
     from .augment import test_transform, train_transform
 
     out = np.zeros((len(paths), image_res, image_res, 3), np.float32)
-    for i, p in enumerate(paths):
-        img = Image.open(p).convert("RGB")
-        out[i] = (train_transform(img, rng, image_res) if rng is not None
-                  else test_transform(img, image_res))
+    rngs = rng.spawn(len(paths)) if rng is not None else [None] * len(paths)
+
+    def one(i: int) -> None:
+        img = Image.open(paths[i]).convert("RGB")
+        out[i] = (train_transform(img, rngs[i], image_res)
+                  if rngs[i] is not None else test_transform(img, image_res))
+
+    if workers > 0 and len(paths) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(one, range(len(paths))))
+    else:
+        for i in range(len(paths)):
+            one(i)
     return out
 
 
@@ -198,8 +216,8 @@ def synthetic_mplug_batch(batch_size: int = 2, image_res: int = 32,
 
 def iterate_batches(entries: MPlugEntries, batch_size: int,
                     image_res: int = 384, shuffle: bool = False, seed: int = 0,
-                    drop_last: bool = False,
-                    augment: bool = False) -> Iterator[dict]:
+                    drop_last: bool = False, augment: bool = False,
+                    workers: int = 0) -> Iterator[dict]:
     n = len(entries)
     order = np.arange(n)
     if shuffle:
@@ -216,7 +234,7 @@ def iterate_batches(entries: MPlugEntries, batch_size: int,
         yield {
             "valid": valid,
             "images": load_images([entries.image_paths[i] for i in idx],
-                                  image_res, rng=aug_rng),
+                                  image_res, rng=aug_rng, workers=workers),
             "question_ids": entries.question_tokens[idx],
             "question_mask": entries.question_mask[idx],
             "answer_ids": entries.answer_tokens[idx],

@@ -255,6 +255,14 @@ def test_loader_augmented_questions_and_images(tmp_path):
     assert np.abs(b_a["images"] - b_c["images"]).max() > 0
     assert np.abs(b_a["images"] - b_t["images"]).max() > 0
 
+    # worker-count invariance: per-image spawned rngs make pixels a
+    # function of the seed alone — threads change wall time, never output
+    b_w = next(iterate_batches(aug, 4, image_res=32, augment=True, seed=1,
+                               workers=4))
+    np.testing.assert_array_equal(b_a["images"], b_w["images"])
+    b_tw = next(iterate_batches(aug, 4, image_res=32, workers=3))
+    np.testing.assert_array_equal(b_t["images"], b_tw["images"])
+
 
 def test_eval_batches_mark_ragged_padding_valid():
     """Review finding: the ragged final eval batch was padded with repeats
@@ -275,7 +283,7 @@ def test_eval_batches_mark_ragged_padding_valid():
     import crvqa_tpu.data.mplug_data as md
 
     orig = md.load_images
-    md.load_images = lambda paths, image_res=384, rng=None: np.zeros(
+    md.load_images = lambda paths, image_res=384, rng=None, **kw: np.zeros(
         (len(paths), 8, 8, 3), np.float32)
     try:
         batches = list(iterate_batches(e, bs, image_res=8))
