@@ -63,9 +63,15 @@ def _native():
     return _NATIVE or None
 
 
+def _u8rgb(img: np.ndarray) -> bool:
+    """Native eligibility: the ops are compiled for uint8 [H, W, 3] only;
+    anything else takes the generic numpy path (value-correct for floats)."""
+    return img.dtype == np.uint8 and img.ndim == 3 and img.shape[-1] == 3
+
+
 def _affine_inverse_warp(img: np.ndarray, inv: np.ndarray) -> np.ndarray:
     """Bilinear warp: out[y, x] = img[inv @ (x, y, 1)] with constant fill."""
-    if img.dtype == np.uint8 and img.ndim == 3:
+    if _u8rgb(img):
         n = _native()
         if n is not None:  # byte-identical (test_augment_native.py)
             return n.warp(img, np.asarray(inv, np.float32), float(FILL[0]))
@@ -91,10 +97,6 @@ def _affine_inverse_warp(img: np.ndarray, inv: np.ndarray) -> np.ndarray:
 
 def identity(img: np.ndarray) -> np.ndarray:
     return img
-
-
-def _u8rgb(img: np.ndarray) -> bool:
-    return img.dtype == np.uint8 and img.ndim == 3 and img.shape[-1] == 3
 
 
 def autocontrast(img: np.ndarray) -> np.ndarray:
@@ -360,18 +362,20 @@ def test_transform(img, image_res: int) -> np.ndarray:
     """Resize(bicubic) -> /255 -> normalize (dataset/__init__.py:37-41)."""
     from PIL import Image
 
-    arr = np.asarray(img.resize((image_res, image_res), Image.BICUBIC),
-                     np.uint8)
+    # no forced uint8 cast: RGB-converted images arrive uint8 (native
+    # normalize); exotic PIL modes (I/I;16/F) keep their true sample values
+    # through the generic numpy path
+    arr = np.asarray(img.resize((image_res, image_res), Image.BICUBIC))
     return _normalize_u8(arr)
 
 
 def _normalize_u8(arr: np.ndarray) -> np.ndarray:
-    """((arr/255) - CLIP_MEAN) / CLIP_STD on uint8 [H, W, 3] -> float32;
-    native single pass when available (bit-exact — the fp32 value of a
-    uint8 is exact, so float-then-divide == divide-in-C)."""
-    if arr.ndim == 3 and arr.shape[-1] == 3:
+    """((arr/255) - CLIP_MEAN) / CLIP_STD -> float32; native single pass
+    for uint8 [H, W, 3] (bit-exact — the fp32 value of a uint8 is exact, so
+    float-then-divide == divide-in-C); generic numpy otherwise."""
+    if _u8rgb(arr):
         n = _native()
         if n is not None:
-            return n.normalize(np.ascontiguousarray(arr, np.uint8),
-                               CLIP_MEAN, CLIP_STD)
+            return n.normalize(np.ascontiguousarray(arr), CLIP_MEAN,
+                               CLIP_STD)
     return ((arr.astype(np.float32) / 255.0) - CLIP_MEAN) / CLIP_STD

@@ -183,14 +183,28 @@ def load_images(paths: Sequence[str], image_res: int = 384,
                   if rngs[i] is not None else test_transform(img, image_res))
 
     if workers > 0 and len(paths) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            list(ex.map(one, range(len(paths))))
+        list(_pool(workers).map(one, range(len(paths))))
     else:
         for i in range(len(paths)):
             one(i)
     return out
+
+
+_POOLS: dict = {}
+
+
+def _pool(workers: int):
+    """Persistent per-width executor — thread churn per batch is pure
+    overhead in the hot input path (threads are joined at interpreter
+    exit by concurrent.futures' atexit hook)."""
+    ex = _POOLS.get(workers)
+    if ex is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = _POOLS.setdefault(
+            workers, ThreadPoolExecutor(max_workers=workers,
+                                        thread_name_prefix="load_images"))
+    return ex
 
 
 def synthetic_mplug_batch(batch_size: int = 2, image_res: int = 32,

@@ -15,6 +15,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -23,13 +24,20 @@ _LIB = os.path.join(os.path.dirname(__file__), "libaugment.so")
 
 logger = logging.getLogger(__name__)
 
+# Unlike wordpiece/feature_store (built from single-threaded contexts,
+# pid-unique tmp suffices), this library is first touched from
+# load_images' WORKER THREADS — the build must be serialized in-process
+# and the tmp name thread-unique, or two g++ runs interleave into one file
+# and a corrupt .so (mtime newer than the source) poisons every later run.
+_BUILD_LOCK = threading.Lock()
+
 
 def ensure_built(force: bool = False) -> str:
     if force or not os.path.exists(_LIB) or (
             os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
         # temp + atomic rename: concurrent builders must never dlopen a
-        # half-written .so (same pattern as native/wordpiece.py)
-        tmp = f"{_LIB}.{os.getpid()}.tmp"
+        # half-written .so
+        tmp = f"{_LIB}.{os.getpid()}.{threading.get_ident()}.tmp"
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-ffp-contract=off",
@@ -132,12 +140,16 @@ _cached: object = None
 
 def load():
     """Build + load the library; None when unavailable (no g++ etc.) — the
-    numpy path serves. Cached per process."""
+    numpy path serves. Cached per process; thread-safe (worker threads race
+    here on first batch)."""
     global _cached
     if _cached is None:
-        try:
-            _cached = _Native(ctypes.CDLL(ensure_built()))
-        except Exception as e:  # noqa: BLE001 — any failure -> numpy path
-            logger.warning("native augment unavailable (%s); numpy path", e)
-            _cached = False
+        with _BUILD_LOCK:
+            if _cached is None:
+                try:
+                    _cached = _Native(ctypes.CDLL(ensure_built()))
+                except Exception as e:  # noqa: BLE001 -> numpy path
+                    logger.warning(
+                        "native augment unavailable (%s); numpy path", e)
+                    _cached = False
     return _cached or None
