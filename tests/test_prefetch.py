@@ -70,6 +70,27 @@ def test_device_put_floats_only():
     assert b["i"].dtype == np.int32
 
 
+def test_prefetch_cli_run_identical_to_serial(tmp_path):
+    """End-to-end driver invariant: prefetching changes machinery, never
+    results — two stage-1 synthetic runs, --prefetch_batches 2 (default)
+    vs 0, byte-identical predictions."""
+    import json
+
+    from crvqa_tpu.cli import run_vqa_stage1
+
+    outs = {}
+    for depth in (2, 0):
+        out = tmp_path / f"d{depth}"
+        run_vqa_stage1.main([
+            "--output_dir", str(out), "--tiny", "--synthetic", "32",
+            "--train_batch_size", "8", "--eval_batch_size", "8",
+            "--num_train_epochs", "1", "--prefetch_batches", str(depth),
+            "--do_train", "--do_predict", "--seed", "0",
+        ])
+        outs[depth] = json.load(open(out / "test.json"))
+    assert outs[2] == outs[0]
+
+
 def test_wrap_prefetch_driver_wiring():
     import argparse
 
