@@ -1,0 +1,240 @@
+"""Batched VQA inference server — a production serving surface.
+
+The reference has no serving story: its only inference path is the offline
+prediction loop (`mask_trainer_Robust_VQA.py:1096-1245`) plus `make_json`
+(:487-496), which requires a full dataset object and re-runs a whole split.
+This driver re-packages the same forward (stage-1 dense params, or a stage-2
+subnetwork via `mask.pt` + `classifier4masker.bin`, or a stage-3 fine-tuned
+checkpoint) as a long-lived request server:
+
+- JSON-lines protocol: one request `{"question_id": ..., "question": str,
+  "image_id": str}` per line on stdin (or `--input` file), one response
+  `{"question_id", "answer", "prob"}` per line on stdout (or `--output`),
+  in arrival order.
+- Micro-batching: requests are grouped up to `--serve_batch_size`, waiting
+  at most `--max_wait_ms` after the first pending request. Every batch is
+  padded to the SAME static shape with a `valid` mask, so XLA compiles the
+  forward exactly once (compile happens at startup on a dummy batch, before
+  the first request arrives — cold-start pays it, requests never do).
+- Image features come from the preloaded feature store (`--img_root`: the
+  reference's `vqa_img_feature_trainval.pickle` or the native mmap `.bin`
+  built by `python -m crvqa_tpu.native.feature_store`), questions go through
+  the self-contained WordPiece tokenizer with the fixed-14 [PAD] contract
+  (`dataset_LXM.py:189-226`) — identical preprocessing to training, so a
+  served answer is byte-identical to the offline predict path's.
+- End-of-input prints a stats line (requests, batches, occupancy,
+  per-batch device latency percentiles) to stderr.
+
+Single-chip by design: VQA serving is latency-bound at these model sizes
+(one v5e chip runs stage-2 eval at thousands of examples/sec); scale-out is
+process-per-chip behind any external load balancer.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import sys
+import threading
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import torch_compat
+from ..masking import Masker, ModalSparsity, lxmert_mask_specs
+from ..models import LxmertConfig, LxmertForVQA
+from . import common
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("serve_vqa")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="params checkpoint: stage-1/3 torch .bin or msgpack")
+    p.add_argument("--mask_pt", type=str, default=None,
+                   help="stage-2 mask.pt -> serve the pruned subnetwork")
+    p.add_argument("--classifier_bin", type=str, default=None,
+                   help="stage-2 classifier4masker.bin")
+    p.add_argument("--zero_rate", type=float, default=0.7)
+    p.add_argument("--dataroot", type=str, required=True,
+                   help="dir with cache/train_test_label2ans.pkl")
+    p.add_argument("--img_root", type=str, required=True,
+                   help="image-feature pickle or native .bin store")
+    p.add_argument("--vocab_file", type=str, default=None)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--ans_num", type=int, default=2274)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--serve_batch_size", type=int, default=32)
+    p.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="max time to hold a non-full batch after its first "
+                        "request")
+    p.add_argument("--input", type=str, default="-",
+                   help="'-' = stdin, else a requests .jsonl file")
+    p.add_argument("--output", type=str, default="-",
+                   help="'-' = stdout, else a responses .jsonl file")
+    return p
+
+
+def load_serving_params(args, model, config):
+    """Stage-agnostic param assembly: checkpoint, then optional stage-2
+    subnetwork artifacts (the `run_vqa_stage3.py:227-324` pruning applied
+    once at load — served weights are exactly `w * mask`)."""
+    from .prune_debias_vqa import load_stage1_params
+
+    params = load_stage1_params(args.ckpt, model, config,
+                                jax.random.PRNGKey(args.seed))
+    if args.mask_pt:
+        specs = lxmert_mask_specs(config.l_layers, config.r_layers,
+                                  config.x_layers)
+        masker = Masker.create(
+            specs, ModalSparsity.uniform(args.zero_rate,
+                                         ("Lang", "Vis", "Fus", "P")))
+        masks = torch_compat.import_mask_pt(args.mask_pt, masker.specs)
+        params = jax.jit(masker.prune_params)(
+            params, {k: jnp.asarray(v) for k, v in masks.items()})
+    if args.classifier_bin:
+        params = dict(params)
+        params["classifier"] = torch_compat.import_classifier_bin(
+            args.classifier_bin, params["classifier"])
+    return params
+
+
+class _Batcher:
+    """Reader thread + bounded queue; the main loop pulls the first pending
+    request blocking, then drains up to batch_size-1 more within
+    max_wait_ms. A single reader preserves arrival order."""
+
+    _EOF = object()
+
+    def __init__(self, stream, batch_size: int, max_wait_ms: float):
+        self.q: queue.Queue = queue.Queue(maxsize=4 * batch_size)
+        self.batch_size = batch_size
+        self.max_wait = max_wait_ms / 1000.0
+        self.done = False
+        self._t = threading.Thread(target=self._read, args=(stream,),
+                                   daemon=True)
+        self._t.start()
+
+    def _read(self, stream):
+        for line in stream:
+            line = line.strip()
+            if line:
+                self.q.put(json.loads(line))
+        self.q.put(self._EOF)
+
+    def next_batch(self) -> Optional[list]:
+        if self.done:
+            return None
+        first = self.q.get()
+        if first is self._EOF:
+            self.done = True
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait
+        while len(batch) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            try:
+                item = self.q.get(timeout=max(remaining, 0.0))
+            except queue.Empty:
+                break
+            if item is self._EOF:
+                self.done = True
+                break
+            batch.append(item)
+        return batch
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    config = (LxmertConfig.tiny(dtype=dtype) if args.tiny
+              else LxmertConfig(ans_num=args.ans_num, dtype=dtype))
+    model = LxmertForVQA(config)
+    params = load_serving_params(args, model, config)
+
+    from ..data import vqacp
+
+    tokenizer = vqacp.make_tokenizer(args.vocab_file)
+    _, label2ans = vqacp.load_answer_vocab(args.dataroot)
+    features = vqacp.open_image_features(args.img_root)
+
+    @jax.jit
+    def forward(params, input_ids, visual_feats, visual_pos):
+        logits, _ = model.apply(
+            {"params": params}, input_ids=input_ids,
+            visual_feats=visual_feats, visual_pos=visual_pos,
+            # all-ones mask = the reference's positional model call
+            # (mask_trainer_Robust_VQA.py:808; see vqacp.iterate_batches)
+            attention_mask=jnp.ones_like(input_ids, jnp.float32),
+            deterministic=True)
+        return logits
+
+    bs = args.serve_batch_size
+
+    def run_batch(requests: list) -> list:
+        n = len(requests)
+        questions = [r["question"] for r in requests]
+        image_ids = np.asarray([str(r["image_id"]) for r in requests])
+        if n < bs:  # pad to the static shape; pad rows are discarded
+            questions += [""] * (bs - n)
+            image_ids = np.concatenate(
+                [image_ids, np.repeat(image_ids[-1:], bs - n)])
+        ids, _ = vqacp.tokenize_questions(questions, tokenizer)
+        feats, pos = features.lookup(image_ids)
+        logits = np.asarray(forward(params, jnp.asarray(ids),
+                                    jnp.asarray(feats), jnp.asarray(pos)),
+                            np.float32)[:n]
+        top = logits.argmax(axis=1)
+        probs = 1.0 / (1.0 + np.exp(-logits[np.arange(n), top]))
+        return [{"question_id": r.get("question_id"),
+                 "answer": label2ans[int(t)],
+                 "prob": round(float(pr), 6)}
+                for r, t, pr in zip(requests, top, probs)]
+
+    # startup compile on a dummy batch: the one trace the server ever does
+    t0 = time.monotonic()
+    run_batch([{"question_id": -1, "question": "warm up",
+                "image_id": features.ids()[0]}])
+    compile_s = time.monotonic() - t0
+    print(f"serve_vqa: ready (compile {compile_s:.1f}s, batch {bs}, "
+          f"wait {args.max_wait_ms}ms)", file=sys.stderr, flush=True)
+
+    in_stream = sys.stdin if args.input == "-" else open(args.input)
+    out_stream = sys.stdout if args.output == "-" else open(args.output, "w")
+    batcher = _Batcher(in_stream, bs, args.max_wait_ms)
+
+    n_req = n_batch = 0
+    lat_ms: list = []
+    while True:
+        reqs = batcher.next_batch()
+        if reqs is None:
+            break
+        t0 = time.monotonic()
+        for resp in run_batch(reqs):
+            out_stream.write(json.dumps(resp) + "\n")
+        out_stream.flush()
+        lat_ms.append(1000 * (time.monotonic() - t0))
+        n_req += len(reqs)
+        n_batch += 1
+    if args.input != "-":
+        in_stream.close()
+    if args.output != "-":
+        out_stream.close()
+
+    if n_batch:
+        lat = np.asarray(lat_ms)
+        stats = {"requests": n_req, "batches": n_batch,
+                 "occupancy": round(n_req / (n_batch * bs), 3),
+                 "batch_ms_p50": round(float(np.percentile(lat, 50)), 2),
+                 "batch_ms_p99": round(float(np.percentile(lat, 99)), 2)}
+        print(f"serve_vqa stats: {json.dumps(stats)}", file=sys.stderr,
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -174,6 +174,9 @@ class ImageFeatures:
             np.asarray(self._data[str(i)]["sp_feats"], np.float32) for i in image_ids])
         return feats, pos
 
+    def ids(self) -> list:
+        return list(self._data.keys())
+
 
 def open_image_features(path: str):
     """Pick the feature backend: native mmap store for packed .bin files

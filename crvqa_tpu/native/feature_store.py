@@ -110,6 +110,9 @@ class FeatureStore:
                           np.int64)
         return self.gather_rows(rows)
 
+    def ids(self) -> list:
+        return list(self._id_to_row.keys())
+
     def gather_rows(self, rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         b = len(rows)
         feats = np.empty((b, self.boxes, self.feat_dim), np.float32)
