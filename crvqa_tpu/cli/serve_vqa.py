@@ -148,6 +148,43 @@ class _Batcher:
         return batch
 
 
+def serve_loop(args, run_batch, tag: str) -> None:
+    """Generic request loop: micro-batch from --input, write responses to
+    --output in arrival order, print latency stats at EOF. Shared by the
+    LXMERT (`serve_vqa`) and mPLUG (`serve_mplug`) servers."""
+    bs = args.serve_batch_size
+    in_stream = sys.stdin if args.input == "-" else open(args.input)
+    out_stream = sys.stdout if args.output == "-" else open(args.output, "w")
+    batcher = _Batcher(in_stream, bs, args.max_wait_ms)
+
+    n_req = n_batch = 0
+    lat_ms: list = []
+    while True:
+        reqs = batcher.next_batch()
+        if reqs is None:
+            break
+        t0 = time.monotonic()
+        for resp in run_batch(reqs):
+            out_stream.write(json.dumps(resp) + "\n")
+        out_stream.flush()
+        lat_ms.append(1000 * (time.monotonic() - t0))
+        n_req += len(reqs)
+        n_batch += 1
+    if args.input != "-":
+        in_stream.close()
+    if args.output != "-":
+        out_stream.close()
+
+    if n_batch:
+        lat = np.asarray(lat_ms)
+        stats = {"requests": n_req, "batches": n_batch,
+                 "occupancy": round(n_req / (n_batch * bs), 3),
+                 "batch_ms_p50": round(float(np.percentile(lat, 50)), 2),
+                 "batch_ms_p99": round(float(np.percentile(lat, 99)), 2)}
+        print(f"{tag} stats: {json.dumps(stats)}", file=sys.stderr,
+              flush=True)
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
@@ -204,36 +241,7 @@ def main(argv=None) -> None:
     print(f"serve_vqa: ready (compile {compile_s:.1f}s, batch {bs}, "
           f"wait {args.max_wait_ms}ms)", file=sys.stderr, flush=True)
 
-    in_stream = sys.stdin if args.input == "-" else open(args.input)
-    out_stream = sys.stdout if args.output == "-" else open(args.output, "w")
-    batcher = _Batcher(in_stream, bs, args.max_wait_ms)
-
-    n_req = n_batch = 0
-    lat_ms: list = []
-    while True:
-        reqs = batcher.next_batch()
-        if reqs is None:
-            break
-        t0 = time.monotonic()
-        for resp in run_batch(reqs):
-            out_stream.write(json.dumps(resp) + "\n")
-        out_stream.flush()
-        lat_ms.append(1000 * (time.monotonic() - t0))
-        n_req += len(reqs)
-        n_batch += 1
-    if args.input != "-":
-        in_stream.close()
-    if args.output != "-":
-        out_stream.close()
-
-    if n_batch:
-        lat = np.asarray(lat_ms)
-        stats = {"requests": n_req, "batches": n_batch,
-                 "occupancy": round(n_req / (n_batch * bs), 3),
-                 "batch_ms_p50": round(float(np.percentile(lat, 50)), 2),
-                 "batch_ms_p99": round(float(np.percentile(lat, 99)), 2)}
-        print(f"serve_vqa stats: {json.dumps(stats)}", file=sys.stderr,
-              flush=True)
+    serve_loop(args, run_batch, tag="serve_vqa")
 
 
 if __name__ == "__main__":

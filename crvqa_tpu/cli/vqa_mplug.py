@@ -123,12 +123,8 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None) -> None:
-    args = build_parser().parse_args(argv)
-    common.setup_logging(args.output_dir)
-    common.apply_prng_impl(args)
-    common.dump_args(args, args.output_dir)
-
+def build_model(args):
+    """Config + tokenizer + model assembly (shared with `serve_mplug`)."""
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.tiny:
         config = MPlugConfig(
@@ -142,7 +138,7 @@ def main(argv=None) -> None:
                           use_remat=args.use_checkpoint),
             distill=args.distill)
     tokenizer = None
-    if not args.synthetic and args.vocab_file:
+    if not getattr(args, "synthetic", 0) and args.vocab_file:
         # the reference derives bos/eos/pad from ITS tokenizer (eos '[SEP]',
         # full_model_debias.yaml; vqa_mplug.py:429-431) — with a custom
         # vocab the bert-base defaults (101/102/0) would point at the wrong
@@ -155,7 +151,43 @@ def main(argv=None) -> None:
             config, bos_token_id=int(tokenizer.cls_token_id),
             eos_token_id=int(tokenizer.sep_token_id),
             pad_token_id=int(tokenizer.pad_token_id))
-    model = MPlug(config)
+    return config, tokenizer, MPlug(config)
+
+
+def build_masker(args, config):
+    """Masker + scheduler wiring for mask mode (`init_masker`,
+    mPLUG/vqa_mplug.py:59-128). The serving driver rebuilds the same masker
+    so a training checkpoint's score/threshold trees restore 1:1."""
+    c = config.bert
+    # momentum twins live in state.params_m under the SAME tree paths, so
+    # the masker never needs _m-prefixed specs (they exist only for
+    # artifact-name parity at export time)
+    specs = mplug_mask_specs(
+        vit_layers=config.vit.layers,
+        text_encoder_layers=c.text_encoder_layers,
+        fusion_layers=c.fusion_layers,
+        decoder_layers=c.text_decode_layers,
+        stride_layer=c.stride_layer,
+        mask_classifier=args.mask_classifier)
+    masker = Masker.create(
+        specs, ModalSparsity.uniform(args.zero_rate),
+        mask_biases=args.mask_biases,
+        threshold=args.threshold, init_scale=args.init_scale,
+        controlled_init=args.controlled_init)
+    scheduler = MaskerScheduler(
+        final_sparsity=args.zero_rate, num_epochs=args.num_train_epochs,
+        init_sparsity=args.init_sparsity, lambdas_lr=1.0,
+        final_epoch=args.final_sparsity_epoch)
+    return masker, scheduler
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    common.setup_logging(args.output_dir)
+    common.apply_prng_impl(args)
+    common.dump_args(args, args.output_dir)
+
+    config, tokenizer, model = build_model(args)
 
     from ..data.mplug_data import (
         iterate_batches,
@@ -254,26 +286,7 @@ def main(argv=None) -> None:
     masker = None
     scheduler = None
     if args.mode == "mask":
-        c = config.bert
-        # momentum twins live in state.params_m under the SAME tree paths, so
-        # the masker never needs _m-prefixed specs (they exist only for
-        # artifact-name parity at export time below)
-        specs = mplug_mask_specs(
-            vit_layers=config.vit.layers,
-            text_encoder_layers=c.text_encoder_layers,
-            fusion_layers=c.fusion_layers,
-            decoder_layers=c.text_decode_layers,
-            stride_layer=c.stride_layer,
-            mask_classifier=args.mask_classifier)
-        masker = Masker.create(
-            specs, ModalSparsity.uniform(args.zero_rate),
-            mask_biases=args.mask_biases,
-            threshold=args.threshold, init_scale=args.init_scale,
-            controlled_init=args.controlled_init)
-        scheduler = MaskerScheduler(
-            final_sparsity=args.zero_rate, num_epochs=args.num_train_epochs,
-            init_sparsity=args.init_sparsity, lambdas_lr=1.0,
-            final_epoch=args.final_sparsity_epoch)
+        masker, scheduler = build_masker(args, config)
         # dump the mask config like vqa_mplug.py:506-507
         with open(os.path.join(args.output_dir, "mask_config.json"), "w") as f:
             json.dump({"zero_rate": args.zero_rate, "threshold": args.threshold,
