@@ -24,6 +24,30 @@ def str2bool(v: str) -> bool:
     return str(v).lower() in ("1", "true", "yes", "y")
 
 
+def lxmert_uniform_masker(config, zero_rate: float):
+    """The stage-2-artifact contract in one place: the uniform-rate LXMERT
+    masker whose specs key `mask.pt` imports (`run_vqa_stage3.py` and
+    `serve_vqa` must build the SAME masker or served weights diverge from
+    stage-3's pruned weights)."""
+    from ..masking import Masker, ModalSparsity, lxmert_mask_specs
+
+    specs = lxmert_mask_specs(config.l_layers, config.r_layers,
+                              config.x_layers)
+    return Masker.create(
+        specs, ModalSparsity.uniform(zero_rate, ("Lang", "Vis", "Fus", "P")))
+
+
+def overlay_classifier(params, classifier_bin: str):
+    """Swap in the stage-2 classifier (`classifier4masker.bin`,
+    mask_trainer_Robust_VQA.py:734-740)."""
+    from ..core import torch_compat
+
+    params = dict(params)
+    params["classifier"] = torch_compat.import_classifier_bin(
+        classifier_bin, params["classifier"])
+    return params
+
+
 def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dataroot", type=str, default=None)
     p.add_argument("--img_root", type=str, default=None,

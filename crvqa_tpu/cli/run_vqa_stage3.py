@@ -19,8 +19,7 @@ import numpy as np
 
 from ..core import checkpoint as ckpt
 from ..core import torch_compat
-from ..masking import (Masker, ModalSparsity, lxmert_mask_specs,
-                       magnitude_masks, reference_rand_masks)
+from ..masking import magnitude_masks, reference_rand_masks
 from ..models import LxmertConfig, LxmertForVQA
 from ..parallel import MeshConfig, make_mesh, replicated_sharding
 from ..train import stage1
@@ -115,10 +114,7 @@ def main(argv=None) -> None:
         config = _dc.replace(config, **overrides)
         model = LxmertForVQA(config)
     else:
-        specs = lxmert_mask_specs(config.l_layers, config.r_layers, config.x_layers)
-        masker = Masker.create(
-            specs, ModalSparsity.uniform(args.zero_rate,
-                                         ("Lang", "Vis", "Fus", "P")))
+        masker = common.lxmert_uniform_masker(config, args.zero_rate)
 
         if args.training_type == "FT_randMask":
             if args.rand_scope == "reference":
@@ -144,9 +140,7 @@ def main(argv=None) -> None:
 
     # branch-independent: the stage-2 classifier rides along either way
     if args.classifier_bin:
-        params = dict(params)
-        params["classifier"] = torch_compat.import_classifier_bin(
-            args.classifier_bin, params["classifier"])
+        params = common.overlay_classifier(params, args.classifier_bin)
 
     train_batches, eval_batches, label2ans, n_train = common.build_data(args, config)
     steps_per_epoch = max(n_train // args.train_batch_size, 1)

@@ -23,6 +23,7 @@ is row-independent: padding cannot change a real row's answer).
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -32,7 +33,7 @@ import numpy as np
 
 from ..core import checkpoint as ckpt
 from ..train import mplug_train
-from . import common, vqa_mplug
+from . import vqa_mplug
 from .serve_vqa import serve_loop
 
 
@@ -60,33 +61,40 @@ def main(argv=None) -> None:
         masker, _ = vqa_mplug.build_masker(args, config)
 
     from ..data.mplug_data import (_tokenize_fixed, augment_question,
-                                   load_images, synthetic_mplug_batch)
+                                   load_images, question_token_len,
+                                   synthetic_mplug_batch)
 
-    # params init on a probe batch (shapes are batch-size independent),
-    # then checkpoint restore and optimizer-state drop: the generate step
-    # reads only params/scores/thresholds — serving never carries Adam
-    # moments in HBM
+    # params init on a probe batch (shapes are batch-size independent).
+    # The serving state is built DIRECTLY — no tx.init: the generate step
+    # reads only params/scores/thresholds, and materializing weight-shaped
+    # Adam moments (GBs at full mPLUG size) just to drop them would spike
+    # HBM at startup. Checkpoint restore tolerates the None fields: flax's
+    # from_state_dict passes state through unchanged for untyped (None)
+    # targets, and the post-load replace() drops those raw subtrees.
     b0 = synthetic_mplug_batch(batch_size=1, image_res=config.vit.image_res,
                                vocab_size=config.bert.vocab_size)
     jb0 = {k: jnp.asarray(v) for k, v in b0.items() if k != "qid"}
-    params = model.init(jax.random.PRNGKey(args.seed), jb0["images"],
-                        jb0["question_ids"], jb0["question_mask"],
-                        jb0["answer_ids"], jb0["answer_mask"],
-                        jb0["weights"])["params"]
+    rng = jax.random.PRNGKey(args.seed)
+    params = model.init(rng, jb0["images"], jb0["question_ids"],
+                        jb0["question_mask"], jb0["answer_ids"],
+                        jb0["answer_mask"], jb0["weights"])["params"]
     cfg = mplug_train.MPlugTrainConfig(mode=args.mode, distill=args.distill)
-    state, _ = mplug_train.init_state(model, params, cfg,
-                                     jax.random.PRNGKey(args.seed),
-                                     masker=masker)
+    scores = thresholds = None
+    if masker is not None:
+        scores, thresholds = jax.jit(masker.init)(params, rng)
+    state = mplug_train.MPlugState(
+        step=jnp.zeros((), jnp.int32), params=params, scores=scores,
+        thresholds=thresholds, params_m=None, opt_state=None, rng=rng)
     if args.ckpt:
         state = ckpt.load_checkpoint(args.ckpt, state)
-    state = state.replace(opt_state=None, params_m=None,
-                          scores_m=None, thresholds_m=None)
+        state = state.replace(opt_state=None, params_m=None,
+                              scores_m=None, thresholds_m=None)
     gen_fn = mplug_train.make_generate_step(
         model, cfg, masker=masker, beam_size=args.beam_size,
         max_len=args.max_answer_len, min_length=args.min_length)
 
     bs = args.serve_batch_size
-    q_len = args.max_input_length if args.add_ocr else 25  # vqa_mplug.py:159
+    q_len = question_token_len(args.add_ocr, args.max_input_length)
     res = config.vit.image_res
 
     def decode_answer(row: np.ndarray) -> str:
@@ -96,11 +104,29 @@ def main(argv=None) -> None:
         return tokenizer.decode(toks).strip()
 
     def run_batch(requests: list, images: np.ndarray = None) -> list:
-        n = len(requests)
-        texts = [augment_question(r, args.add_ocr, args.add_object)
-                 for r in requests]
+        # per-request validation (see serve_vqa.run_batch): a bad request
+        # gets an error response, never takes down the batch or the server
+        responses: list = [None] * len(requests)
+        live = []
+        for i, r in enumerate(requests):
+            if not isinstance(r, dict) or "question" not in r:
+                responses[i] = {
+                    "question_id": (r.get("question_id")
+                                    if isinstance(r, dict) else None),
+                    "error": "request needs question and image"}
+            elif images is None and not (isinstance(r.get("image"), str)
+                                         and os.path.isfile(r["image"])):
+                responses[i] = {"question_id": r.get("question_id"),
+                                "error": f"unreadable image {r.get('image')}"}
+            else:
+                live.append(i)
+        if not live:
+            return responses
+        n = len(live)
+        texts = [augment_question(requests[i], args.add_ocr, args.add_object)
+                 for i in live]
         if images is None:
-            images = load_images([r["image"] for r in requests], res,
+            images = load_images([requests[i]["image"] for i in live], res,
                                  workers=args.data_workers)
         if n < bs:
             texts += [""] * (bs - n)
@@ -111,9 +137,10 @@ def main(argv=None) -> None:
                                     "question_ids": jnp.asarray(ids),
                                     "question_mask": jnp.asarray(mask)})
         out_ids = np.asarray(out_ids)[:n]
-        return [{"question_id": r.get("question_id"),
-                 "answer": decode_answer(row)}
-                for r, row in zip(requests, out_ids)]
+        for j, i in enumerate(live):
+            responses[i] = {"question_id": requests[i].get("question_id"),
+                            "answer": decode_answer(out_ids[j])}
+        return responses
 
     t0 = time.monotonic()
     run_batch([{"question_id": -1, "question": "warm up"}],

@@ -23,7 +23,8 @@ checkpoint) as a long-lived request server:
   (`dataset_LXM.py:189-226`) — identical preprocessing to training, so a
   served answer is byte-identical to the offline predict path's.
 - End-of-input prints a stats line (requests, batches, occupancy,
-  per-batch device latency percentiles) to stderr.
+  per-batch end-to-end latency percentiles — host preprocessing INCLUDED,
+  which dominates for serve_mplug's image decode) to stderr.
 
 Single-chip by design: VQA serving is latency-bound at these model sizes
 (one v5e chip runs stage-2 eval at thousands of examples/sec); scale-out is
@@ -44,7 +45,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import torch_compat
-from ..masking import Masker, ModalSparsity, lxmert_mask_specs
 from ..models import LxmertConfig, LxmertForVQA
 from . import common
 
@@ -88,18 +88,12 @@ def load_serving_params(args, model, config):
     params = load_stage1_params(args.ckpt, model, config,
                                 jax.random.PRNGKey(args.seed))
     if args.mask_pt:
-        specs = lxmert_mask_specs(config.l_layers, config.r_layers,
-                                  config.x_layers)
-        masker = Masker.create(
-            specs, ModalSparsity.uniform(args.zero_rate,
-                                         ("Lang", "Vis", "Fus", "P")))
+        masker = common.lxmert_uniform_masker(config, args.zero_rate)
         masks = torch_compat.import_mask_pt(args.mask_pt, masker.specs)
         params = jax.jit(masker.prune_params)(
             params, {k: jnp.asarray(v) for k, v in masks.items()})
     if args.classifier_bin:
-        params = dict(params)
-        params["classifier"] = torch_compat.import_classifier_bin(
-            args.classifier_bin, params["classifier"])
+        params = common.overlay_classifier(params, args.classifier_bin)
     return params
 
 
@@ -120,11 +114,21 @@ class _Batcher:
         self._t.start()
 
     def _read(self, stream):
-        for line in stream:
-            line = line.strip()
-            if line:
-                self.q.put(json.loads(line))
-        self.q.put(self._EOF)
+        # the finally-EOF is load-bearing: if this thread dies without
+        # enqueueing the sentinel, next_batch() blocks forever and the
+        # server hangs — malformed lines are dropped, never fatal
+        try:
+            for line in stream:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    self.q.put(json.loads(line))
+                except ValueError as e:
+                    print(f"serve: dropped malformed request line: {e}",
+                          file=sys.stderr, flush=True)
+        finally:
+            self.q.put(self._EOF)
 
     def next_batch(self) -> Optional[list]:
         if self.done:
@@ -164,7 +168,15 @@ def serve_loop(args, run_batch, tag: str) -> None:
         if reqs is None:
             break
         t0 = time.monotonic()
-        for resp in run_batch(reqs):
+        try:
+            resps = run_batch(reqs)
+        except Exception as e:  # a long-lived server must outlive one bad
+            # batch: every request in it gets an error response instead of
+            # the whole process dying with the in-flight queue
+            resps = [{"question_id": (r.get("question_id")
+                                      if isinstance(r, dict) else None),
+                      "error": f"{type(e).__name__}: {e}"} for r in reqs]
+        for resp in resps:
             out_stream.write(json.dumps(resp) + "\n")
         out_stream.flush()
         lat_ms.append(1000 * (time.monotonic() - t0))
@@ -214,9 +226,28 @@ def main(argv=None) -> None:
     bs = args.serve_batch_size
 
     def run_batch(requests: list) -> list:
-        n = len(requests)
-        questions = [r["question"] for r in requests]
-        image_ids = np.asarray([str(r["image_id"]) for r in requests])
+        # per-request validation: a bad request gets an error RESPONSE and
+        # is excluded from the model batch — it must never take down the
+        # batch (let alone the server) for its neighbors
+        responses: list = [None] * len(requests)
+        live = []
+        for i, r in enumerate(requests):
+            if (not isinstance(r, dict) or "question" not in r
+                    or "image_id" not in r):
+                responses[i] = {
+                    "question_id": (r.get("question_id")
+                                    if isinstance(r, dict) else None),
+                    "error": "request needs question and image_id"}
+            elif str(r["image_id"]) not in features:
+                responses[i] = {"question_id": r.get("question_id"),
+                                "error": f"unknown image_id {r['image_id']}"}
+            else:
+                live.append(i)
+        if not live:
+            return responses
+        n = len(live)
+        questions = [requests[i]["question"] for i in live]
+        image_ids = np.asarray([str(requests[i]["image_id"]) for i in live])
         if n < bs:  # pad to the static shape; pad rows are discarded
             questions += [""] * (bs - n)
             image_ids = np.concatenate(
@@ -228,10 +259,11 @@ def main(argv=None) -> None:
                             np.float32)[:n]
         top = logits.argmax(axis=1)
         probs = 1.0 / (1.0 + np.exp(-logits[np.arange(n), top]))
-        return [{"question_id": r.get("question_id"),
-                 "answer": label2ans[int(t)],
-                 "prob": round(float(pr), 6)}
-                for r, t, pr in zip(requests, top, probs)]
+        for j, i in enumerate(live):
+            responses[i] = {"question_id": requests[i].get("question_id"),
+                            "answer": label2ans[int(top[j])],
+                            "prob": round(float(probs[j]), 6)}
+        return responses
 
     # startup compile on a dummy batch: the one trace the server ever does
     t0 = time.monotonic()

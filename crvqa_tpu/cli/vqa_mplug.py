@@ -216,9 +216,9 @@ def main(argv=None) -> None:
             from ..data.vqacp import make_tokenizer
 
             tokenizer = make_tokenizer(args.vocab_file)
-        # question rows are max_input_length wide with OCR splicing, 25
-        # otherwise (vqa_mplug.py:159)
-        q_len = args.max_input_length if args.add_ocr else 25
+        from ..data.mplug_data import question_token_len
+
+        q_len = question_token_len(args.add_ocr, args.max_input_length)
         train_entries = load_entries(args.train_files, tokenizer,
                                      q_len=q_len, vqa_root=args.vqa_root,
                                      add_ocr=args.add_ocr,

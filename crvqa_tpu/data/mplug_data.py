@@ -58,6 +58,14 @@ def _tokenize_fixed(tokenizer, texts: Sequence[str], max_len: int,
     return ids, mask
 
 
+def question_token_len(add_ocr: bool, max_input_length: int) -> int:
+    """Question rows are max_input_length wide with OCR splicing, 25
+    otherwise (`vqa_mplug.py:159,474`). One definition shared by the train
+    driver and the serving driver — if they disagree, served questions
+    tokenize at a different width than training/offline eval."""
+    return max_input_length if add_ocr else 25
+
+
 def pre_question(question: str, max_ques_words: int) -> str:
     """Question text normalization (`pre_question`,
     mPLUG/dataset/utils.py:3-16): strip punctuation, lowercase, split

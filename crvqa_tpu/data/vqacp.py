@@ -177,6 +177,9 @@ class ImageFeatures:
     def ids(self) -> list:
         return list(self._data.keys())
 
+    def __contains__(self, image_id: str) -> bool:
+        return str(image_id) in self._data
+
 
 def open_image_features(path: str):
     """Pick the feature backend: native mmap store for packed .bin files

@@ -113,6 +113,9 @@ class FeatureStore:
     def ids(self) -> list:
         return list(self._id_to_row.keys())
 
+    def __contains__(self, image_id: str) -> bool:
+        return str(image_id) in self._id_to_row
+
     def gather_rows(self, rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         b = len(rows)
         feats = np.empty((b, self.boxes, self.feat_dim), np.float32)

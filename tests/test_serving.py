@@ -84,6 +84,34 @@ def test_serve_order_padding_and_parity(tmp_path):
     assert [o["answer"] for o in out_full] == [o["answer"] for o in out]
 
 
+def test_serve_error_responses_and_malformed_lines(tmp_path):
+    """A bad request gets an error RESPONSE (the batch and server survive);
+    a malformed JSON line is dropped by the reader without hanging the
+    server (the finally-enqueued EOF sentinel)."""
+    from crvqa_tpu.cli import serve_vqa
+
+    _fabricate(tmp_path)
+    good = _requests(tmp_path, 1)[0]
+    reqs = [good,
+            {"question_id": 77, "question": "what?", "image_id": "no_such"},
+            {"question_id": 78}]
+    req_path = tmp_path / "req_err.jsonl"
+    out_path = tmp_path / "out_err.jsonl"
+    with open(req_path, "w") as f:
+        f.write(json.dumps(reqs[0]) + "\n")
+        f.write("{not json at all\n")  # must be dropped, not fatal
+        f.write(json.dumps(reqs[1]) + "\n")
+        f.write(json.dumps(reqs[2]) + "\n")
+    serve_vqa.main(_args(tmp_path, [
+        "--input", str(req_path), "--output", str(out_path),
+        "--serve_batch_size", "4", "--max_wait_ms", "1"]))
+    out = [json.loads(line) for line in open(out_path)]
+    assert len(out) == 3  # the malformed line produced no response
+    assert out[0]["question_id"] == good["question_id"] and "answer" in out[0]
+    assert out[1]["question_id"] == 77 and "no_such" in out[1]["error"]
+    assert out[2]["question_id"] == 78 and "error" in out[2]
+
+
 def test_serve_streaming_flushes_partial_batch(tmp_path, monkeypatch):
     """Feed requests through a pipe with gaps > max_wait_ms: each request
     must come back without waiting for a full batch (micro-batch timeout),
