@@ -24,6 +24,7 @@ run timeout 3600 python benchmarks/bench_mplug.py
 run timeout 3600 python benchmarks/bench_mplug.py --midseq
 run timeout 3600 python benchmarks/bench_generate.py
 run timeout 3600 python benchmarks/bench_generate.py --midseq
+run timeout 1800 python benchmarks/bench_serve_latency.py
 # headline (also persists .bench_last.json for outage records)
 run timeout 3600 python bench.py
 echo "session complete: $log"
