@@ -106,12 +106,59 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "(data/prefetch.py) — the DataLoader(num_workers) "
                         "overlap; 0 disables")
     p.add_argument("--resume_from", type=str, default=None)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler xplane trace (TensorBoard/"
+                        "XProf) of a training-step window into this dir "
+                        "(utils/profiling.py; the product surface of the "
+                        "reference's tpu_metrics_debug flag, "
+                        "mask_trainer_Robust_VQA.py:775-777)")
+    p.add_argument("--profile_start_step", type=int, default=10,
+                   help="first step of the trace window (past compile)")
+    p.add_argument("--profile_steps", type=int, default=5,
+                   help="trace window length in steps")
     p.add_argument("--tiny", action="store_true",
                    help="tiny 2/1/1-layer config for smoke tests")
     p.add_argument("--dataset", type=str, default="vqacp",
                    choices=["vqacp", "vqavs"])
     p.add_argument("--data_ratio", type=float, default=1.0,
                    help="subsample the train set (VQAFeatureDataset ratio)")
+
+
+class ProfileWindow:
+    """Drives `--profile_dir`: starts a jax.profiler trace when the host
+    step counter enters [profile_start_step, +profile_steps) and stops it
+    on exit. Call `tick(step)` once per iteration (multi-step dispatch
+    advances `step` by steps_per_dispatch; the window rounds to dispatch
+    boundaries). One-shot: the window never re-arms."""
+
+    def __init__(self, args: argparse.Namespace):
+        self.dir = getattr(args, "profile_dir", None)
+        self.start = getattr(args, "profile_start_step", 10)
+        self.stop_at = self.start + getattr(args, "profile_steps", 5)
+        self.active = False
+
+    def tick(self, step: int) -> None:
+        if self.dir is None:
+            return
+        import jax
+
+        if not self.active and self.start <= step < self.stop_at:
+            os.makedirs(self.dir, exist_ok=True)
+            jax.profiler.start_trace(self.dir)
+            self.active = True
+        elif self.active and step >= self.stop_at:
+            jax.profiler.stop_trace()
+            self.active = False
+            self.dir = None  # one-shot
+
+    def close(self) -> None:
+        """Stop an open trace at end of training (short runs)."""
+        if self.active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self.active = False
+            self.dir = None
 
 
 def apply_prng_impl(args: argparse.Namespace) -> None:

@@ -335,6 +335,7 @@ def run(args) -> None:
         step = int(state.step)
         pending = []
         guard = common.PreemptionGuard()
+        profiler = common.ProfileWindow(args)
         for epoch in range(int(args.num_train_epochs)):
             for batch in train_batches(epoch):
                 if spd > 1:
@@ -360,6 +361,7 @@ def run(args) -> None:
                 else:
                     state, metrics = step_fn(state, shard_fn(batch))
                     prev, step = step, step + 1
+                profiler.tick(step)
                 if common.crossed(step, prev, args.logging_steps):
                     state = reset_fn(state)
                     # mask distance vs init / change vs last log (log_mask_info)
@@ -392,12 +394,14 @@ def run(args) -> None:
                 if guard.save_and_stop(args, state, step):
                     # pending partial-window batches are dropped; the
                     # resumed run re-iterates the epoch
+                    profiler.close()
                     return
             # flush a partial scan window through the single-step path
             for leftover in pending:
                 state, metrics = step_fn(state, shard_fn(leftover))
                 step += 1
             pending = []
+        profiler.close()
         state = export_best(state)
 
     if args.do_eval or args.do_predict:

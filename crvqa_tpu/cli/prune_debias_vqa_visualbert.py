@@ -147,10 +147,12 @@ def main(argv=None) -> None:
         # in-flight step (cli/common.crossed docstring)
         step = int(state.step)
         guard = common.PreemptionGuard()
+        profiler = common.ProfileWindow(args)
         for epoch in range(int(args.num_train_epochs)):
             for batch in train_batches(epoch):
                 state, metrics = step_fn(state, shard_fn(batch))
                 prev, step = step, step + 1
+                profiler.tick(step)
                 if common.crossed(step, prev, args.logging_steps):
                     state = reset_fn(state)
                     common.log_step(step, loss=float(metrics.loss),
@@ -171,7 +173,9 @@ def main(argv=None) -> None:
                                 out["logits"], out["question_id"], label2ans)
                             state = export_best(state)
                 if guard.save_and_stop(args, state, step):
+                    profiler.close()
                     return
+        profiler.close()
         state = export_best(state)
 
     if args.do_eval or args.do_predict:

@@ -97,10 +97,12 @@ def main(argv=None) -> None:
         # in-flight step (cli/common.crossed docstring)
         step = int(state.step)
         guard = common.PreemptionGuard()
+        profiler = common.ProfileWindow(args)
         for epoch in range(int(args.num_train_epochs)):
             for batch in train_batches(epoch):
                 state, metrics = step_fn(state, shard_fn(batch))
                 prev, step = step, step + 1
+                profiler.tick(step)
                 if common.crossed(step, prev, args.logging_steps):
                     common.log_step(step, loss=float(metrics.loss),
                                     score=100 * float(metrics.score) /
@@ -120,7 +122,9 @@ def main(argv=None) -> None:
                                 out["logits"], out["question_id"], label2ans)
                             save_best(state)
                 if guard.save_and_stop(args, state, step):
+                    profiler.close()
                     return
+        profiler.close()
         if best < 0:
             # no best-eval save fired (no --evaluate_during_training, or
             # total steps below save_steps): persist the final params —

@@ -176,10 +176,12 @@ def main(argv=None) -> None:
         # in-flight step (cli/common.crossed docstring)
         step = int(state.step)
         guard = common.PreemptionGuard()
+        profiler = common.ProfileWindow(args)
         for epoch in range(int(args.num_train_epochs)):
             for batch in train_batches(epoch):
                 state, metrics = step_fn(state, shard_fn(batch))
                 prev, step = step, step + 1
+                profiler.tick(step)
                 if common.crossed(step, prev, args.logging_steps):
                     common.log_step(step, loss=float(metrics.loss),
                                     score=100 * float(metrics.score) /
@@ -208,7 +210,9 @@ def main(argv=None) -> None:
                                              args.label4save + suffix + ".msgpack"),
                                 jax.device_get(state.params))
                 if guard.save_and_stop(args, state, step):
+                    profiler.close()
                     return
+        profiler.close()
         if best < 0:
             # the fine-tuned subnetwork must survive even when no best-eval
             # save fired (no --evaluate_during_training, or total steps

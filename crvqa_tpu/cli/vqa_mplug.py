@@ -324,12 +324,14 @@ def main(argv=None) -> None:
         # the in-flight step and serialize device with host batch prep
         step = int(state.step)
         guard = common.PreemptionGuard()
+        profiler = common.ProfileWindow(args)
         for epoch in range(int(args.num_train_epochs)):
             for batch_idx, batch in enumerate(train_batches(epoch)):
                 dev = shard_fn({k: v for k, v in batch.items()
                                 if k not in ("qid", "valid")})
                 state, loss = step_fn(state, dev)
                 prev, step = step, step + 1
+                profiler.tick(step)
                 if masker is not None and common.crossed(
                         step, prev, args.masker_update_step):
                     # FRACTIONAL epoch: the AGP/stepwise ramps move at 0.1-
@@ -350,7 +352,9 @@ def main(argv=None) -> None:
                         metadata={"step": step})
                     ckpt.rotate_checkpoints(args.output_dir, keep=2)
                 if guard.save_and_stop(args, state, step):
+                    profiler.close()
                     return
+        profiler.close()
         if masker is not None:
             state = reset_fn(state, None)
             masks = jax.device_get(masks_fn(state.scores, state.thresholds))

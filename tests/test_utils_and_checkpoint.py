@@ -117,3 +117,21 @@ def test_torch_name_mapping_round_trip():
         params["encoder"]["layer_3"]["attention"]["self"]["query"]["kernel"])
     np.testing.assert_array_equal(back["clf"]["main_0"]["g"],
                                   params["clf"]["main_0"]["g"])
+
+
+def test_profile_window_captures_trace(tmp_path):
+    """`--profile_dir` must land a jax.profiler xplane trace from a normal
+    CLI training run (the product surface of SURVEY §5.1 tracing)."""
+    import glob
+
+    from crvqa_tpu.cli import run_vqa_stage1
+
+    prof = tmp_path / "prof"
+    run_vqa_stage1.main([
+        "--tiny", "--synthetic", "16", "--train_batch_size", "8",
+        "--num_train_epochs", "1", "--do_train", "--dtype", "float32",
+        "--warmup_steps", "0", "--output_dir", str(tmp_path / "out"),
+        "--profile_dir", str(prof), "--profile_start_step", "1",
+        "--profile_steps", "1", "--prefetch_batches", "0"])
+    traces = glob.glob(str(prof / "**" / "*.xplane.pb"), recursive=True)
+    assert traces, f"no xplane trace under {prof}"
