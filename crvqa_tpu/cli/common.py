@@ -37,14 +37,15 @@ def lxmert_uniform_masker(config, zero_rate: float):
         specs, ModalSparsity.uniform(zero_rate, ("Lang", "Vis", "Fus", "P")))
 
 
-def overlay_classifier(params, classifier_bin: str):
+def overlay_classifier(params, classifier_bin: str, key: str = "classifier"):
     """Swap in the stage-2 classifier (`classifier4masker.bin`,
-    mask_trainer_Robust_VQA.py:734-740)."""
+    mask_trainer_Robust_VQA.py:734-740). VisualBERT's head lives under
+    `cls` (the reference saves `model.cls`)."""
     from ..core import torch_compat
 
     params = dict(params)
-    params["classifier"] = torch_compat.import_classifier_bin(
-        classifier_bin, params["classifier"])
+    params[key] = torch_compat.import_classifier_bin(
+        classifier_bin, params[key])
     return params
 
 

@@ -51,6 +51,8 @@ from . import common
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("serve_vqa")
+    p.add_argument("--model_type", type=str, default="lxmert",
+                   choices=["lxmert", "visualbert"])
     p.add_argument("--ckpt", type=str, default=None,
                    help="params checkpoint: stage-1/3 torch .bin or msgpack")
     p.add_argument("--mask_pt", type=str, default=None,
@@ -83,17 +85,44 @@ def load_serving_params(args, model, config):
     """Stage-agnostic param assembly: checkpoint, then optional stage-2
     subnetwork artifacts (the `run_vqa_stage3.py:227-324` pruning applied
     once at load — served weights are exactly `w * mask`)."""
-    from .prune_debias_vqa import load_stage1_params
+    if args.model_type == "visualbert":
+        from ..core import checkpoint as ckpt_mod
+        from ..data.synthetic import synthetic_batch
 
-    params = load_stage1_params(args.ckpt, model, config,
-                                jax.random.PRNGKey(args.seed))
+        b = synthetic_batch(batch_size=2, vocab_size=config.vocab_size,
+                            ans_num=config.ans_num,
+                            feat_dim=config.visual_embedding_dim,
+                            style="visualbert")
+        params = model.init(
+            jax.random.PRNGKey(args.seed),
+            input_ids=jnp.asarray(b["input_ids"]),
+            visual_embeds=jnp.asarray(b["visual_embeds"]))["params"]
+        if args.ckpt:
+            params = (torch_compat.load_torch_params(args.ckpt, params)
+                      if args.ckpt.endswith((".bin", ".pt", ".pth"))
+                      else ckpt_mod.load_checkpoint(args.ckpt, params))
+    else:
+        from .prune_debias_vqa import load_stage1_params
+
+        params = load_stage1_params(args.ckpt, model, config,
+                                    jax.random.PRNGKey(args.seed))
     if args.mask_pt:
-        masker = common.lxmert_uniform_masker(config, args.zero_rate)
+        if args.model_type == "visualbert":
+            from ..masking import (Masker, ModalSparsity,
+                                   visualbert_mask_specs)
+
+            masker = Masker.create(
+                visualbert_mask_specs(config.num_hidden_layers),
+                ModalSparsity.uniform(args.zero_rate))
+        else:
+            masker = common.lxmert_uniform_masker(config, args.zero_rate)
         masks = torch_compat.import_mask_pt(args.mask_pt, masker.specs)
         params = jax.jit(masker.prune_params)(
             params, {k: jnp.asarray(v) for k, v in masks.items()})
     if args.classifier_bin:
-        params = common.overlay_classifier(params, args.classifier_bin)
+        params = common.overlay_classifier(
+            params, args.classifier_bin,
+            key="cls" if args.model_type == "visualbert" else "classifier")
     return params
 
 
@@ -201,9 +230,16 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    config = (LxmertConfig.tiny(dtype=dtype) if args.tiny
-              else LxmertConfig(ans_num=args.ans_num, dtype=dtype))
-    model = LxmertForVQA(config)
+    if args.model_type == "visualbert":
+        from ..models.visualbert import VisualBertConfig, VisualBertForVQA
+
+        config = (VisualBertConfig.tiny(dtype=dtype) if args.tiny
+                  else VisualBertConfig(ans_num=args.ans_num, dtype=dtype))
+        model = VisualBertForVQA(config)
+    else:
+        config = (LxmertConfig.tiny(dtype=dtype) if args.tiny
+                  else LxmertConfig(ans_num=args.ans_num, dtype=dtype))
+        model = LxmertForVQA(config)
     params = load_serving_params(args, model, config)
 
     from ..data import vqacp
@@ -212,16 +248,29 @@ def main(argv=None) -> None:
     _, label2ans = vqacp.load_answer_vocab(args.dataroot)
     features = vqacp.open_image_features(args.img_root)
 
-    @jax.jit
-    def forward(params, input_ids, visual_feats, visual_pos):
-        logits, _ = model.apply(
-            {"params": params}, input_ids=input_ids,
-            visual_feats=visual_feats, visual_pos=visual_pos,
-            # all-ones mask = the reference's positional model call
-            # (mask_trainer_Robust_VQA.py:808; see vqacp.iterate_batches)
-            attention_mask=jnp.ones_like(input_ids, jnp.float32),
-            deterministic=True)
-        return logits
+    if args.model_type == "visualbert":
+        @jax.jit
+        def forward(params, input_ids, visual_feats, visual_pos):
+            # single-stream model: the 2048-d features ARE visual_embeds
+            # (mask_trainer_visualBERT_VQA.py:820 passes only
+            # input_ids + visual_embeds); spatials unused
+            logits, _ = model.apply(
+                {"params": params}, input_ids=input_ids,
+                visual_embeds=visual_feats,
+                attention_mask=jnp.ones_like(input_ids, jnp.float32),
+                deterministic=True)
+            return logits
+    else:
+        @jax.jit
+        def forward(params, input_ids, visual_feats, visual_pos):
+            logits, _ = model.apply(
+                {"params": params}, input_ids=input_ids,
+                visual_feats=visual_feats, visual_pos=visual_pos,
+                # all-ones mask = the reference's positional model call
+                # (mask_trainer_Robust_VQA.py:808; see vqacp.iterate_batches)
+                attention_mask=jnp.ones_like(input_ids, jnp.float32),
+                deterministic=True)
+            return logits
 
     bs = args.serve_batch_size
 

@@ -31,7 +31,7 @@ def _requests(root, n=10):
              "image_id": q["image_id"]} for q in questions]
 
 
-def _serve(root, tmp_path, reqs, batch_size, tag):
+def _serve(root, tmp_path, reqs, batch_size, tag, extra=()):
     from crvqa_tpu.cli import serve_vqa
 
     req_path = tmp_path / f"req_{tag}.jsonl"
@@ -41,7 +41,8 @@ def _serve(root, tmp_path, reqs, batch_size, tag):
             f.write(json.dumps(r) + "\n")
     serve_vqa.main(_args(root, [
         "--input", str(req_path), "--output", str(out_path),
-        "--serve_batch_size", str(batch_size), "--max_wait_ms", "1"]))
+        "--serve_batch_size", str(batch_size), "--max_wait_ms", "1",
+        *extra]))
     return [json.loads(line) for line in open(out_path)]
 
 
@@ -82,6 +83,41 @@ def test_serve_order_padding_and_parity(tmp_path):
     # batch-size invariance: padding rows and grouping must not change answers
     out_full = _serve(tmp_path, tmp_path, reqs, 10, "b10")
     assert [o["answer"] for o in out_full] == [o["answer"] for o in out]
+
+
+def test_serve_visualbert_parity(tmp_path):
+    """--model_type visualbert: served answers == a direct single-stream
+    forward on the same seeded params (feats ride as visual_embeds)."""
+    import jax.numpy as jnp
+
+    from crvqa_tpu.cli import serve_vqa
+    from crvqa_tpu.data import vqacp
+    from crvqa_tpu.models.visualbert import VisualBertConfig, VisualBertForVQA
+
+    _fabricate(tmp_path)
+    reqs = _requests(tmp_path, 6)
+    out = _serve(tmp_path, tmp_path, reqs, 4, "vb",
+                 extra=["--model_type", "visualbert"])
+    assert [o["question_id"] for o in out] == [r["question_id"] for r in reqs]
+
+    args = serve_vqa.build_parser().parse_args(
+        _args(tmp_path, ["--model_type", "visualbert"]))
+    config = VisualBertConfig.tiny(dtype=jnp.float32)
+    model = VisualBertForVQA(config)
+    params = serve_vqa.load_serving_params(args, model, config)
+    tokenizer = vqacp.make_tokenizer(str(tmp_path / "vocab.txt"))
+    features = vqacp.open_image_features(
+        str(tmp_path / "vqa_img_feature_trainval.pickle"))
+    _, label2ans = vqacp.load_answer_vocab(str(tmp_path))
+    ids, _ = vqacp.tokenize_questions([r["question"] for r in reqs], tokenizer)
+    feats, _ = features.lookup([r["image_id"] for r in reqs])
+    logits, _ = model.apply(
+        {"params": params}, input_ids=jnp.asarray(ids),
+        visual_embeds=jnp.asarray(feats),
+        attention_mask=jnp.ones_like(jnp.asarray(ids), jnp.float32),
+        deterministic=True)
+    expected = [label2ans[int(t)] for t in np.asarray(logits).argmax(axis=1)]
+    assert [o["answer"] for o in out] == expected
 
 
 def test_serve_error_responses_and_malformed_lines(tmp_path):
