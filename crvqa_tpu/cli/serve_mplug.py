@@ -23,6 +23,7 @@ is row-independent: padding cannot change a real row's answer).
 """
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -89,6 +90,40 @@ def main(argv=None) -> None:
         state = ckpt.load_checkpoint(args.ckpt, state)
         state = state.replace(opt_state=None, params_m=None,
                               scores_m=None, thresholds_m=None)
+    rank_fn = None
+    answers = None
+    use_topk = False
+    if args.eval_method == "rank":
+        # fixed-candidate re-ranking (`rank_answer`,
+        # model_vqa_mplug.py:188-245): the fast serving mode when the
+        # answer vocabulary is closed — first-token shortlist (k_test) +
+        # chain-rule re-rank instead of open-ended beam decode
+        assert args.answer_list, "--eval_method rank needs --answer_list"
+        with open(args.answer_list) as fh:
+            answers = json.load(fh)
+        ids_np, mask_np = _tokenize_fixed(
+            tokenizer, answers, args.max_answer_len, extra_eos=True)
+        alist_ids = jnp.asarray(ids_np, jnp.int32)
+        alist_mask = jnp.asarray(mask_np, jnp.float32)
+        use_topk = 0 < args.k_test < len(answers)
+
+        @jax.jit
+        def rank_fn(state, batch):
+            params = state.params
+            if cfg.mode == "mask" and state.scores is not None:
+                params = masker.apply_masks(params, state.scores,
+                                            state.thresholds)
+            if use_topk:
+                return model.apply(
+                    {"params": params}, batch["images"],
+                    batch["question_ids"], batch["question_mask"],
+                    alist_ids, alist_mask, k=args.k_test,
+                    method=model.rank_answers_topk)
+            return model.apply({"params": params}, batch["images"],
+                               batch["question_ids"], batch["question_mask"],
+                               alist_ids, alist_mask,
+                               method=model.rank_answers)
+
     gen_fn = mplug_train.make_generate_step(
         model, cfg, masker=masker, beam_size=args.beam_size,
         max_len=args.max_answer_len, min_length=args.min_length)
@@ -133,9 +168,20 @@ def main(argv=None) -> None:
             images = np.concatenate(
                 [images, np.repeat(images[-1:], bs - n, axis=0)])
         ids, mask = _tokenize_fixed(tokenizer, texts, q_len)
-        out_ids, _ = gen_fn(state, {"images": jnp.asarray(images),
-                                    "question_ids": jnp.asarray(ids),
-                                    "question_mask": jnp.asarray(mask)})
+        dev = {"images": jnp.asarray(images),
+               "question_ids": jnp.asarray(ids),
+               "question_mask": jnp.asarray(mask)}
+        if rank_fn is not None:
+            out = rank_fn(state, dev)
+            if use_topk:
+                best = np.asarray(out[0])[:, 0]  # re-ranked best first
+            else:
+                best = np.asarray(out).argmin(axis=1)  # LM loss, lower=better
+            for j, i in enumerate(live):
+                responses[i] = {"question_id": requests[i].get("question_id"),
+                                "answer": answers[int(best[j])]}
+            return responses
+        out_ids, _ = gen_fn(state, dev)
         out_ids = np.asarray(out_ids)[:n]
         for j, i in enumerate(live):
             responses[i] = {"question_id": requests[i].get("question_id"),

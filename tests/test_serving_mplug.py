@@ -55,6 +55,23 @@ def test_serve_mplug_order_and_batch_invariance(tmp_path):
     assert "error" in out_bad[0] and out_bad[1]["answer"] == out[0]["answer"]
 
 
+def test_serve_mplug_rank_mode(tmp_path):
+    """--eval_method rank serves answers from the fixed candidate list
+    (chain-rule LM-loss ranking), invariant to serve batch size."""
+    from tests.test_dress_rehearsal_mplug import ANSWERS
+
+    _fabricate(tmp_path)
+    reqs = _requests_from(tmp_path, 4)
+    extra = ["--eval_method", "rank",
+             "--answer_list", str(tmp_path / "answer_list.json"),
+             "--k_test", "0"]
+    out = _serve(tmp_path, reqs, 2, "rank2", extra=extra)
+    assert [o["question_id"] for o in out] == [r["question_id"] for r in reqs]
+    assert all(o["answer"] in ANSWERS for o in out)
+    out_full = _serve(tmp_path, reqs, 4, "rank4", extra=extra)
+    assert [o["answer"] for o in out_full] == [o["answer"] for o in out]
+
+
 def test_serve_mplug_checkpoint_restore(tmp_path):
     """Serving state restores from a training checkpoint through None-typed
     opt/twin fields: serve(--ckpt saved-from-seed-99) must answer exactly
