@@ -17,4 +17,4 @@ applied functionally inside the jitted train step; data parallelism and
 mask-statistics reductions ride XLA collectives over a `jax.sharding.Mesh`.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
