@@ -12,12 +12,14 @@ lowering error or numerics drift shows up here in ~2 min instead of inside a
 Usage: timeout 1200 python benchmarks/midseq_chip_check.py
 Prints one OK/FAIL line per case and exits non-zero on any failure.
 """
+import os
 import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from crvqa_tpu.ops import midseq_attention as ma
 from crvqa_tpu.ops.fused_attention import reference_attention
 
