@@ -31,8 +31,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def run(batch_size: int, iters: int = 30) -> dict:
+    from crvqa_tpu.cli.common import lxmert_uniform_masker
     from crvqa_tpu.data.synthetic import synthetic_batch
-    from crvqa_tpu.masking import Masker, ModalSparsity, lxmert_mask_specs
     from crvqa_tpu.models import LxmertConfig, LxmertForVQA
 
     config = LxmertConfig(dtype=jnp.bfloat16)
@@ -48,11 +48,9 @@ def run(batch_size: int, iters: int = 30) -> dict:
 
     # a 0.7-zero-rate subnetwork exactly as serve_vqa loads one (the mask
     # multiplies into the weights ONCE at load; serving latency is the
-    # dense forward of the pruned weights)
-    specs = lxmert_mask_specs(config.l_layers, config.r_layers,
-                              config.x_layers)
-    masker = Masker.create(specs, ModalSparsity.uniform(
-        0.7, ("Lang", "Vis", "Fus", "P")))
+    # dense forward of the pruned weights) — the SAME shared masker builder
+    # serve_vqa uses, so the bench measures the served subnetwork contract
+    masker = lxmert_uniform_masker(config, 0.7)
     scores, thresholds = jax.jit(masker.init)(params, rng)
     masks = jax.jit(masker.binary_masks)(scores, thresholds)
     params = jax.jit(masker.prune_params)(params, masks)

@@ -37,6 +37,39 @@ def lxmert_uniform_masker(config, zero_rate: float):
         specs, ModalSparsity.uniform(zero_rate, ("Lang", "Vis", "Fus", "P")))
 
 
+def load_params_any(path: Optional[str], params):
+    """Overlay a params checkpoint of either lineage onto init params:
+    reference torch artifacts (`.bin`/`.pt`/`.pth` state_dicts or whole-model
+    pickles, via `torch_compat.load_torch_params`) or this repo's msgpack
+    checkpoint dirs. The single home of the format dispatch — the stage-2
+    drivers and both serving paths all route through here."""
+    if path is None:
+        return params
+    if path.endswith((".bin", ".pt", ".pth")):
+        from ..core import torch_compat
+
+        return torch_compat.load_torch_params(path, params)
+    from ..core import checkpoint as ckpt
+
+    return ckpt.load_checkpoint(path, params)
+
+
+def init_visualbert_params(model, config, rng):
+    """Shape-only init on a synthetic probe batch (single-stream model:
+    `mask_trainer_visualBERT_VQA.py:820` passes input_ids + visual_embeds).
+    Shared by the VisualBERT stage-2 driver and `serve_vqa`."""
+    import jax.numpy as jnp
+
+    from ..data.synthetic import synthetic_batch
+
+    b = synthetic_batch(batch_size=2, vocab_size=config.vocab_size,
+                        ans_num=config.ans_num,
+                        feat_dim=config.visual_embedding_dim,
+                        style="visualbert")
+    return model.init(rng, input_ids=jnp.asarray(b["input_ids"]),
+                      visual_embeds=jnp.asarray(b["visual_embeds"]))["params"]
+
+
 def overlay_classifier(params, classifier_bin: str, key: str = "classifier"):
     """Swap in the stage-2 classifier (`classifier4masker.bin`,
     mask_trainer_Robust_VQA.py:734-740). VisualBERT's head lives under
@@ -143,7 +176,11 @@ class ProfileWindow:
             return
         import jax
 
-        if not self.active and self.start <= step < self.stop_at:
+        # `>=` (not a range test): with multi-step dispatch the host counter
+        # can stride clean over [start, stop_at) — fire at the first tick at
+        # or past `start`, then stop at the NEXT tick past `stop_at` (the
+        # elif guarantees at least one full dispatch inside the trace).
+        if not self.active and step >= self.start:
             os.makedirs(self.dir, exist_ok=True)
             jax.profiler.start_trace(self.dir)
             self.active = True

@@ -114,11 +114,7 @@ def load_stage1_params(path, model, config, rng):
         rng, input_ids=jnp.asarray(b["input_ids"]),
         visual_feats=jnp.asarray(b["visual_feats"]),
         visual_pos=jnp.asarray(b["visual_pos"]))["params"]
-    if path is None:
-        return params
-    if path.endswith((".bin", ".pt", ".pth")):
-        return torch_compat.load_torch_params(path, params)
-    return ckpt.load_checkpoint(path, params)
+    return common.load_params_any(path, params)
 
 
 def main(argv=None) -> None:
@@ -400,6 +396,7 @@ def run(args) -> None:
             for leftover in pending:
                 state, metrics = step_fn(state, shard_fn(leftover))
                 step += 1
+                profiler.tick(step)
             pending = []
         profiler.close()
         state = export_best(state)

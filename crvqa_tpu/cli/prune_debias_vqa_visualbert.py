@@ -68,20 +68,8 @@ def main(argv=None) -> None:
     model = VisualBertForVQA(config)
     rng = jax.random.PRNGKey(args.seed)
 
-    from ..data.synthetic import synthetic_batch
-
-    init_b = synthetic_batch(batch_size=2, vocab_size=config.vocab_size,
-                             ans_num=config.ans_num,
-                             feat_dim=config.visual_embedding_dim,
-                             style="visualbert")
-    params = model.init(
-        rng, input_ids=jnp.asarray(init_b["input_ids"]),
-        visual_embeds=jnp.asarray(init_b["visual_embeds"]))["params"]
-    if args.stage1_ckpt:
-        if args.stage1_ckpt.endswith((".bin", ".pt", ".pth")):
-            params = torch_compat.load_torch_params(args.stage1_ckpt, params)
-        else:
-            params = ckpt.load_checkpoint(args.stage1_ckpt, params)
+    params = common.init_visualbert_params(model, config, rng)
+    params = common.load_params_any(args.stage1_ckpt, params)
 
     specs = visualbert_mask_specs(config.num_hidden_layers)
     masker = Masker.create(

@@ -92,37 +92,13 @@ def main(argv=None) -> None:
                               scores_m=None, thresholds_m=None)
     rank_fn = None
     answers = None
-    use_topk = False
     if args.eval_method == "rank":
-        # fixed-candidate re-ranking (`rank_answer`,
-        # model_vqa_mplug.py:188-245): the fast serving mode when the
-        # answer vocabulary is closed — first-token shortlist (k_test) +
-        # chain-rule re-rank instead of open-ended beam decode
+        # fixed-candidate re-ranking: the fast serving mode when the answer
+        # vocabulary is closed — shares vqa_mplug.build_rank_fn so a served
+        # answer stays byte-identical to the offline vqa_result.json entry
         assert args.answer_list, "--eval_method rank needs --answer_list"
-        with open(args.answer_list) as fh:
-            answers = json.load(fh)
-        ids_np, mask_np = _tokenize_fixed(
-            tokenizer, answers, args.max_answer_len, extra_eos=True)
-        alist_ids = jnp.asarray(ids_np, jnp.int32)
-        alist_mask = jnp.asarray(mask_np, jnp.float32)
-        use_topk = 0 < args.k_test < len(answers)
-
-        @jax.jit
-        def rank_fn(state, batch):
-            params = state.params
-            if cfg.mode == "mask" and state.scores is not None:
-                params = masker.apply_masks(params, state.scores,
-                                            state.thresholds)
-            if use_topk:
-                return model.apply(
-                    {"params": params}, batch["images"],
-                    batch["question_ids"], batch["question_mask"],
-                    alist_ids, alist_mask, k=args.k_test,
-                    method=model.rank_answers_topk)
-            return model.apply({"params": params}, batch["images"],
-                               batch["question_ids"], batch["question_mask"],
-                               alist_ids, alist_mask,
-                               method=model.rank_answers)
+        rank_fn, answers, best_index = vqa_mplug.build_rank_fn(
+            args, config, tokenizer, model, masker, cfg)
 
     gen_fn = mplug_train.make_generate_step(
         model, cfg, masker=masker, beam_size=args.beam_size,
@@ -173,10 +149,7 @@ def main(argv=None) -> None:
                "question_mask": jnp.asarray(mask)}
         if rank_fn is not None:
             out = rank_fn(state, dev)
-            if use_topk:
-                best = np.asarray(out[0])[:, 0]  # re-ranked best first
-            else:
-                best = np.asarray(out).argmin(axis=1)  # LM loss, lower=better
+            best = best_index(out)
             for j, i in enumerate(live):
                 responses[i] = {"question_id": requests[i].get("question_id"),
                                 "answer": answers[int(best[j])]}

@@ -86,21 +86,9 @@ def load_serving_params(args, model, config):
     subnetwork artifacts (the `run_vqa_stage3.py:227-324` pruning applied
     once at load — served weights are exactly `w * mask`)."""
     if args.model_type == "visualbert":
-        from ..core import checkpoint as ckpt_mod
-        from ..data.synthetic import synthetic_batch
-
-        b = synthetic_batch(batch_size=2, vocab_size=config.vocab_size,
-                            ans_num=config.ans_num,
-                            feat_dim=config.visual_embedding_dim,
-                            style="visualbert")
-        params = model.init(
-            jax.random.PRNGKey(args.seed),
-            input_ids=jnp.asarray(b["input_ids"]),
-            visual_embeds=jnp.asarray(b["visual_embeds"]))["params"]
-        if args.ckpt:
-            params = (torch_compat.load_torch_params(args.ckpt, params)
-                      if args.ckpt.endswith((".bin", ".pt", ".pth"))
-                      else ckpt_mod.load_checkpoint(args.ckpt, params))
+        params = common.init_visualbert_params(
+            model, config, jax.random.PRNGKey(args.seed))
+        params = common.load_params_any(args.ckpt, params)
     else:
         from .prune_debias_vqa import load_stage1_params
 
@@ -248,29 +236,31 @@ def main(argv=None) -> None:
     _, label2ans = vqacp.load_answer_vocab(args.dataroot)
     features = vqacp.open_image_features(args.img_root)
 
-    if args.model_type == "visualbert":
-        @jax.jit
-        def forward(params, input_ids, visual_feats, visual_pos):
+    from ..train.common import model_inputs
+
+    @jax.jit
+    def forward(params, batch):
+        # the forward-kwargs contract is single-sourced in
+        # train.common.model_inputs (LXMERT: visual_feats+visual_pos;
+        # VisualBERT: visual_embeds) so serving cannot drift from the
+        # training/eval call convention
+        logits, _ = model.apply({"params": params}, deterministic=True,
+                                **model_inputs(batch))
+        return logits
+
+    def device_batch(ids, feats, pos):
+        b = {"input_ids": jnp.asarray(ids),
+             # all-ones mask = the reference's positional model call
+             # (mask_trainer_Robust_VQA.py:808; see vqacp.iterate_batches)
+             "attention_mask": jnp.ones(ids.shape, jnp.float32)}
+        if args.model_type == "visualbert":
             # single-stream model: the 2048-d features ARE visual_embeds
-            # (mask_trainer_visualBERT_VQA.py:820 passes only
-            # input_ids + visual_embeds); spatials unused
-            logits, _ = model.apply(
-                {"params": params}, input_ids=input_ids,
-                visual_embeds=visual_feats,
-                attention_mask=jnp.ones_like(input_ids, jnp.float32),
-                deterministic=True)
-            return logits
-    else:
-        @jax.jit
-        def forward(params, input_ids, visual_feats, visual_pos):
-            logits, _ = model.apply(
-                {"params": params}, input_ids=input_ids,
-                visual_feats=visual_feats, visual_pos=visual_pos,
-                # all-ones mask = the reference's positional model call
-                # (mask_trainer_Robust_VQA.py:808; see vqacp.iterate_batches)
-                attention_mask=jnp.ones_like(input_ids, jnp.float32),
-                deterministic=True)
-            return logits
+            # (mask_trainer_visualBERT_VQA.py:820); spatials unused
+            b["visual_embeds"] = jnp.asarray(feats)
+        else:
+            b["visual_feats"] = jnp.asarray(feats)
+            b["visual_pos"] = jnp.asarray(pos)
+        return b
 
     bs = args.serve_batch_size
 
@@ -303,8 +293,7 @@ def main(argv=None) -> None:
                 [image_ids, np.repeat(image_ids[-1:], bs - n)])
         ids, _ = vqacp.tokenize_questions(questions, tokenizer)
         feats, pos = features.lookup(image_ids)
-        logits = np.asarray(forward(params, jnp.asarray(ids),
-                                    jnp.asarray(feats), jnp.asarray(pos)),
+        logits = np.asarray(forward(params, device_batch(ids, feats, pos)),
                             np.float32)[:n]
         top = logits.argmax(axis=1)
         probs = 1.0 / (1.0 + np.exp(-logits[np.arange(n), top]))

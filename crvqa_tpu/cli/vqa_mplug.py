@@ -181,6 +181,63 @@ def build_masker(args, config):
     return masker, scheduler
 
 
+def build_rank_fn(args, config, tokenizer, model, masker, cfg):
+    """Fixed-candidate answer re-ranking (`rank_answer`,
+    model_vqa_mplug.py:188-245), shared by the offline eval loop and
+    `serve_mplug` so a served answer stays byte-identical to the
+    `vqa_result.json` entry. Returns `(rank_fn, answers, best_index)`:
+    `rank_fn(state, batch)` is jitted; `best_index(out)` maps its output to
+    the per-row winning answer-list index (the two rank methods return
+    different shapes: topk -> re-ranked ids best-first, dense -> LM losses).
+    """
+    if args.answer_list:
+        from ..data.mplug_data import _tokenize_fixed
+
+        with open(args.answer_list) as fh:
+            answers = json.load(fh)
+        # the reference appends config['eos'] to every candidate before
+        # tokenizing (vqa_mplug.py:231-232) — extra_eos reproduces its
+        # [SEP] [SEP] row ending
+        ids_np, mask_np = _tokenize_fixed(
+            tokenizer, answers, args.max_answer_len, extra_eos=True)
+        alist_ids = jnp.asarray(ids_np, jnp.int32)
+        alist_mask = jnp.asarray(mask_np, jnp.float32)
+    else:
+        # synthetic smoke path: rank over a tiny random list
+        answers = [f"ans_{i}" for i in range(8)]
+        alist_ids = (jnp.arange(8 * 4, dtype=jnp.int32).reshape(8, 4)
+                     % config.bert.vocab_size)
+        alist_mask = jnp.ones((8, 4), jnp.float32)
+
+    use_topk = 0 < args.k_test < len(answers)
+
+    @jax.jit
+    def rank_fn(state, batch):
+        params = state.params
+        if cfg.mode == "mask" and state.scores is not None:
+            params = masker.apply_masks(params, state.scores,
+                                        state.thresholds)
+        if use_topk:
+            # first-token shortlist (k_test) + chain-rule re-rank —
+            # B*(1+k) decoder rows instead of B*n_answers
+            return model.apply(
+                {"params": params}, batch["images"],
+                batch["question_ids"], batch["question_mask"],
+                alist_ids, alist_mask, k=args.k_test,
+                method=model.rank_answers_topk)
+        return model.apply({"params": params}, batch["images"],
+                           batch["question_ids"], batch["question_mask"],
+                           alist_ids, alist_mask,
+                           method=model.rank_answers)
+
+    def best_index(out) -> np.ndarray:
+        if use_topk:
+            return np.asarray(out[0])[:, 0]  # re-ranked best first
+        return np.asarray(out).argmin(axis=1)  # LM loss, lower = better
+
+    return rank_fn, answers, best_index
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     common.setup_logging(args.output_dir)
@@ -388,55 +445,15 @@ def main(argv=None) -> None:
         rank_fn = None
         answers = None
         if args.eval_method == "rank":
-            # answer-list re-ranking (`rank_answer`, model_vqa_mplug.py:188-245)
-            if args.answer_list:
-                from ..data.mplug_data import _tokenize_fixed
-
-                with open(args.answer_list) as fh:
-                    answers = json.load(fh)
-                # the reference appends config['eos'] to every candidate
-                # before tokenizing (vqa_mplug.py:231-232) — extra_eos
-                # reproduces its [SEP] [SEP] row ending
-                ids_np, mask_np = _tokenize_fixed(
-                    tokenizer, answers, args.max_answer_len, extra_eos=True)
-                alist_ids = jnp.asarray(ids_np, jnp.int32)
-                alist_mask = jnp.asarray(mask_np, jnp.float32)
-            else:
-                # synthetic smoke path: rank over a tiny random list
-                answers = [f"ans_{i}" for i in range(8)]
-                alist_ids = jnp.arange(8 * 4, dtype=jnp.int32).reshape(8, 4)                     % config.bert.vocab_size
-                alist_mask = jnp.ones((8, 4), jnp.float32)
-
-            use_topk = 0 < args.k_test < len(answers)
-
-            @jax.jit
-            def rank_fn(state, batch):
-                params = state.params
-                if cfg.mode == "mask" and state.scores is not None:
-                    params = masker.apply_masks(params, state.scores,
-                                                state.thresholds)
-                if use_topk:
-                    # first-token shortlist (k_test) + chain-rule re-rank —
-                    # B*(1+k) decoder rows instead of B*n_answers
-                    return model.apply(
-                        {"params": params}, batch["images"],
-                        batch["question_ids"], batch["question_mask"],
-                        alist_ids, alist_mask, k=args.k_test,
-                        method=model.rank_answers_topk)
-                return model.apply({"params": params}, batch["images"],
-                                   batch["question_ids"], batch["question_mask"],
-                                   alist_ids, alist_mask,
-                                   method=model.rank_answers)
+            rank_fn, answers, best_index = build_rank_fn(
+                args, config, tokenizer, model, masker, cfg)
 
         for batch in eval_batches():
             dev = shard_fn({k: v for k, v in batch.items()
                             if k not in ("qid", "valid")})
             if rank_fn is not None:
                 out = rank_fn(state, dev)
-                if use_topk:
-                    best = np.asarray(out[0])[:, 0]  # re-ranked best first
-                else:
-                    best = np.asarray(out).argmin(axis=1)
+                best = best_index(out)
                 ok_vec = batch.get("valid", np.ones(len(batch["qid"]), bool))
                 for idx, qid, ok in zip(best, batch["qid"], ok_vec):
                     if not ok:  # ragged-final-batch padding

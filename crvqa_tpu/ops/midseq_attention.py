@@ -104,7 +104,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     qb = q_ref[0]                     # [Sqp, hg*D]
     kb = k_ref[0]                     # [Skp, hg*D]
     vb = v_ref[0]
-    bias = bias_ref[0:1, :]           # [1, Skp] f32 (-1e30 on padded keys)
+    bias = bias_ref[0]                # [1, Skp] f32 (-1e30 on padded keys)
     for j in range(hg):
         lo, hi = j * head_size, (j + 1) * head_size
         s = jax.lax.dot_general(
@@ -139,7 +139,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     kb = k_ref[0]
     vb = v_ref[0]
     gb = g_ref[0]
-    bias = bias_ref[0:1, :]
+    bias = bias_ref[0]
     for j in range(hg):
         lo, hi = j * head_size, (j + 1) * head_size
         qh, kh, vh, gh = (qb[:, lo:hi], kb[:, lo:hi], vb[:, lo:hi],
@@ -188,7 +188,12 @@ def _pad_inputs(q, k, v, bias):
         v = jnp.pad(v, ((0, 0), (0, skp - sk), (0, 0)))
     bias = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, skp - sk)),
                    constant_values=_NEG_INF)
-    return q, k, v, bias, sq, sk
+    # [B, 1, Skp]: real-Mosaic block shapes must have their last two dims
+    # (8, 128)-divisible or equal to the array dims — a 2-D [B, Skp] bias
+    # with a (1, Skp) block is illegal for B > 1 (the sublane block dim 1
+    # neither divides 8 nor equals B). The singleton middle axis makes the
+    # (1, 1, Skp) block's last two dims (1, Skp) == the array dims.
+    return q, k, v, bias[:, None, :], sq, sk
 
 
 def _call(kernel, q, k, v, bias, seed, num_heads, head_size, rate,
@@ -203,7 +208,7 @@ def _call(kernel, q, k, v, bias, seed, num_heads, head_size, rate,
         return pl.BlockSpec((1, s, w), lambda b, g, seed: (b, 0, g),
                             memory_space=pltpu.VMEM)
 
-    bias_spec = pl.BlockSpec((1, skp), lambda b, g, seed: (b, 0),
+    bias_spec = pl.BlockSpec((1, 1, skp), lambda b, g, seed: (b, 0, 0),
                              memory_space=pltpu.VMEM)
     out_seq = (sqp,) + (skp, skp) * (n_outs > 1)
     out_dt = (q.dtype,) + (k.dtype, v.dtype) * (n_outs > 1)

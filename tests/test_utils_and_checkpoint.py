@@ -135,3 +135,32 @@ def test_profile_window_captures_trace(tmp_path):
         "--profile_steps", "1", "--prefetch_batches", "0"])
     traces = glob.glob(str(prof / "**" / "*.xplane.pb"), recursive=True)
     assert traces, f"no xplane trace under {prof}"
+
+
+def test_profile_window_fires_when_dispatch_strides_over_it(
+        tmp_path, monkeypatch):
+    """Multi-step dispatch advances the host counter by steps_per_dispatch;
+    a window that falls between two ticks (e.g. [10, 15) with ticks at
+    8/16/24) must still capture — regression: the old range test
+    `start <= step < stop_at` never fired and the run ended traceless."""
+    import argparse
+
+    import jax
+
+    from crvqa_tpu.cli.common import ProfileWindow
+
+    calls = []
+    monkeypatch.setattr(jax.profiler, "start_trace",
+                        lambda d: calls.append(("start", d)))
+    monkeypatch.setattr(jax.profiler, "stop_trace",
+                        lambda: calls.append(("stop",)))
+    args = argparse.Namespace(profile_dir=str(tmp_path / "p"),
+                              profile_start_step=10, profile_steps=5)
+    w = ProfileWindow(args)
+    for step in (8, 16, 24, 32):
+        w.tick(step)
+    w.close()
+    assert calls == [("start", str(tmp_path / "p")), ("stop",)]
+    # one-shot: later ticks past the window must not re-arm
+    w.tick(40)
+    assert len(calls) == 2
