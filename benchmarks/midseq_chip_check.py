@@ -43,7 +43,13 @@ def run_case(name, sq, sk, h, d, dtype, batch=4):
     seed = jnp.zeros((1,), jnp.int32)
     assert ma.supported(batch, sq, sk, h, d, jnp.dtype(dtype).itemsize), name
 
-    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    # fp32 tolerance is bf16-scale ON CHIP: TPU fp32 dots run at DEFAULT
+    # matmul precision (bf16 multiplies on the MXU), so kernel and XLA each
+    # sit ~4.3e-3 from a float64 oracle (measured IDENTICAL max-rel for
+    # both on v5e) and ~2.6e-4 from each other (reduction order). The old
+    # 2e-5 was an interpret-mode (true-fp32 CPU) number no on-chip path
+    # can meet without precision=HIGHEST (3-pass, ~3x MXU cost).
+    tol = 2e-2 if dtype == jnp.bfloat16 else 1e-3
 
     @jax.jit
     def fwd(q, k, v):
@@ -69,8 +75,9 @@ def run_case(name, sq, sk, h, d, dtype, batch=4):
     for a, b in zip(gk(q, k, v), gr(q, k, v)):
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
         errs.append(np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-6))
-    # bwd tolerance looser: the XLA path keeps bf16 probs, the kernel fp32
-    ok_b = max(errs) < (5e-2 if dtype == jnp.bfloat16 else 1e-4)
+    # bwd tolerance looser: the XLA path keeps bf16 probs, the kernel fp32;
+    # fp32 bwd carries the same DEFAULT-precision MXU error as the forward
+    ok_b = max(errs) < (5e-2 if dtype == jnp.bfloat16 else 2e-3)
 
     # dropout: deterministic per seed, actually drops
     @jax.jit
