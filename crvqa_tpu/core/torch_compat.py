@@ -4,10 +4,11 @@ The real API of the reference codebase is its checkpoint files (SURVEY.md §1):
   - `mask.pt`: dict {torch_module_name + '.weight': BoolTensor}
     (`mask_trainer_Robust_VQA.py:943-991`)
   - `classifier4masker.bin`: the classifier module
-    (`mask_trainer_Robust_VQA.py:734-740`) — we emit/read its state_dict
-    (whole-module pickles need the reference class definitions to unpickle;
-    the tensor payload is identical)
-  - stage-1 whole-model pickles — we read their state_dicts when available.
+    (`mask_trainer_Robust_VQA.py:734-740`) — we emit its state_dict and read
+    either form (whole-module pickles load without the reference class
+    definitions via the stub unpickler below; the tensor payload is
+    identical)
+  - stage-1 whole-model pickles — read as state_dicts, class-free.
 
 Orientation: torch Linear weight is (out, in); flax Dense kernel is
 (in, out) -> transpose on both export and import. Embeddings keep (vocab,
@@ -121,6 +122,8 @@ def torch_state_dict_to_flax(state: dict[str, Any], template: PyTree) -> PyTree:
     from flax import traverse_util
 
     def to_np(v):
+        if hasattr(v, "detach"):  # Parameters from module pickles carry grad
+            v = v.detach()
         return v.numpy() if hasattr(v, "numpy") else np.asarray(v)
 
     flat = traverse_util.flatten_dict(template)
@@ -176,13 +179,131 @@ def export_classifier_bin(path: str, classifier_params: PyTree) -> None:
 
 
 def import_classifier_bin(path: str, template: PyTree) -> PyTree:
-    """Load `classifier4masker.bin` (either our state_dict export or a
-    reference whole-module pickle when the reference code is importable)."""
+    """Load `classifier4masker.bin` (our state_dict export or a reference
+    whole-module pickle — readable with or without the reference class
+    definitions on path, via the stub unpickler)."""
     torch = _torch()
-    raw = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+    except (ModuleNotFoundError, AttributeError):
+        raw = module_pickle_state_dict(path)
     if hasattr(raw, "state_dict"):
         raw = raw.state_dict()
     return torch_state_dict_to_flax(raw, template)
+
+
+# ----------------------------------------- stub-class whole-module unpickling
+#
+# The reference's stage-1 checkpoints are `torch.save(model)` WHOLE-MODULE
+# pickles (`mask_trainer_Robust_VQA.py:748-755`), as is `classifier4masker
+# .bin` (:734-740). Unpickling those normally requires the reference class
+# definitions (`hg_transformers.modeling_lxmert.LxmertForMultipleChoice`,
+# `masking.maskers_Robust.MaskedLinear1`, ...) on sys.path. The stub loader
+# below fabricates a state-capturing stand-in class for ANY class outside a
+# small allowlist (torch / builtins / collections / ...), then walks the
+# reconstructed module tree's `_parameters`/`_buffers`/`_modules` dicts into
+# a flat state_dict — so a reference user's .bin files load with no
+# reference code installed.
+
+_STUB_ALLOWED_ROOTS = frozenset(
+    {"torch", "builtins", "collections", "copyreg", "numpy", "_codecs",
+     "functools", "argparse"})
+_stub_class_cache: dict[tuple, type] = {}
+
+
+class _StubObject:
+    """Reconstruction target for unpickled classes we refuse to import.
+
+    Tolerates every default-protocol shape: NEWOBJ/REDUCE construction args
+    are accepted and ignored; state lands in __dict__ (dict state, or the
+    (dict, slots) pair of protocol-2 objects with __slots__)."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __setstate__(self, state):
+        if isinstance(state, tuple) and len(state) == 2:
+            d, slots = state
+            state = {**(d or {}), **(slots or {})}
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_stub_state"] = state
+
+
+def _stub_class(module: str, name: str) -> type:
+    key = (module, name)
+    cls = _stub_class_cache.get(key)
+    if cls is None:
+        cls = type(name, (_StubObject,), {"__module__": module})
+        _stub_class_cache[key] = cls
+    return cls
+
+
+def _stub_pickle_module():
+    """A `pickle_module` for torch.load whose Unpickler resolves only
+    allowlisted roots and stubs everything else. torch's own serialization
+    wraps this Unpickler (storage/persistent-id handling stays torch's)."""
+    import pickle
+    import types
+
+    class StubUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.split(".", 1)[0] in _STUB_ALLOWED_ROOTS:
+                return super().find_class(module, name)
+            return _stub_class(module, name)
+
+    # a real module object: torch.serialization reads pickle_module.__name__
+    mod = types.ModuleType("crvqa_stub_pickle")
+    mod.Unpickler = StubUnpickler
+    mod.load = lambda f, **kw: StubUnpickler(f, **kw).load()
+    mod.loads = lambda s, **kw: StubUnpickler(__import__("io").BytesIO(s),
+                                              **kw).load()
+    # torch probes these on legacy-format paths
+    mod.Pickler = pickle.Pickler
+    mod.HIGHEST_PROTOCOL = pickle.HIGHEST_PROTOCOL
+    return mod
+
+
+def _walk_module_state(obj: Any, prefix: str, out: dict) -> None:
+    """nn.Module.state_dict recursion over a (possibly stubbed) module tree:
+    `_parameters` + `_buffers` tensors, recurse into `_modules`. Works on
+    real torch modules and `_StubObject`s alike (both keep those dicts in
+    instance __dict__)."""
+    d = getattr(obj, "__dict__", None)
+    if not isinstance(d, dict):
+        return
+    for name, t in (d.get("_parameters") or {}).items():
+        if t is not None:
+            out[prefix + name] = t
+    for name, t in (d.get("_buffers") or {}).items():
+        if t is not None:
+            out[prefix + name] = t
+    for name, child in (d.get("_modules") or {}).items():
+        if child is not None:
+            _walk_module_state(child, prefix + name + ".", out)
+
+
+def module_pickle_state_dict(path: str) -> dict[str, Any]:
+    """torch.load ANY checkpoint (whole-module pickle or state_dict) without
+    importing its classes; return a flat {torch_name: tensor} state_dict.
+
+    A uniform `module.` prefix (DataParallel-wrapped saves) is stripped."""
+    raw = _torch().load(path, map_location="cpu",
+                        pickle_module=_stub_pickle_module(),
+                        weights_only=False)
+    if isinstance(raw, dict):
+        state = dict(raw)
+    else:
+        state = {}
+        _walk_module_state(raw, "", state)
+        if not state:
+            raise ValueError(
+                f"{path}: unpickled object of type {type(raw).__name__} "
+                "carries no _parameters/_buffers/_modules tree")
+    if state and all(k.startswith("module.") for k in state):
+        state = {k[len("module."):]: v for k, v in state.items()}
+    return state
 
 
 # ------------------------------------------------- checkpoint load/save shims
@@ -191,8 +312,16 @@ def load_torch_params(path: str, template: PyTree) -> PyTree:
     """Load a reference-side checkpoint (`.bin`/`.pt`/`.pth`: whole-module
     pickle or plain state_dict) into a flax param tree. The single torch
     entry point for the CLI stage-1-checkpoint loaders (CLAUDE.md: torch
-    stays out of everything but this module / evals.scoring / tests)."""
-    raw = _torch().load(path, map_location="cpu", weights_only=False)
+    stays out of everything but this module / evals.scoring / tests).
+
+    Whole-module pickles load even when their class definitions are NOT
+    importable (the usual case: reference checkpoints, no reference code
+    installed) via the stub unpickler above."""
+    torch = _torch()
+    try:
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+    except (ModuleNotFoundError, AttributeError):
+        raw = module_pickle_state_dict(path)
     if hasattr(raw, "state_dict"):
         raw = raw.state_dict()
     return torch_state_dict_to_flax(raw, template)
