@@ -100,7 +100,10 @@ def main() -> None:
     remat = "--remat" in sys.argv
     midseq = "--midseq" in sys.argv
     results = {"dtype": dtype, "remat": remat, "midseq": midseq}
-    for bs in (32, 64) if remat else (8, 16, 32):
+    # midseq kills the [B,H,S,S] HBM probability tensor, so the no-remat
+    # sweep extends further before OOM (bs 32 fits where it didn't; probe 64)
+    sizes = (32, 64) if remat else ((8, 16, 32, 64) if midseq else (8, 16, 32))
+    for bs in sizes:
         try:
             results[str(bs)] = round(
                 run(bs, dtype=dtype, remat=remat, midseq=midseq), 2)

@@ -39,6 +39,13 @@ Numerics: scores and softmax in fp32 (the models' fp32-softmax policy);
 dots accumulate fp32 via preferred_element_type. Bias is KEY-wise [B, Sk]
 (0 valid / -10000 padding) — same contract as fused_attention; callers with
 query-dependent (causal) biases must use the XLA path.
+
+Measured on the v5e chip (benchmarks/bench_mplug.py / bench_generate.py,
+numerics gated by benchmarks/midseq_chip_check.py — fwd/bwd rel err vs the
+XLA path <= 1.8e-2 bf16, <= 3.2e-4 fp32): mPLUG mask-train 89.6 -> 107.4
+ex/s at bs 8 (+20%), 97.9 -> 127.7 at bs 16 (+30%); bs 32, RESOURCE_EXHAUSTED
+without the kernel, runs at 134.0 (the removed probability tensor IS the
+HBM headroom); beam-5 masked eval 139.3 -> 149.7 ex/s (+7.5%).
 """
 from __future__ import annotations
 

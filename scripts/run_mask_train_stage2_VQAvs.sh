@@ -24,5 +24,6 @@ python -m crvqa_tpu.cli.prune_debias_vqavs \
     --controlled_init magnitude \
     --seed "$SEED" \
     --prng_impl unsafe_rbg \
+    --fused_attention true \
     --do_train --do_eval --evaluate_during_training \
     --output_dir "$ROOT_DIR/out/$LABEL"

@@ -10,5 +10,6 @@ python -m crvqa_tpu.cli.prune_debias_vqa_visualbert \
     --per_gpu_train_batch_size 256 --num_train_epochs 20 \
     --logging_steps 100 --save_steps 1712 \
     --prng_impl unsafe_rbg \
+    --fused_attention true \
     --do_train --do_eval --evaluate_during_training \
     --output_dir "$ROOT_DIR/out/visualbert-$ZERO-$SEED"

@@ -18,5 +18,6 @@ python -m crvqa_tpu.cli.run_vqa_stage1 \
     --save_steps 1712 \
     --seed "$SEED" \
     --prng_impl unsafe_rbg \
+    --fused_attention true \
     --do_train --do_eval --evaluate_during_training \
     --output_dir "$ROOT_DIR/out/stage1-$FT_TYPE-$SEED"

@@ -16,5 +16,6 @@ python -m crvqa_tpu.cli.run_vqa_stage3 \
     --num_train_epochs 20 \
     --seed "$SEED" \
     --prng_impl unsafe_rbg \
+    --fused_attention true \
     --do_train --do_eval --evaluate_during_training \
     --output_dir "$STAGE2_DIR/stage3-$FT_TYPE"

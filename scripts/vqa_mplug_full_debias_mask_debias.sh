@@ -18,5 +18,6 @@ python -m crvqa_tpu.cli.vqa_mplug \
     --use_bias_reweight true \
     --use_checkpoint true --dtype bfloat16 \
     --prng_impl unsafe_rbg \
+    --fused_attention true --midseq_attention true \
     --do_train --do_predict \
     --output_dir "$ROOT_DIR/out/mplug-full-debias-mask-debias"

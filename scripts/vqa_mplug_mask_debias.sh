@@ -11,5 +11,6 @@ python -m crvqa_tpu.cli.vqa_mplug \
     --num_train_epochs 8 --lr1 3e-5 --lr2 5e-6 \
     --masker_update_step 100 --use_bias_reweight true \
     --prng_impl unsafe_rbg \
+    --fused_attention true --midseq_attention true \
     --do_train --do_predict \
     --output_dir "$ROOT_DIR/out/mplug-mask-debias"
