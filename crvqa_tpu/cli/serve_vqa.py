@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'-' = stdin, else a requests .jsonl file")
     p.add_argument("--output", type=str, default="-",
                    help="'-' = stdout, else a responses .jsonl file")
+    p.add_argument("--fused_attention", type=common.str2bool, default=False,
+                   help="fused short-seq attention kernel for the serving "
+                        "forward (ops/fused_attention.py)")
+    p.add_argument("--midseq_attention", type=common.str2bool, default=False,
+                   help="mid-sequence attention kernel "
+                        "(ops/midseq_attention.py)")
     return p
 
 
@@ -216,6 +222,7 @@ def serve_loop(args, run_batch, tag: str) -> None:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    common.apply_prng_impl(args)  # activates the kernel flags too
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.model_type == "visualbert":

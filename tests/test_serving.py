@@ -180,3 +180,23 @@ def test_serve_streaming_flushes_partial_batch(tmp_path, monkeypatch):
     reader.close()
     out = [json.loads(line) for line in open(out_path)]
     assert [o["question_id"] for o in out] == [r["question_id"] for r in reqs]
+
+
+def test_serve_fused_attention_flag(tmp_path):
+    """--fused_attention on the serving CLI activates the kernel (interpret
+    mode off-TPU) and serves the same answers as the XLA path — the flag was
+    previously parser-less here (and silently ignored on serve_mplug)."""
+    from crvqa_tpu.models import layers
+
+    _fabricate(tmp_path)
+    reqs = _requests(tmp_path, 6)
+    before = (layers.FUSED_ATTENTION, layers.FUSED_ATTENTION_INTERPRET)
+    try:
+        base = _serve(tmp_path, tmp_path, reqs, 4, "xla")
+        out = _serve(tmp_path, tmp_path, reqs, 4, "fused",
+                     ["--fused_attention", "true"])
+        # the flag must actually have reached the dispatch switch
+        assert layers.FUSED_ATTENTION and layers.FUSED_ATTENTION_INTERPRET
+    finally:
+        layers.FUSED_ATTENTION, layers.FUSED_ATTENTION_INTERPRET = before
+    assert [o["answer"] for o in out] == [o["answer"] for o in base]
