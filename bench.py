@@ -207,7 +207,7 @@ def _emit_unavailable(reason: str) -> None:
         with open(_LAST_PATH) as f:
             last = json.load(f)
     except (OSError, ValueError):
-        last = {"value": 3576.5, "mfu": 0.466,
+        last = {"value": 3585.7, "mfu": 0.467,
                 "when": "round 3 (STATUS.md perf section)",
                 "config": "bf16 backbone + bf16 Adam moments, "
                           "window 64, bs 256"}

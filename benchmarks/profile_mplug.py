@@ -1,0 +1,116 @@
+"""Device-op profile of the mPLUG mask-train step (post-midseq bottleneck).
+
+Same HLO-metadata-joined method as profile_stage2.py (which exposed the
+real stage-2 split), pointed at the `bench_mplug.run` configuration: full
+ViT-B/16 @ 384^2 + 6/6/12 BERT towers, mask mode, dual-LR AdamW. Buckets
+split by tower (visual_encoder / text_encoder / fusion_encoder /
+text_decoder) and by op family (attention kernels vs FFN vs projections)
+so the next optimization target is attributable.
+
+Usage: python benchmarks/profile_mplug.py [bs] [--no-midseq]
+       (real chip; one cached compile)
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+from profile_stage2 import build_hlo_map, summarize_trace
+
+LOGDIR = "/tmp/crvqa_profile_mplug"
+
+
+def categorize(name: str, op: str) -> str:
+    if name.startswith(("copy-start", "copy-done")):
+        return "dma_copy"
+    fb = "bwd" if "transpose(jvp" in op else "fwd"
+    if "custom-call" in name:
+        return f"pallas_attn_{fb}"
+    tower = "other"
+    for t in ("visual_encoder", "text_encoder", "fusion_encoder",
+              "text_decoder"):
+        if t in op:
+            tower = {"visual_encoder": "vit", "text_encoder": "tenc",
+                     "fusion_encoder": "fus", "text_decoder": "dec"}[t]
+            break
+    if tower == "other":
+        if "adam" in op or ("closed_call/add" in op and "divide" in name):
+            return "adam_update"
+        if op:
+            return "model_other"
+        return "unattributed"
+    if re.search(r"(mlp_c_fc|mlp_c_proj|intermediate|/output/dense)", op):
+        return f"{tower}_ffn_{fb}"
+    if re.search(r"(attn_in_proj|attn_out_proj|query|key|value|att)", op):
+        return f"{tower}_attnproj_{fb}"
+    if "conv" in op:
+        return f"{tower}_conv_{fb}"
+    return f"{tower}_other_{fb}"
+
+
+def main() -> None:
+    import bench_mplug
+    from crvqa_tpu.masking import Masker, ModalSparsity
+    from crvqa_tpu.masking.mplug_specs import mplug_mask_specs
+    from crvqa_tpu.models import layers
+    from crvqa_tpu.models.mplug import MPlug, MPlugConfig
+    from crvqa_tpu.models.mplug.bert import MPlugBertConfig
+    from crvqa_tpu.models.mplug.vit import ViTConfig
+    from crvqa_tpu.train import mplug_train
+    import jax.numpy as jnp
+
+    bs = next((int(a) for a in sys.argv[1:] if a.isdigit()), 16)
+    midseq = "--no-midseq" not in sys.argv
+    layers.FUSED_ATTENTION = True
+    layers.MIDSEQ_ATTENTION = midseq
+
+    config = MPlugConfig(bert=MPlugBertConfig(dtype=jnp.bfloat16),
+                         vit=ViTConfig(dtype=jnp.bfloat16))
+    model = MPlug(config)
+    jb = bench_mplug._batch(config, bs)
+    params = model.init(
+        jax.random.PRNGKey(0), jb["images"][:1], jb["question_ids"][:1],
+        jb["question_mask"][:1], jb["answer_ids"][:1], jb["answer_mask"][:1],
+        jb["weights"][:1])["params"]
+    c = config.bert
+    specs = mplug_mask_specs(
+        vit_layers=config.vit.layers,
+        text_encoder_layers=c.text_encoder_layers,
+        fusion_layers=c.fusion_layers, decoder_layers=c.text_decode_layers,
+        stride_layer=c.stride_layer)
+    masker = Masker.create(specs, ModalSparsity.uniform(0.5),
+                           controlled_init="magnitude_soft")
+    cfg = mplug_train.MPlugTrainConfig(mode="mask", total_steps=10_000)
+    state, tx = mplug_train.init_state(model, params, cfg,
+                                       jax.random.PRNGKey(1), masker=masker)
+    step = mplug_train.make_train_step(model, cfg, tx, masker=masker)
+
+    compiled = step.lower(state, jb).compile()
+    hlo_map = build_hlo_map(compiled)
+    state, loss = compiled(state, jb)  # warmup
+    _ = float(loss)
+
+    jax.profiler.start_trace(LOGDIR, create_perfetto_trace=True)
+    for _ in range(4):
+        state, loss = compiled(state, jb)
+    _ = float(loss)
+    jax.profiler.stop_trace()
+
+    out = summarize_trace(LOGDIR, hlo_map, categorize)
+    out.update(batch_size=bs, midseq=midseq, steps_traced=4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,22 +82,15 @@ def categorize(name: str, op: str) -> str:
     return "unattributed"
 
 
-def main() -> None:
-    compiled, state, stacked = build()
-    hlo_map = build_hlo_map(compiled)
-    state, losses, _ = compiled(state, stacked)  # warmup / compile
-    _ = float(losses[-1])
-
-    jax.profiler.start_trace(LOGDIR, create_perfetto_trace=True)
-    state, losses, _ = compiled(state, stacked)
-    _ = float(losses[-1])
-    jax.profiler.stop_trace()
-
+def summarize_trace(logdir: str, hlo_map: dict, categorize_fn) -> dict:
+    """Aggregate the newest perfetto trace under `logdir` into buckets via
+    `categorize_fn(name, metadata_op_name)`; prints the ranked table +
+    top-25 ops to stderr, returns the category dict (shared by
+    profile_stage2 and profile_mplug)."""
     traces = sorted(glob.glob(
-        os.path.join(LOGDIR, "plugins/profile/*/*.trace.json.gz")))
+        os.path.join(logdir, "plugins/profile/*/*.trace.json.gz")))
     if not traces:
-        print(json.dumps({"error": "no perfetto trace emitted"}))
-        return
+        return {"error": "no perfetto trace emitted"}
     with gzip.open(traces[-1], "rt") as f:
         trace = json.load(f)
 
@@ -125,7 +118,7 @@ def main() -> None:
         if name == "0" or name.startswith("jit_") or name.startswith("while."):
             continue
         by_name[name] += dur
-        by_cat[categorize(name, hlo_map.get(name, ""))] += dur
+        by_cat[categorize_fn(name, hlo_map.get(name, ""))] += dur
         total += dur
 
     print(f"# device tracks: {sorted(pid_names[p] for p in device_pids)}",
@@ -139,10 +132,24 @@ def main() -> None:
         op = hlo_map.get(name, "")
         print(f"# {dur/1e3:9.2f} ms  {name[:40]:40s} {op[:90]}",
               file=sys.stderr)
-    print(json.dumps({
+    return {
         "total_ms": round(total / 1e3, 1),
         "by_category_ms": {k: round(v / 1e3, 2) for k, v in by_cat.items()},
-    }))
+    }
+
+
+def main() -> None:
+    compiled, state, stacked = build()
+    hlo_map = build_hlo_map(compiled)
+    state, losses, _ = compiled(state, stacked)  # warmup / compile
+    _ = float(losses[-1])
+
+    jax.profiler.start_trace(LOGDIR, create_perfetto_trace=True)
+    state, losses, _ = compiled(state, stacked)
+    _ = float(losses[-1])
+    jax.profiler.stop_trace()
+
+    print(json.dumps(summarize_trace(LOGDIR, hlo_map, categorize)))
 
 
 if __name__ == "__main__":
