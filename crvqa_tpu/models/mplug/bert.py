@@ -130,19 +130,39 @@ class BertSelfBlock(nn.Module):
 
 
 class BertLayer(nn.Module):
-    """Self-attn (+optional cross-attn) + FFN (modeling_mplug.py:BertLayer)."""
+    """Self-attn (+optional cross-attn) + FFN (modeling_mplug.py:BertLayer).
+
+    `memory_groups` g > 1: the batch rows come in g-sized groups (question-
+    major) sharing one `enc_states` row, which is passed UNREPLICATED with
+    batch N/g. The cross-attention reshapes queries (N, L) -> (N/g, g*L) and
+    attends the shared memory once — identical math to repeating the memory
+    per row (key-wise bias only; every query row sees the full memory), but
+    the cross K/V projections run on N/g rows instead of N. At mPLUG answer
+    shapes (g=answers-per-question, Sk=602 memory vs L=8 answer tokens) the
+    K/V projections are ~94%% of the decoder cross-attention FLOPs, so the
+    reference's replicate-then-project formulation (`question_states +=
+    [out]*n`, model_vqa_mplug.py:58-62) pays g-fold for them; this doesn't."""
 
     config: MPlugBertConfig
     has_cross: bool = False
+    memory_groups: int = 1
 
     @nn.compact
     def __call__(self, x, self_bias=None, enc_states=None, enc_bias=None,
                  deterministic=True, cross_kv=None):
         c = self.config
+        g = self.memory_groups
         x = BertSelfBlock(c, name="attention")(x, x, self_bias, deterministic)
         if self.has_cross:
-            x = BertSelfBlock(c, name="crossattention")(
-                x, enc_states, enc_bias, deterministic, kv=cross_kv)
+            block = BertSelfBlock(c, name="crossattention")
+            if g > 1:
+                n, length, d = x.shape
+                xg = x.reshape(n // g, g * length, d)
+                xg = block(xg, enc_states, enc_bias, deterministic,
+                           kv=cross_kv)
+                x = xg.reshape(n, length, d)
+            else:
+                x = block(x, enc_states, enc_bias, deterministic, kv=cross_kv)
         inter = Intermediate(c.intermediate_size, c.hidden_act, c.dtype,
                              name="intermediate")(x)
         return FFNOutput(c.hidden_size, c.hidden_dropout_prob, c.dtype,
@@ -260,10 +280,16 @@ class TextDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, enc_states, enc_mask,
-                 deterministic=True, cross_kv=None, position=None):
+                 deterministic=True, cross_kv=None, position=None,
+                 memory_groups: int = 1):
         """`cross_kv`: optional per-layer list of precomputed cross-attention
         (k, v) projections of `enc_states` — decode-time caching of the
         static encoder memory (generator.precompute_cross_kv).
+
+        `memory_groups` g > 1: input rows come in g-sized question-major
+        groups sharing one `enc_states` row (passed with batch N/g); see
+        BertLayer. Mutually exclusive with `cross_kv` (the decode cache is
+        already per-row).
 
         `position` (traced scalar): slice the hidden states to that single
         row BEFORE the LM head and return [N, 1, V]. Autoregressive
@@ -271,6 +297,8 @@ class TextDecoder(nn.Module):
         [hidden, 30522] vocab projection is the decode loop's largest
         matmul — computing it for all L rows was an L-fold waste."""
         c = self.config
+        assert cross_kv is None or memory_groups == 1, \
+            "cross_kv caching and memory_groups are mutually exclusive"
         emb = BertEmbeddings(c, name="embeddings")
         h = emb(input_ids, deterministic)
         self_bias = causal_mask_bias(input_ids.shape[1], attention_mask)
@@ -278,7 +306,8 @@ class TextDecoder(nn.Module):
         layer_cls = (nn.remat(BertLayer, static_argnums=(5,))
                      if c.use_remat else BertLayer)
         for i in range(c.text_decode_layers):
-            h = layer_cls(c, has_cross=True, name=f"layer_{i}")(
+            h = layer_cls(c, has_cross=True, memory_groups=memory_groups,
+                          name=f"layer_{i}")(
                 h, self_bias, enc_states, enc_bias, deterministic,
                 cross_kv=None if cross_kv is None else cross_kv[i])
         if position is not None:

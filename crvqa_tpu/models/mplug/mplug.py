@@ -9,10 +9,15 @@ optional `(1-bias)` debias reweighting (:112-115).
 
 TPU-native static-shape reformulation: the reference replicates question
 states by a Python loop over per-question answer counts
-(`question_states += [out]*n`, :58-62) — dynamic shapes XLA can't compile.
-Here every question carries a fixed `answers_per_question` slot dimension
-with zero `weights` marking padding, and replication is a static
-jnp.repeat. Momentum-distillation twins (`_m` modules + EMA update,
+(`question_states += [out]*n`, :58-62) — dynamic shapes XLA can't compile,
+and the replicate-then-project order pays answers-per-question-fold for the
+decoder's cross K/V projections of the 602-token memory (~94% of its
+cross-attention FLOPs). Here every question carries a fixed
+`answers_per_question` slot dimension with zero `weights` marking padding,
+and the decoder attends the UNREPLICATED memory via question-major query
+grouping (`TextDecoder(memory_groups=a)`, bert.py:BertLayer) — identical
+math, no replication anywhere. Momentum-distillation twins (`_m` modules
++ EMA update,
 :150-181) are represented as a second param tree updated by
 `momentum_update`; the shipped VQA config runs with distill=False
 (`configs/full_model_debias.yaml`).
@@ -87,12 +92,14 @@ class MPlug(nn.Module):
         states, state_mask = self.encode(images, question_ids, question_mask,
                                          deterministic)
         b, a, l = answer_ids.shape
-        rep_states = jnp.repeat(states, a, axis=0)
-        rep_mask = jnp.repeat(state_mask, a, axis=0)
+        # memory_groups: the A answer rows per question share that question's
+        # states — attend the UNREPLICATED memory (the reference replicates
+        # it per answer and pays A-fold for the cross K/V projections)
         return self.text_decoder(answer_ids.reshape(b * a, l),
                                  answer_mask.reshape(b * a, l),
-                                 rep_states, rep_mask,
-                                 deterministic=deterministic)
+                                 states, state_mask,
+                                 deterministic=deterministic,
+                                 memory_groups=a)
 
     def __call__(self, images, question_ids, question_mask, answer_ids,
                  answer_mask, weights, bias=None, deterministic=True,
@@ -149,12 +156,12 @@ class MPlug(nn.Module):
                                          deterministic)
         b = states.shape[0]
         k, l = answer_list_ids.shape
-        rep_states = jnp.repeat(states, k, axis=0)
-        rep_mask = jnp.repeat(state_mask, k, axis=0)
         tiled_ids = jnp.tile(answer_list_ids, (b, 1))
         tiled_mask = jnp.tile(answer_list_mask, (b, 1))
-        logits = self.text_decoder(tiled_ids, tiled_mask, rep_states, rep_mask,
-                                   deterministic=deterministic)
+        # question-major grouping: rows [q0a0..q0aK, q1a0..] share states[q]
+        logits = self.text_decoder(tiled_ids, tiled_mask, states, state_mask,
+                                   deterministic=deterministic,
+                                   memory_groups=k)
         losses = lm_loss_per_sequence(logits, tiled_ids, c.pad_token_id)
         return losses.reshape(b, k)
 
@@ -201,10 +208,9 @@ class MPlug(nn.Module):
         # 2. full decoder pass over the shortlist
         short_ids = answer_list_ids[topk_ids.reshape(-1)]  # [B*k, L]
         short_mask = answer_list_mask[topk_ids.reshape(-1)]
-        rep_states = jnp.repeat(states, k, axis=0)
-        rep_mask = jnp.repeat(state_mask, k, axis=0)
-        logits = self.text_decoder(short_ids, short_mask, rep_states, rep_mask,
-                                   deterministic=deterministic)
+        logits = self.text_decoder(short_ids, short_mask, states, state_mask,
+                                   deterministic=deterministic,
+                                   memory_groups=k)
         losses = lm_loss_per_sequence(logits, short_ids, c.pad_token_id)
         # 3. chain-rule re-rank: log p(first) - full loss, softmaxed over k
         log_probs_sum = jnp.log(topk_probs.reshape(-1)) - losses

@@ -653,3 +653,38 @@ def test_mplug_mask_biases_trains(setup):
     assert np.isfinite(float(loss))
     after = np.asarray(state.scores[bk])
     assert not np.array_equal(before, after)  # bias scores actually train
+
+
+def test_memory_groups_equivalence(setup):
+    """The grouped cross-attention (memory_groups=A over UNREPLICATED
+    states) must equal the replicate-then-decode formulation exactly:
+    key-wise-bias cross attention over a shared memory is invariant to
+    batching the A answer rows as one (A*L)-query row group."""
+    config, model, params, jb = setup
+    b, a, l = jb["answer_ids"].shape
+    bound = model.bind({"params": params})
+    states, state_mask = bound.encode(
+        jb["images"], jb["question_ids"], jb["question_mask"],
+        deterministic=True)
+
+    # new path (grouped, what answer_logits now does)
+    grouped = bound.text_decoder(
+        jb["answer_ids"].reshape(b * a, l),
+        jb["answer_mask"].reshape(b * a, l),
+        states, state_mask, deterministic=True, memory_groups=a)
+
+    # old path (explicit per-answer memory replication)
+    rep = bound.text_decoder(
+        jb["answer_ids"].reshape(b * a, l),
+        jb["answer_mask"].reshape(b * a, l),
+        jnp.repeat(states, a, axis=0), jnp.repeat(state_mask, a, axis=0),
+        deterministic=True)
+
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(rep),
+                               rtol=1e-5, atol=1e-5)
+
+    # and the training loss goes through the grouped path unchanged
+    loss = bound(jb["images"], jb["question_ids"], jb["question_mask"],
+                 jb["answer_ids"], jb["answer_mask"], jb["weights"],
+                 deterministic=True)
+    assert np.isfinite(float(loss))
