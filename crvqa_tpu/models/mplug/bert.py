@@ -288,8 +288,10 @@ class TextDecoder(nn.Module):
 
         `memory_groups` g > 1: input rows come in g-sized question-major
         groups sharing one `enc_states` row (passed with batch N/g); see
-        BertLayer. Mutually exclusive with `cross_kv` (the decode cache is
-        already per-row).
+        BertLayer. Composes with `cross_kv`: the cached (k, v) must then be
+        projected from the UNREPLICATED memory (batch N/g) — the beam-decode
+        path groups the W beams of each item this way so the per-step
+        cross-attend reads the memory K/V once per item, not per beam.
 
         `position` (traced scalar): slice the hidden states to that single
         row BEFORE the LM head and return [N, 1, V]. Autoregressive
@@ -297,8 +299,6 @@ class TextDecoder(nn.Module):
         [hidden, 30522] vocab projection is the decode loop's largest
         matmul — computing it for all L rows was an L-fold waste."""
         c = self.config
-        assert cross_kv is None or memory_groups == 1, \
-            "cross_kv caching and memory_groups are mutually exclusive"
         emb = BertEmbeddings(c, name="embeddings")
         h = emb(input_ids, deterministic)
         self_bias = causal_mask_bias(input_ids.shape[1], attention_mask)

@@ -61,7 +61,7 @@ def greedy_generate(decode_logits: Callable, states, state_mask,
 def beam_generate(decode_logits: Callable, states, state_mask,
                   beam_size: int = 5, max_len: int = 12, bos: int = 101,
                   eos: int = 102, pad: int = 0, lp_alpha: float = 0.6,
-                  min_length: int = 1):
+                  min_length: int = 1, group_memory: bool = False):
     """ONMT-style beam search matching the reference `TextGenerator`
     (`mPLUG/models/predictor.py:197-311`; beam 5, `vqa_mplug.py:475`).
 
@@ -85,12 +85,20 @@ def beam_generate(decode_logits: Callable, states, state_mask,
     Returns (best_ids [B, max_len], best_scores [B]) where best_scores are
     the length-normalized hypothesis scores. `max_len` includes the BOS
     position, so it corresponds to the reference's `max_length + 1`.
+
+    `group_memory=True`: the memory is NOT replicated per beam; the decode
+    closure must accept B*W query rows over B memory rows (question-major —
+    `TextDecoder(memory_groups=W)`). The per-step cross-attend then reads
+    each item's memory K/V once instead of W times.
     """
     b, s, h = states.shape
     w = beam_size
-    # expand memory per beam: [B*W, S, H]
-    rep_states = jnp.repeat(states, w, axis=0)
-    rep_mask = jnp.repeat(state_mask, w, axis=0)
+    if group_memory:
+        rep_states, rep_mask = states, state_mask
+    else:
+        # expand memory per beam: [B*W, S, H]
+        rep_states = jnp.repeat(states, w, axis=0)
+        rep_mask = jnp.repeat(state_mask, w, axis=0)
 
     ids = jnp.full((b, w, max_len), pad, jnp.int32).at[:, :, 0].set(bos)
     # only beam 0 is live at t=0 so the first expansion isn't degenerate

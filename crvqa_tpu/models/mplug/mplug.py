@@ -133,13 +133,16 @@ class MPlug(nn.Module):
         return jnp.sum(loss) / b
 
     def decode_logits(self, answer_ids, answer_mask, states, state_mask,
-                      deterministic=True, cross_kv=None, position=None):
+                      deterministic=True, cross_kv=None, position=None,
+                      memory_groups: int = 1):
         """Decoder logits for generation / answer ranking. `cross_kv` caches
         the per-layer cross-attention projections of the static states;
-        `position` slices the LM head to one decode row (generation)."""
+        `position` slices the LM head to one decode row (generation);
+        `memory_groups` groups W beam rows per unreplicated memory row."""
         return self.text_decoder(answer_ids, answer_mask, states, state_mask,
                                  deterministic=deterministic,
-                                 cross_kv=cross_kv, position=position)
+                                 cross_kv=cross_kv, position=position,
+                                 memory_groups=memory_groups)
 
     def rank_answers(self, images, question_ids, question_mask,
                      answer_list_ids, answer_list_mask, deterministic=True):

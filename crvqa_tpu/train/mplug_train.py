@@ -527,21 +527,24 @@ def make_generate_step(model, config: MPlugTrainConfig,
             batch["question_mask"], method=model.encode)
 
         bc = model.config.bert
-        # per-beam memory + its cross-K/V projected ONCE for the whole decode
-        rep_states = jnp.repeat(states, beam_size, axis=0)
+        # cross-K/V projected ONCE from the UNREPLICATED memory; the decode
+        # groups each item's W beam rows over it (memory_groups) so the
+        # per-step cross-attend reads the K/V once per item, not per beam
         cross_kv = precompute_cross_kv(
-            params["text_decoder"], rep_states, bc.text_decode_layers,
+            params["text_decoder"], states, bc.text_decode_layers,
             bc.num_attention_heads, bc.head_size, dtype=bc.dtype)
 
         def decode(ids, mask, st, st_mask, position=None):
             return model.apply({"params": params}, ids, mask, st, st_mask,
                                cross_kv=cross_kv, position=position,
+                               memory_groups=beam_size,
                                method=model.decode_logits)
 
         cfg = model.config
         return beam_generate(decode, states, state_mask, beam_size=beam_size,
                              max_len=max_len, bos=cfg.bos_token_id,
                              eos=cfg.eos_token_id, pad=cfg.pad_token_id,
-                             min_length=min_length, lp_alpha=lp_alpha)
+                             min_length=min_length, lp_alpha=lp_alpha,
+                             group_memory=True)
 
     return generate

@@ -688,3 +688,35 @@ def test_memory_groups_equivalence(setup):
                  jb["answer_ids"], jb["answer_mask"], jb["weights"],
                  deterministic=True)
     assert np.isfinite(float(loss))
+
+
+def test_grouped_beam_decode_equivalence(setup):
+    """make_generate_step's grouped beam decode (unreplicated memory,
+    memory_groups=W, grouped cross_kv) must select exactly the sequences and
+    scores of the replicate-per-beam formulation."""
+    from crvqa_tpu.models.mplug.generator import beam_generate
+    from crvqa_tpu.train import mplug_train
+
+    config, model, params, jb = setup
+    cfg = mplug_train.MPlugTrainConfig(mode="full", total_steps=10,
+                                       warmup_steps=1)
+    state, _ = mplug_train.init_state(model, params, cfg,
+                                      jax.random.PRNGKey(1))
+    gen = mplug_train.make_generate_step(model, cfg, beam_size=3, max_len=5)
+    ids_g, scores_g = gen(state, jb)
+
+    states, state_mask = model.apply(
+        {"params": params}, jb["images"], jb["question_ids"],
+        jb["question_mask"], method=model.encode)
+
+    def decode(i, m, st, sm, position=None):
+        return model.apply({"params": params}, i, m, st, sm,
+                           position=position, method=model.decode_logits)
+
+    c = model.config
+    ids_r, scores_r = beam_generate(
+        decode, states, state_mask, beam_size=3, max_len=5,
+        bos=c.bos_token_id, eos=c.eos_token_id, pad=c.pad_token_id)
+    np.testing.assert_array_equal(np.asarray(ids_g), np.asarray(ids_r))
+    np.testing.assert_allclose(np.asarray(scores_g), np.asarray(scores_r),
+                               rtol=1e-4, atol=1e-5)
