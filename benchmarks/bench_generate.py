@@ -25,41 +25,17 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-from bench_mplug import _batch  # noqa: E402  (same synthetic contract)
+from bench_mplug import _batch, build_masked_mplug  # noqa: E402
 
 
 def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
         iters: int = 8, midseq: bool = False) -> float:
-    from crvqa_tpu.masking import Masker, ModalSparsity
-    from crvqa_tpu.masking.mplug_specs import mplug_mask_specs
-    from crvqa_tpu.models import layers
-    from crvqa_tpu.models.mplug import MPlug, MPlugConfig
-    from crvqa_tpu.models.mplug.bert import MPlugBertConfig
-    from crvqa_tpu.models.mplug.vit import ViTConfig
     from crvqa_tpu.train import mplug_train
 
-    layers.FUSED_ATTENTION = True
     # midseq: fuse the 577-patch ViT/fusion attention too — beam eval is
     # encode-dominated, so this is where the midseq kernel should pay most
-    layers.MIDSEQ_ATTENTION = midseq
-    config = MPlugConfig(bert=MPlugBertConfig(dtype=jnp.bfloat16),
-                         vit=ViTConfig(dtype=jnp.bfloat16))
-    model = MPlug(config)
+    config, model, masker, cfg, state, _ = build_masked_mplug(midseq=midseq)
     jb = _batch(config, batch_size)
-    params = model.init(
-        jax.random.PRNGKey(0), jb["images"][:1], jb["question_ids"][:1],
-        jb["question_mask"][:1], jb["answer_ids"][:1], jb["answer_mask"][:1],
-        jb["weights"][:1])["params"]
-    c = config.bert
-    specs = mplug_mask_specs(
-        vit_layers=config.vit.layers, text_encoder_layers=c.text_encoder_layers,
-        fusion_layers=c.fusion_layers, decoder_layers=c.text_decode_layers,
-        stride_layer=c.stride_layer)
-    masker = Masker.create(specs, ModalSparsity.uniform(0.5),
-                           controlled_init="magnitude_soft")
-    cfg = mplug_train.MPlugTrainConfig(mode="mask", total_steps=100)
-    state, _ = mplug_train.init_state(model, params, cfg,
-                                      jax.random.PRNGKey(1), masker=masker)
     gen = mplug_train.make_generate_step(model, cfg, masker=masker,
                                          beam_size=beam_size, max_len=max_len)
     ids, scores = gen(state, jb)  # compile + warmup
@@ -72,8 +48,47 @@ def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
     return batch_size * iters / dt
 
 
+def run_rank(batch_size: int = 32, n_answers: int = 3129, ans_len: int = 8,
+             k: int = 10, iters: int = 8, midseq: bool = False) -> float:
+    """Closed-vocabulary rank eval (`--eval_method rank`): first-token
+    shortlist over the full answer list + chain-rule re-rank of the top k
+    (rank_answers_topk; the reference's `rank_answer`,
+    model_vqa_mplug.py:188-245). n_answers=3129 = the real VQA answer-list
+    size; k=10 = the CLI default."""
+    config, model, masker, cfg, state, _ = build_masked_mplug(midseq=midseq)
+    jb = _batch(config, batch_size)
+    c = config.bert
+    rng = np.random.RandomState(7)
+    alist_ids = jnp.asarray(
+        rng.randint(1, c.vocab_size, (n_answers, ans_len)), jnp.int32)
+    alist_mask = jnp.ones((n_answers, ans_len), jnp.float32)
+
+    @jax.jit
+    def rank(state, batch):
+        p = masker.apply_masks(state.params, state.scores, state.thresholds)
+        return model.apply({"params": p}, batch["images"],
+                           batch["question_ids"], batch["question_mask"],
+                           alist_ids, alist_mask, k=k,
+                           method=model.rank_answers_topk)
+
+    ids, probs = rank(state, jb)  # compile + warmup
+    _ = np.asarray(ids)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ids, probs = rank(state, jb)
+    _ = np.asarray(ids)  # fence
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
 def main() -> None:
     midseq = "--midseq" in sys.argv
+    if "--rank" in sys.argv:
+        ex_s = run_rank(midseq=midseq)
+        print(f"# rank-k10 masked eval: {ex_s:.1f} ex/s", file=sys.stderr)
+        print(json.dumps({"mplug_rank_eval_ex_s": round(ex_s, 1),
+                          "midseq": midseq}))
+        return
     ex_s = run(midseq=midseq)
     print(f"# beam-5 masked eval: {ex_s:.1f} ex/s", file=sys.stderr)
     print(json.dumps({"mplug_beam5_eval_ex_s": round(ex_s, 1),

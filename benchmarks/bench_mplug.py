@@ -47,19 +47,25 @@ def _batch(config, b, a=5, ql=25, al=8, seed=0):
     }
 
 
-def run(batch_size: int, steps: int = 8, dtype="bfloat16",
-        remat: bool = False, midseq: bool = False) -> float:
+def build_masked_mplug(dtype="bfloat16", remat: bool = False,
+                       midseq: bool = False, total_steps: int = 10_000):
+    """Full-size masked mPLUG benchmark construction — the ONE definition
+    of the measured configuration (the cli/vqa_mplug.py mask-mode setup:
+    uniform 0.5 magnitude_soft masking, fused text attention, optional
+    midseq image attention), shared by bench_mplug / bench_generate /
+    profile_mplug so they can never drift apart.
+
+    Returns (config, model, masker, cfg, state, tx)."""
     from crvqa_tpu.masking import Masker, ModalSparsity
     from crvqa_tpu.masking.mplug_specs import mplug_mask_specs
     from crvqa_tpu.models import layers
     from crvqa_tpu.models.mplug import MPlug, MPlugConfig
     from crvqa_tpu.models.mplug.bert import MPlugBertConfig
     from crvqa_tpu.models.mplug.vit import ViTConfig
-
     from crvqa_tpu.train import mplug_train
 
     layers.FUSED_ATTENTION = True  # text towers fuse; 577-patch xattn -> XLA
-    # --midseq: the mid-sequence kernel takes the 577-patch contexts too
+    # midseq: the mid-sequence kernel takes the 577-patch contexts too
     # (ViT self-attention + fusion cross/joint attention,
     # ops/midseq_attention.py) instead of the XLA fallback
     layers.MIDSEQ_ATTENTION = midseq
@@ -69,11 +75,11 @@ def run(batch_size: int, steps: int = 8, dtype="bfloat16",
     config = MPlugConfig(bert=MPlugBertConfig(dtype=dt, use_remat=remat),
                          vit=ViTConfig(dtype=dt, use_remat=remat))
     model = MPlug(config)
-    jb = _batch(config, batch_size)
+    probe = _batch(config, 1)
     params = model.init(
-        jax.random.PRNGKey(0), jb["images"][:1], jb["question_ids"][:1],
-        jb["question_mask"][:1], jb["answer_ids"][:1], jb["answer_mask"][:1],
-        jb["weights"][:1])["params"]
+        jax.random.PRNGKey(0), probe["images"], probe["question_ids"],
+        probe["question_mask"], probe["answer_ids"], probe["answer_mask"],
+        probe["weights"])["params"]
     c = config.bert
     specs = mplug_mask_specs(
         vit_layers=config.vit.layers, text_encoder_layers=c.text_encoder_layers,
@@ -81,9 +87,19 @@ def run(batch_size: int, steps: int = 8, dtype="bfloat16",
         stride_layer=c.stride_layer)
     masker = Masker.create(specs, ModalSparsity.uniform(0.5),
                            controlled_init="magnitude_soft")
-    cfg = mplug_train.MPlugTrainConfig(mode="mask", total_steps=10_000)
+    cfg = mplug_train.MPlugTrainConfig(mode="mask", total_steps=total_steps)
     state, tx = mplug_train.init_state(model, params, cfg,
                                        jax.random.PRNGKey(1), masker=masker)
+    return config, model, masker, cfg, state, tx
+
+
+def run(batch_size: int, steps: int = 8, dtype="bfloat16",
+        remat: bool = False, midseq: bool = False) -> float:
+    from crvqa_tpu.train import mplug_train
+
+    config, model, masker, cfg, state, tx = build_masked_mplug(
+        dtype=dtype, remat=remat, midseq=midseq)
+    jb = _batch(config, batch_size)
     step = mplug_train.make_train_step(model, cfg, tx, masker=masker)
     state, loss = step(state, jb)  # compile + warmup
     _ = float(loss)

@@ -61,39 +61,14 @@ def categorize(name: str, op: str) -> str:
 
 def main() -> None:
     import bench_mplug
-    from crvqa_tpu.masking import Masker, ModalSparsity
-    from crvqa_tpu.masking.mplug_specs import mplug_mask_specs
-    from crvqa_tpu.models import layers
-    from crvqa_tpu.models.mplug import MPlug, MPlugConfig
-    from crvqa_tpu.models.mplug.bert import MPlugBertConfig
-    from crvqa_tpu.models.mplug.vit import ViTConfig
     from crvqa_tpu.train import mplug_train
-    import jax.numpy as jnp
 
     bs = next((int(a) for a in sys.argv[1:] if a.isdigit()), 16)
     midseq = "--no-midseq" not in sys.argv
-    layers.FUSED_ATTENTION = True
-    layers.MIDSEQ_ATTENTION = midseq
 
-    config = MPlugConfig(bert=MPlugBertConfig(dtype=jnp.bfloat16),
-                         vit=ViTConfig(dtype=jnp.bfloat16))
-    model = MPlug(config)
+    config, model, masker, cfg, state, tx = bench_mplug.build_masked_mplug(
+        midseq=midseq)
     jb = bench_mplug._batch(config, bs)
-    params = model.init(
-        jax.random.PRNGKey(0), jb["images"][:1], jb["question_ids"][:1],
-        jb["question_mask"][:1], jb["answer_ids"][:1], jb["answer_mask"][:1],
-        jb["weights"][:1])["params"]
-    c = config.bert
-    specs = mplug_mask_specs(
-        vit_layers=config.vit.layers,
-        text_encoder_layers=c.text_encoder_layers,
-        fusion_layers=c.fusion_layers, decoder_layers=c.text_decode_layers,
-        stride_layer=c.stride_layer)
-    masker = Masker.create(specs, ModalSparsity.uniform(0.5),
-                           controlled_init="magnitude_soft")
-    cfg = mplug_train.MPlugTrainConfig(mode="mask", total_steps=10_000)
-    state, tx = mplug_train.init_state(model, params, cfg,
-                                       jax.random.PRNGKey(1), masker=masker)
     step = mplug_train.make_train_step(model, cfg, tx, masker=masker)
 
     compiled = step.lower(state, jb).compile()

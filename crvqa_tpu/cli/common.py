@@ -82,6 +82,24 @@ def overlay_classifier(params, classifier_bin: str, key: str = "classifier"):
     return params
 
 
+def add_kernel_flags(p: argparse.ArgumentParser) -> None:
+    """The Pallas attention-kernel switches — one definition shared by the
+    training parsers (via add_common_args) and the serving parsers, so a
+    new kernel flag can never miss a CLI again. Activated by
+    apply_prng_impl."""
+    p.add_argument("--fused_attention", type=str2bool, default=False,
+                   help="fused short-seq attention kernel "
+                        "(ops/fused_attention.py): measured +8.8%% stage-2 "
+                        "throughput on v5e (3260 vs 2997 ex/s). Runs "
+                        "interpreted off-TPU (tests)")
+    p.add_argument("--midseq_attention", type=str2bool, default=False,
+                   help="mid-sequence attention kernel "
+                        "(ops/midseq_attention.py): VMEM-fused softmax for "
+                        "the 577-patch image attention contexts the "
+                        "short-seq kernel rejects (mPLUG ViT/fusion). Runs "
+                        "interpreted off-TPU (tests)")
+
+
 def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dataroot", type=str, default=None)
     p.add_argument("--img_root", type=str, default=None,
@@ -122,17 +140,7 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="dropout PRNG. unsafe_rbg uses the TPU "
                         "RngBitGenerator: +13%% stage-2 throughput measured "
                         "(fine for dropout; threefry = reproducible default)")
-    p.add_argument("--fused_attention", type=str2bool, default=False,
-                   help="fused short-seq attention kernel "
-                        "(ops/fused_attention.py): measured +8.8%% stage-2 "
-                        "throughput on v5e (3260 vs 2997 ex/s). Runs "
-                        "interpreted off-TPU (tests)")
-    p.add_argument("--midseq_attention", type=str2bool, default=False,
-                   help="mid-sequence attention kernel "
-                        "(ops/midseq_attention.py): VMEM-fused softmax for "
-                        "the 577-patch image attention contexts the "
-                        "short-seq kernel rejects (mPLUG ViT/fusion). Runs "
-                        "interpreted off-TPU (tests)")
+    add_kernel_flags(p)
     p.add_argument("--synthetic", type=int, default=0,
                    help="run on N synthetic examples instead of real data")
     p.add_argument("--prefetch_batches", type=int, default=2,

@@ -78,12 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'-' = stdin, else a requests .jsonl file")
     p.add_argument("--output", type=str, default="-",
                    help="'-' = stdout, else a responses .jsonl file")
-    p.add_argument("--fused_attention", type=common.str2bool, default=False,
-                   help="fused short-seq attention kernel for the serving "
-                        "forward (ops/fused_attention.py)")
-    p.add_argument("--midseq_attention", type=common.str2bool, default=False,
-                   help="mid-sequence attention kernel "
-                        "(ops/midseq_attention.py)")
+    common.add_kernel_flags(p)
     return p
 
 

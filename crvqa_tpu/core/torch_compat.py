@@ -207,7 +207,10 @@ def import_classifier_bin(path: str, template: PyTree) -> PyTree:
 
 _STUB_ALLOWED_ROOTS = frozenset(
     {"torch", "builtins", "collections", "copyreg", "numpy", "_codecs",
-     "functools", "argparse"})
+     "functools", "argparse",
+     # py2-era names in protocol<=2 GLOBAL opcodes (torch pickles sets as
+     # `__builtin__.set`); super().find_class maps them via fix_imports
+     "__builtin__", "copy_reg"})
 _stub_class_cache: dict[tuple, type] = {}
 
 
@@ -267,17 +270,21 @@ def _stub_pickle_module():
 
 def _walk_module_state(obj: Any, prefix: str, out: dict) -> None:
     """nn.Module.state_dict recursion over a (possibly stubbed) module tree:
-    `_parameters` + `_buffers` tensors, recurse into `_modules`. Works on
-    real torch modules and `_StubObject`s alike (both keep those dicts in
-    instance __dict__)."""
+    `_parameters` + persistent `_buffers` tensors, recurse into `_modules`.
+    Works on real torch modules and `_StubObject`s alike (both keep those
+    dicts in instance __dict__). Divergence from state_dict(): modules with
+    a `get_extra_state()` hook would contribute `_extra_state` entries we
+    cannot reproduce (the stub has no methods) — no reference module has
+    one."""
     d = getattr(obj, "__dict__", None)
     if not isinstance(d, dict):
         return
     for name, t in (d.get("_parameters") or {}).items():
         if t is not None:
             out[prefix + name] = t
+    non_persistent = d.get("_non_persistent_buffers_set") or ()
     for name, t in (d.get("_buffers") or {}).items():
-        if t is not None:
+        if t is not None and name not in non_persistent:
             out[prefix + name] = t
     for name, child in (d.get("_modules") or {}).items():
         if child is not None:

@@ -173,3 +173,18 @@ def test_end_to_end_reference_pickle_into_flax(tmp_path):
             labels=torch.from_numpy(np.asarray(b["labels"], np.float32)))
     np.testing.assert_allclose(np.asarray(logits), t_logits.numpy(),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_non_persistent_buffers_excluded(tmp_path):
+    """state_dict() omits persistent=False buffers; the stub walk must too
+    (divergence would feed phantom keys to key-set consumers)."""
+    m = torch.nn.Module()
+    m.lin = torch.nn.Linear(2, 2)
+    m.lin.register_buffer("scratch", torch.ones(3), persistent=False)
+    m.lin.register_buffer("kept", torch.ones(3), persistent=True)
+    path = str(tmp_path / "buf.bin")
+    torch.save(m, path)
+
+    state = torch_compat.module_pickle_state_dict(path)
+    assert set(state) == set(m.state_dict().keys())
+    assert "lin.scratch" not in state and "lin.kept" in state
