@@ -48,14 +48,16 @@ def _batch(config, b, a=5, ql=25, al=8, seed=0):
 
 
 def build_masked_mplug(dtype="bfloat16", remat: bool = False,
-                       midseq: bool = False, total_steps: int = 10_000):
-    """Full-size masked mPLUG benchmark construction — the ONE definition
-    of the measured configuration (the cli/vqa_mplug.py mask-mode setup:
-    uniform 0.5 magnitude_soft masking, fused text attention, optional
-    midseq image attention), shared by bench_mplug / bench_generate /
-    profile_mplug so they can never drift apart.
+                       midseq: bool = False, total_steps: int = 10_000,
+                       mode: str = "mask"):
+    """Full-size mPLUG benchmark construction — the ONE definition of the
+    measured configuration (the cli/vqa_mplug.py setup: mask mode = uniform
+    0.5 magnitude_soft masking; full mode = dense dual-LR finetune; fused
+    text attention, optional midseq image attention), shared by bench_mplug
+    / bench_generate / profile_mplug so they can never drift apart.
 
-    Returns (config, model, masker, cfg, state, tx)."""
+    Returns (config, model, masker, cfg, state, tx); masker is None in
+    full mode."""
     from crvqa_tpu.masking import Masker, ModalSparsity
     from crvqa_tpu.masking.mplug_specs import mplug_mask_specs
     from crvqa_tpu.models import layers
@@ -80,25 +82,30 @@ def build_masked_mplug(dtype="bfloat16", remat: bool = False,
         jax.random.PRNGKey(0), probe["images"], probe["question_ids"],
         probe["question_mask"], probe["answer_ids"], probe["answer_mask"],
         probe["weights"])["params"]
-    c = config.bert
-    specs = mplug_mask_specs(
-        vit_layers=config.vit.layers, text_encoder_layers=c.text_encoder_layers,
-        fusion_layers=c.fusion_layers, decoder_layers=c.text_decode_layers,
-        stride_layer=c.stride_layer)
-    masker = Masker.create(specs, ModalSparsity.uniform(0.5),
-                           controlled_init="magnitude_soft")
-    cfg = mplug_train.MPlugTrainConfig(mode="mask", total_steps=total_steps)
+    masker = None
+    if mode == "mask":
+        c = config.bert
+        specs = mplug_mask_specs(
+            vit_layers=config.vit.layers,
+            text_encoder_layers=c.text_encoder_layers,
+            fusion_layers=c.fusion_layers,
+            decoder_layers=c.text_decode_layers,
+            stride_layer=c.stride_layer)
+        masker = Masker.create(specs, ModalSparsity.uniform(0.5),
+                               controlled_init="magnitude_soft")
+    cfg = mplug_train.MPlugTrainConfig(mode=mode, total_steps=total_steps)
     state, tx = mplug_train.init_state(model, params, cfg,
                                        jax.random.PRNGKey(1), masker=masker)
     return config, model, masker, cfg, state, tx
 
 
 def run(batch_size: int, steps: int = 8, dtype="bfloat16",
-        remat: bool = False, midseq: bool = False) -> float:
+        remat: bool = False, midseq: bool = False,
+        mode: str = "mask") -> float:
     from crvqa_tpu.train import mplug_train
 
     config, model, masker, cfg, state, tx = build_masked_mplug(
-        dtype=dtype, remat=remat, midseq=midseq)
+        dtype=dtype, remat=remat, midseq=midseq, mode=mode)
     jb = _batch(config, batch_size)
     step = mplug_train.make_train_step(model, cfg, tx, masker=masker)
     state, loss = step(state, jb)  # compile + warmup
@@ -115,14 +122,17 @@ def main() -> None:
     dtype = "float32" if "--fp32" in sys.argv else "bfloat16"
     remat = "--remat" in sys.argv
     midseq = "--midseq" in sys.argv
-    results = {"dtype": dtype, "remat": remat, "midseq": midseq}
+    mode = "full" if "--full" in sys.argv else "mask"
+    results = {"dtype": dtype, "remat": remat, "midseq": midseq,
+               "mode": mode}
     # midseq kills the [B,H,S,S] HBM probability tensor, so the no-remat
     # sweep extends further before OOM (bs 32 fits where it didn't; probe 64)
     sizes = (32, 64) if remat else ((8, 16, 32, 64) if midseq else (8, 16, 32))
     for bs in sizes:
         try:
             results[str(bs)] = round(
-                run(bs, dtype=dtype, remat=remat, midseq=midseq), 2)
+                run(bs, dtype=dtype, remat=remat, midseq=midseq, mode=mode),
+                2)
             print(f"# bs {bs}: {results[str(bs)]} ex/s", file=sys.stderr)
         except Exception as e:  # OOM at the top of the sweep is information
             results[str(bs)] = f"failed: {type(e).__name__}"
