@@ -190,3 +190,43 @@ def test_mha_dispatch_and_causal_fallback(monkeypatch):
                   causal)["params"]
     mha.apply({"params": p2}, long_hid, long_hid, causal, True)
     assert not calls, "causal bias must not take the midseq kernel"
+
+
+def test_grouped_decoder_cross_attention_kernel(monkeypatch):
+    """The grouped decoder cross-attention (memory_groups=A: queries
+    (B, A*L) over an unreplicated mid-length memory) is a new kernel input
+    shape class — it must dispatch to the midseq kernel and match the XLA
+    path."""
+    from crvqa_tpu.models.mplug.bert import MPlugBertConfig, TextDecoder
+
+    calls = []
+    real = ma.midseq_attention_seeded
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ma, "midseq_attention_seeded", spy)
+    # 4 heads x 300 memory tokens = 1200 > 1024 -> mid-length tier
+    c = MPlugBertConfig.tiny()
+    dec = TextDecoder(c)
+    rng = np.random.default_rng(11)
+    b, a, l, sk = 2, 3, 4, 300
+    ids = jnp.asarray(rng.integers(1, c.vocab_size, (b * a, l)), jnp.int32)
+    mask = jnp.ones((b * a, l), jnp.float32)
+    enc = jnp.asarray(rng.normal(size=(b, sk, c.hidden_size)), jnp.float32)
+    enc_mask = jnp.ones((b, sk), jnp.float32)
+    params = dec.init(jax.random.PRNGKey(2), ids, mask, enc, enc_mask,
+                      memory_groups=a)["params"]
+
+    monkeypatch.setattr(layers, "MIDSEQ_ATTENTION", True)
+    monkeypatch.setattr(layers, "FUSED_ATTENTION_INTERPRET", True)
+    out_k = dec.apply({"params": params}, ids, mask, enc, enc_mask,
+                      memory_groups=a)
+    assert calls, "grouped cross-attention should take the midseq kernel"
+
+    monkeypatch.setattr(layers, "MIDSEQ_ATTENTION", False)
+    out_x = dec.apply({"params": params}, ids, mask, enc, enc_mask,
+                      memory_groups=a)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
