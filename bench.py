@@ -55,34 +55,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 # CLIs default to threefry for reproducibility with --prng_impl to opt in.
 jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
+from crvqa_tpu.utils.mfu import compiled_flops as _window_flops  # noqa: E402
+from crvqa_tpu.utils.mfu import peak_flops  # noqa: E402
+
 REFERENCE_EXAMPLES_PER_SEC = 1000.0
-
-# peak bf16 FLOP/s by device kind (public chip specs)
-PEAK_FLOPS = (
-    ("v6 lite", 918e12),  # v6e
-    ("v5p", 459e12),
-    ("v5 lite", 197e12),  # v5e
-    ("v5", 459e12),
-    ("v4", 275e12),
-)
-
-
-def peak_flops(device_kind: str) -> float:
-    kind = device_kind.lower()
-    for name, peak in PEAK_FLOPS:
-        if name in kind:
-            return peak
-    return 197e12  # conservative default (v5e)
-
-
-def _window_flops(compiled) -> float:
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0))
-    except Exception:
-        return 0.0
 
 
 def measure(backbone_dtype: str, window: int = 64, windows: int = 4,

@@ -28,9 +28,49 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 from bench_mplug import _batch, build_masked_mplug  # noqa: E402
 
 
+def _gen_flops(model, masker, cfg, state, jb, gen, max_len: int) -> float:
+    """True FLOPs per generate call, loop-corrected.
+
+    XLA's cost analysis counts a `lax.fori_loop` body ONCE regardless of trip
+    count (bench.py docstring, verified on-chip), and beam_generate's decode
+    loop runs max_len-1 times. Split the call as prefix (encode + masker
+    apply + cross-K/V projection, once per call) + decode body:
+      F_total_ca = F_prefix + F_body          (body counted once)
+      F_true     = F_prefix + (max_len-1) * F_body
+    F_prefix comes from a jitted prefix-only function built from the same
+    model.apply calls make_generate_step issues.
+    """
+    from crvqa_tpu.models.mplug.generator import precompute_cross_kv
+    from crvqa_tpu.utils.mfu import lowered_flops
+
+    @jax.jit
+    def prefix(state, batch):
+        params = state.params
+        if cfg.mode == "mask" and state.scores is not None:
+            params = masker.apply_masks(params, state.scores,
+                                        state.thresholds)
+        states, state_mask = model.apply(
+            {"params": params}, batch["images"], batch["question_ids"],
+            batch["question_mask"], method=model.encode)
+        bc = model.config.bert
+        kv = precompute_cross_kv(params["text_decoder"], states,
+                                 bc.text_decode_layers,
+                                 bc.num_attention_heads, bc.head_size,
+                                 dtype=bc.dtype)
+        return states, state_mask, kv
+
+    f_total_ca = lowered_flops(gen, state, jb)
+    f_prefix = lowered_flops(prefix, state, jb)
+    if not f_total_ca or not f_prefix:
+        return 0.0
+    f_body = max(f_total_ca - f_prefix, 0.0)
+    return f_prefix + (max_len - 1) * f_body
+
+
 def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
-        iters: int = 8, midseq: bool = False) -> float:
+        iters: int = 8, midseq: bool = False) -> dict:
     from crvqa_tpu.train import mplug_train
+    from crvqa_tpu.utils.mfu import mfu
 
     # midseq: fuse the 577-patch ViT/fusion attention too — beam eval is
     # encode-dominated, so this is where the midseq kernel should pay most
@@ -38,6 +78,7 @@ def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
     jb = _batch(config, batch_size)
     gen = mplug_train.make_generate_step(model, cfg, masker=masker,
                                          beam_size=beam_size, max_len=max_len)
+    flops_call = _gen_flops(model, masker, cfg, state, jb, gen, max_len)
     ids, scores = gen(state, jb)  # compile + warmup
     _ = np.asarray(ids)
     t0 = time.perf_counter()
@@ -45,16 +86,26 @@ def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
         ids, scores = gen(state, jb)
     _ = np.asarray(ids)  # fence
     dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    u = mfu(flops_call, iters, dt, jax.devices()[0].device_kind)
+    return {"ex_s": round(batch_size * iters / dt, 2),
+            "mfu": round(u, 4) if u is not None else None,
+            "gflops_per_example": (round(flops_call / batch_size / 1e9, 2)
+                                   if flops_call else None),
+            "gflops_per_generated_token": (
+                round(flops_call / batch_size / (max_len - 1) / 1e9, 2)
+                if flops_call else None)}
 
 
 def run_rank(batch_size: int = 32, n_answers: int = 3129, ans_len: int = 8,
-             k: int = 10, iters: int = 8, midseq: bool = False) -> float:
+             k: int = 10, iters: int = 8, midseq: bool = False) -> dict:
     """Closed-vocabulary rank eval (`--eval_method rank`): first-token
     shortlist over the full answer list + chain-rule re-rank of the top k
     (rank_answers_topk; the reference's `rank_answer`,
     model_vqa_mplug.py:188-245). n_answers=3129 = the real VQA answer-list
-    size; k=10 = the CLI default."""
+    size; k=10 = the CLI default. No loops in the rank path, so the cost
+    analysis is exact per call."""
+    from crvqa_tpu.utils.mfu import lowered_flops, mfu
+
     config, model, masker, cfg, state, _ = build_masked_mplug(midseq=midseq)
     jb = _batch(config, batch_size)
     c = config.bert
@@ -71,6 +122,7 @@ def run_rank(batch_size: int = 32, n_answers: int = 3129, ans_len: int = 8,
                            alist_ids, alist_mask, k=k,
                            method=model.rank_answers_topk)
 
+    flops_call = lowered_flops(rank, state, jb)
     ids, probs = rank(state, jb)  # compile + warmup
     _ = np.asarray(ids)
     t0 = time.perf_counter()
@@ -78,21 +130,23 @@ def run_rank(batch_size: int = 32, n_answers: int = 3129, ans_len: int = 8,
         ids, probs = rank(state, jb)
     _ = np.asarray(ids)  # fence
     dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    u = mfu(flops_call, iters, dt, jax.devices()[0].device_kind)
+    return {"ex_s": round(batch_size * iters / dt, 2),
+            "mfu": round(u, 4) if u is not None else None,
+            "gflops_per_example": (round(flops_call / batch_size / 1e9, 2)
+                                   if flops_call else None)}
 
 
 def main() -> None:
     midseq = "--midseq" in sys.argv
     if "--rank" in sys.argv:
-        ex_s = run_rank(midseq=midseq)
-        print(f"# rank-k10 masked eval: {ex_s:.1f} ex/s", file=sys.stderr)
-        print(json.dumps({"mplug_rank_eval_ex_s": round(ex_s, 1),
-                          "midseq": midseq}))
+        r = run_rank(midseq=midseq)
+        print(f"# rank-k10 masked eval: {r}", file=sys.stderr)
+        print(json.dumps({"mplug_rank_eval": r, "midseq": midseq}))
         return
-    ex_s = run(midseq=midseq)
-    print(f"# beam-5 masked eval: {ex_s:.1f} ex/s", file=sys.stderr)
-    print(json.dumps({"mplug_beam5_eval_ex_s": round(ex_s, 1),
-                      "midseq": midseq}))
+    r = run(midseq=midseq)
+    print(f"# beam-5 masked eval: {r}", file=sys.stderr)
+    print(json.dumps({"mplug_beam5_eval": r, "midseq": midseq}))
 
 
 if __name__ == "__main__":

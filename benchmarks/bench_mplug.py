@@ -101,21 +101,28 @@ def build_masked_mplug(dtype="bfloat16", remat: bool = False,
 
 def run(batch_size: int, steps: int = 8, dtype="bfloat16",
         remat: bool = False, midseq: bool = False,
-        mode: str = "mask") -> float:
+        mode: str = "mask") -> dict:
     from crvqa_tpu.train import mplug_train
+    from crvqa_tpu.utils.mfu import compiled_flops, mfu
 
     config, model, masker, cfg, state, tx = build_masked_mplug(
         dtype=dtype, remat=remat, midseq=midseq, mode=mode)
     jb = _batch(config, batch_size)
     step = mplug_train.make_train_step(model, cfg, tx, masker=masker)
-    state, loss = step(state, jb)  # compile + warmup
+    compiled = step.lower(state, jb).compile()
+    flops_step = compiled_flops(compiled)
+    state, loss = compiled(state, jb)  # warmup
     _ = float(loss)
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, loss = step(state, jb)
+        state, loss = compiled(state, jb)
     _ = float(loss)  # fence (axon tunnel ignores block_until_ready)
     dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+    u = mfu(flops_step, steps, dt, jax.devices()[0].device_kind)
+    return {"ex_s": round(batch_size * steps / dt, 2),
+            "mfu": round(u, 4) if u is not None else None,
+            "gflops_per_example": (round(flops_step / batch_size / 1e9, 2)
+                                   if flops_step else None)}
 
 
 def main() -> None:
@@ -130,10 +137,9 @@ def main() -> None:
     sizes = (32, 64) if remat else ((8, 16, 32, 64) if midseq else (8, 16, 32))
     for bs in sizes:
         try:
-            results[str(bs)] = round(
-                run(bs, dtype=dtype, remat=remat, midseq=midseq, mode=mode),
-                2)
-            print(f"# bs {bs}: {results[str(bs)]} ex/s", file=sys.stderr)
+            results[str(bs)] = run(bs, dtype=dtype, remat=remat,
+                                   midseq=midseq, mode=mode)
+            print(f"# bs {bs}: {results[str(bs)]}", file=sys.stderr)
         except Exception as e:  # OOM at the top of the sweep is information
             results[str(bs)] = f"failed: {type(e).__name__}"
             print(f"# bs {bs}: {e}", file=sys.stderr)

@@ -25,12 +25,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
 
-def run(window: int = 32, windows: int = 4) -> float:
+def run(window: int = 32, windows: int = 4) -> dict:
     from crvqa_tpu.data import synthetic_batch
     from crvqa_tpu.masking import Masker, ModalSparsity, visualbert_mask_specs
     from crvqa_tpu.models import layers
     from crvqa_tpu.models.visualbert import VisualBertConfig, VisualBertForVQA
     from crvqa_tpu.train import stage2
+    from crvqa_tpu.utils.mfu import lowered_flops, mfu
 
     layers.FUSED_ATTENTION = True
     batch_size = 256
@@ -53,6 +54,10 @@ def run(window: int = 32, windows: int = 4) -> float:
                               backbone_dtype="bfloat16")
     state, tx = stage2.init_state(model, masker, params, cfg,
                                   jax.random.PRNGKey(1))
+    # single-step FLOPs: cost analysis counts a scan body once (bench.py
+    # docstring), so the window executable under-reports by 1/window
+    single = stage2.make_train_step(model, masker, tx, cfg)
+    flops_step = lowered_flops(single, state, batch)
     multi = stage2.make_multi_step(model, masker, tx, cfg, window)
     stacked = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (window,) + x.shape), batch)
@@ -64,13 +69,17 @@ def run(window: int = 32, windows: int = 4) -> float:
         state, losses, _ = compiled(state, stacked)
         _ = float(losses[-1])
     dt = time.perf_counter() - t0
-    return batch_size * window * windows / dt
+    u = mfu(flops_step * window, windows, dt, jax.devices()[0].device_kind)
+    return {"ex_s": round(batch_size * window * windows / dt, 2),
+            "mfu": round(u, 4) if u is not None else None,
+            "gflops_per_example": (round(flops_step / batch_size / 1e9, 2)
+                                   if flops_step else None)}
 
 
 def main() -> None:
-    ex_s = run()
-    print(f"# visualbert stage-2: {ex_s:.1f} ex/s", file=sys.stderr)
-    print(json.dumps({"visualbert_stage2_ex_s": round(ex_s, 1)}))
+    r = run()
+    print(f"# visualbert stage-2: {r}", file=sys.stderr)
+    print(json.dumps({"visualbert_stage2": r}))
 
 
 if __name__ == "__main__":

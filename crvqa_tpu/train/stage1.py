@@ -74,7 +74,8 @@ def init_state(params: PyTree, config: Stage1Config, rng: jax.Array,
 
 def make_train_step(model, config: Stage1Config,
                     tx: optax.GradientTransformation,
-                    masker: Optional[Masker] = None) -> Callable:
+                    masker: Optional[Masker] = None,
+                    jit: bool = True) -> Callable:
     """`masker` present => stage 3 (apply the constant mask each forward)."""
 
     def loss_fn(trainable, state: Stage1State, batch, dropout_rng):
@@ -116,7 +117,27 @@ def make_train_step(model, config: Stage1Config,
             opt_state=opt_state, rng=rng,
         ), metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step, donate_argnums=(0,)) if jit else train_step
+
+
+def make_multi_step(model, config: Stage1Config,
+                    tx: optax.GradientTransformation, n_steps: int,
+                    masker: Optional[Masker] = None) -> Callable:
+    """Scan `n_steps` stage-1/3 train steps in ONE device dispatch (the
+    stage-2 `make_multi_step` pattern — stage2.py:261-282): the per-step host
+    round trip disappears. Batches are a stacked pytree with leading dim
+    n_steps; returns (state, per-step losses, per-step scores)."""
+    step = make_train_step(model, config, tx, masker=masker, jit=False)
+
+    def multi(state: Stage1State, batches):
+        def body(st, batch):
+            st, m = step(st, batch)
+            return st, (m.loss, m.score)
+
+        state, (losses, scores) = jax.lax.scan(body, state, batches)
+        return state, losses, scores
+
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def make_eval_step(model, masker: Optional[Masker] = None) -> Callable:
