@@ -129,6 +129,17 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mesh_data", type=int, default=-1,
                    help="data-parallel mesh size (-1 = all devices)")
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--multihost", type=str2bool, default=False,
+                   help="multi-process runtime: call "
+                        "jax.distributed.initialize at startup (TPU pods "
+                        "discover peers from the environment; off-TPU pass "
+                        "the coordinator flags). Batch sizes stay GLOBAL — "
+                        "each process feeds its row block of every batch "
+                        "(B %% process_count == 0); see parallel/mesh.py")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (off-TPU multihost only)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--backbone_dtype", type=str, default="float32",
@@ -148,6 +159,23 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "(data/prefetch.py) — the DataLoader(num_workers) "
                         "overlap; 0 disables")
     p.add_argument("--resume_from", type=str, default=None)
+    p.add_argument("--train_shuffle", type=str2bool, default=True,
+                   help="shuffle training batches each epoch; turn off only "
+                        "for step-paired parity rehearsals against the "
+                        "reference trainer (torch and numpy shuffles cannot "
+                        "be aligned)")
+    p.add_argument("--hidden_dropout_prob", type=float, default=None,
+                   help="override the config's hidden dropout (parity "
+                        "rehearsals zero it: torch/JAX dropout RNG cannot "
+                        "be aligned)")
+    p.add_argument("--attention_probs_dropout_prob", type=float, default=None)
+    p.add_argument("--classifier_dropout", type=float, default=None)
+    p.add_argument("--tensorboard_dir", type=str, default=None,
+                   help="also emit scalar metrics as TensorBoard event "
+                        "files into this dir (dependency-free writer, "
+                        "utils/tb_events.py; metrics.jsonl stays the "
+                        "default sink). The reference's SummaryWriter "
+                        "surface, mask_trainer_Robust_VQA.py:51-65")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler xplane trace (TensorBoard/"
                         "XProf) of a training-step window into this dir "
@@ -232,16 +260,35 @@ def apply_prng_impl(args: argparse.Namespace) -> None:
             jax.devices()[0].platform != "tpu")
 
 
+def init_distributed(args: argparse.Namespace) -> None:
+    """--multihost: bring up the JAX process group. MUST be the first jax
+    call in the driver (before any backend use — setup_logging already reads
+    jax.process_index()). The analogue of the reference's
+    `utils.init_distributed_mode` / DDP env wiring (`mPLUG/utils.py:238-262`,
+    `mask_trainer_Robust_VQA.py:547-557`)."""
+    if getattr(args, "multihost", False):
+        from ..parallel import initialize_multihost
+
+        initialize_multihost(getattr(args, "coordinator_address", None),
+                             getattr(args, "num_processes", None),
+                             getattr(args, "process_id", None))
+
+
 def setup_logging(output_dir: str) -> None:
     os.makedirs(output_dir, exist_ok=True)
+    # rank-gated log level like the reference (prune_debias_VQA.py:714-719):
+    # INFO on process 0, WARN elsewhere
     logging.basicConfig(
-        level=logging.INFO,
+        level=logging.INFO if jax.process_index() == 0 else logging.WARN,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
 
 
 def dump_args(args: argparse.Namespace, output_dir: str) -> None:
-    """`args.txt` dump of all configs (prune_debias_VQA.py:953-957)."""
+    """`args.txt` dump of all configs (prune_debias_VQA.py:953-957);
+    process-0-gated."""
+    if jax.process_index() != 0:
+        return
     with open(os.path.join(output_dir, "args.txt"), "w") as f:
         json.dump(vars(args), f, indent=2, default=str)
 
@@ -281,6 +328,40 @@ class PreemptionGuard:
         return True
 
 
+def write_eval_results(output_dir: str, name: str, **results) -> None:
+    """Reference-style eval-results text artifact (`key = value` lines,
+    `prune_debias_VQA.py:979-986`, `run_vqa_stage1.py:615-623`);
+    process-0-gated."""
+    if jax.process_index() != 0:
+        return
+    with open(os.path.join(output_dir, name), "w") as f:
+        for k, v in results.items():
+            f.write("%s = %s\n" % (k, v))
+
+
+def config_overrides(args: argparse.Namespace) -> dict:
+    """Model-config kwargs from the optional CLI dropout overrides."""
+    out = {}
+    for k in ("hidden_dropout_prob", "attention_probs_dropout_prob",
+              "classifier_dropout"):
+        v = getattr(args, k, None)
+        if v is not None:
+            out[k] = v
+    return out
+
+
+def scheduler_horizon(n_train: int, batch_size: int, epochs: float) -> int:
+    """The reference's LR-scheduler horizon, exactly: every driver feeds
+    `get_linear_schedule_with_warmup` with
+    `int(int(n/(n_gpu*per_gpu_bs)+1)*epochs)` (`run_vqa_stage1.py:356-358`,
+    `prune_debias_VQA.py:626-628`, `..._visualBERT.py:470-472`) — n_gpu *
+    per_gpu_bs is our GLOBAL batch size, and the float-division `+1` makes
+    the horizon one-step-per-epoch LONGER than the steps actually run, so
+    the decay never reaches 0 during training. Loop control stays
+    `n // bs * epochs`; only the schedule uses this."""
+    return int(int(n_train / batch_size + 1) * epochs)
+
+
 def crossed(step: int, prev: int, every) -> bool:
     """True when (prev, step] contains a multiple of `every` — the cadence
     check for logging/checkpoint/reset actions. With multi-step dispatch
@@ -290,12 +371,37 @@ def crossed(step: int, prev: int, every) -> bool:
     return bool(every) and step // every > prev // every
 
 
+_metrics_writer = None
+
+
+def init_metrics(args: argparse.Namespace) -> None:
+    """Create the run's MetricsWriter (metrics.jsonl + optional TensorBoard
+    event file via --tensorboard_dir); every subsequent `log_step` mirrors
+    into it. Process-0-gated inside the writer — drivers call this
+    unconditionally. The stand-in for the reference's SummaryWriter/wandb
+    construction (`mask_trainer_Robust_VQA.py:51-82, 273-276`)."""
+    global _metrics_writer
+    from ..utils.profiling import MetricsWriter
+
+    if _metrics_writer is not None:
+        _metrics_writer.close()
+    _metrics_writer = MetricsWriter(
+        args.output_dir,
+        tensorboard_dir=getattr(args, "tensorboard_dir", None))
+
+
 def log_step(step: int, **metrics) -> None:
-    """JSON-line step logs like the reference trainer's `_log`."""
+    """JSON-line step logs like the reference trainer's `_log`; mirrored to
+    metrics.jsonl/TensorBoard when `init_metrics` ran. stdout printing is
+    process-0-gated like the reference's rank-gated logging
+    (`prune_debias_VQA.py:714-719`)."""
     payload = {"step": step}
     payload.update({k: (round(float(v), 6) if isinstance(v, (int, float, np.floating))
                         else v) for k, v in metrics.items()})
-    print(json.dumps(payload), flush=True)
+    if jax.process_index() == 0:
+        print(json.dumps(payload), flush=True)
+    if _metrics_writer is not None:
+        _metrics_writer.write(step, **metrics)
 
 
 def wrap_prefetch(batches_fn, args):
@@ -323,12 +429,34 @@ def wrap_prefetch(batches_fn, args):
     return wrapped
 
 
+def wrap_process_local(batches_fn):
+    """Multi-process loader shard: map `process_local_slice` over a
+    batches-fn's iterator, so each process feeds its block of every GLOBAL
+    batch (see parallel/mesh.py for the contract). Applied BEFORE
+    wrap_prefetch so the prefetcher only stages this process's slice.
+    Single-process: returns batches_fn unchanged."""
+    import jax
+
+    if jax.process_count() == 1:
+        return batches_fn
+    from ..parallel import process_local_slice
+
+    def wrapped(*a):
+        return (process_local_slice(b) for b in batches_fn(*a))
+
+    return wrapped
+
+
 def build_data(args, config):
     """Returns (train_batches_fn, eval_batches_fn, label2ans, n_train).
 
     Real VQA-CP data when --dataroot/--img_root are given; synthetic
     otherwise (--synthetic N). Both paths ride the background prefetcher
-    (wrap_prefetch) so host batch prep overlaps device steps.
+    (wrap_prefetch) so host batch prep overlaps device steps. Batch sizes
+    are GLOBAL: under `jax.process_count() > 1` every process derives the
+    same global batch sequence and `wrap_process_local` slices out its rows
+    (feature fetch/augment for off-process rows is skipped only in the
+    loaders that support it; the synthetic path regenerates cheaply).
     """
     from ..data.synthetic import synthetic_batch
 
@@ -355,8 +483,9 @@ def build_data(args, config):
                     feat_dim=config.visual_feat_dim,
                     pos_dim=config.visual_pos_dim)
 
-        return (wrap_prefetch(train_batches, args),
-                wrap_prefetch(eval_batches, args), label2ans, n)
+        return (wrap_prefetch(wrap_process_local(train_batches), args),
+                wrap_prefetch(wrap_process_local(eval_batches), args),
+                label2ans, n)
 
     from ..data import vqacp
 
@@ -381,15 +510,17 @@ def build_data(args, config):
 
     def train_batches(epoch: int) -> Iterator[dict]:
         return vqacp.iterate_batches(
-            train, features, args.train_batch_size, shuffle=True,
+            train, features, args.train_batch_size,
+            shuffle=getattr(args, "train_shuffle", True),
             seed=args.seed + epoch, drop_last=True)
 
     def eval_batches() -> Iterator[dict]:
         return vqacp.iterate_batches(
             test, features, args.eval_batch_size, shuffle=False)
 
-    return (wrap_prefetch(train_batches, args),
-            wrap_prefetch(eval_batches, args), label2ans, len(train))
+    return (wrap_prefetch(wrap_process_local(train_batches), args),
+            wrap_prefetch(wrap_process_local(eval_batches), args),
+            label2ans, len(train))
 
 
 def make_shard_fn(mesh):

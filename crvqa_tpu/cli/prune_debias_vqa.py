@@ -122,15 +122,18 @@ def main(argv=None) -> None:
 
 
 def run(args) -> None:
+    common.init_distributed(args)
     common.setup_logging(args.output_dir)
     common.apply_prng_impl(args)
     common.dump_args(args, args.output_dir)
+    common.init_metrics(args)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.tiny:
-        config = LxmertConfig.tiny(dtype=dtype)
+        config = LxmertConfig.tiny(dtype=dtype, **common.config_overrides(args))
     else:
-        config = LxmertConfig(ans_num=args.ans_num, dtype=dtype)
+        config = LxmertConfig(ans_num=args.ans_num, dtype=dtype,
+                              **common.config_overrides(args))
     model = LxmertForVQA(config)
     rng = jax.random.PRNGKey(args.seed)
     # checkpoints always interop through the unrolled layout
@@ -176,7 +179,8 @@ def run(args) -> None:
 
     train_batches, eval_batches, label2ans, n_train = common.build_data(args, config)
     steps_per_epoch = max(n_train // args.train_batch_size, 1)
-    total_steps = int(steps_per_epoch * args.num_train_epochs)
+    total_steps = common.scheduler_horizon(
+        n_train, args.train_batch_size, args.num_train_epochs)
 
     cfg = stage2.Stage2Config(
         masker_type=args.Masker_type, learning_rate=args.learning_rate,
@@ -300,16 +304,18 @@ def run(args) -> None:
 
             sums = abs_grad_sum(state.opt_state)
             if sums is not None:
-                flat = {"/".join(k): np.asarray(v) for k, v in
-                        traverse_util.flatten_dict(
-                            jax.device_get(sums)).items()}
-                np.savez(os.path.join(args.output_dir, "grad_abs_sum.npz"),
-                         **flat)
+                from ..core.checkpoint import _gather_leaf
+
+                # collective gather (ZeRO-sharded leaves span processes),
+                # then process-0 write
+                host = jax.tree_util.tree_map(_gather_leaf, sums)
+                if jax.process_index() == 0:
+                    flat = {"/".join(k): np.asarray(v) for k, v in
+                            traverse_util.flatten_dict(host).items()}
+                    np.savez(os.path.join(args.output_dir,
+                                          "grad_abs_sum.npz"), **flat)
         return state
 
-    from ..utils.profiling import MetricsWriter
-
-    writer = MetricsWriter(args.output_dir)
     drift_fn = jax.jit(masker.mask_drift)
     masks_fn = jax.jit(masker.binary_masks)
     report_fn = jax.jit(masker.sparsity_report)
@@ -342,10 +348,19 @@ def run(args) -> None:
                         continue
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
+                    wsh = NamedSharding(mesh, P(None, "data"))
+
+                    # multi-process: each process stacks its LOCAL window
+                    # slices; the global [W, B, ...] array is assembled like
+                    # shard_batch does for single batches
+                    def _put_window(arr):
+                        if jax.process_count() > 1:
+                            return jax.make_array_from_process_local_data(
+                                wsh, arr)
+                        return jax.device_put(arr, wsh)
+
                     stacked = {
-                        k: jax.device_put(
-                            np.stack([p[k] for p in pending]),
-                            NamedSharding(mesh, P(None, "data")))
+                        k: _put_window(np.stack([p[k] for p in pending]))
                         for k in pending[0] if k != "valid"}
                     pending = []
                     state, losses, scores_sum = multi_fn(state, stacked)
@@ -371,8 +386,6 @@ def run(args) -> None:
                     common.log_step(step, loss=float(metrics.loss),
                                     score=score_pct, epoch=epoch,
                                     mask_distance=distance, mask_change=change)
-                    writer.write(step, loss=float(metrics.loss), score=score_pct,
-                                 mask_distance=distance, mask_change=change)
                 if common.crossed(step, prev, args.save_steps):
                     ckpt.save_checkpoint(
                         os.path.join(args.output_dir, f"ckpt_{step}"), state,
@@ -399,13 +412,25 @@ def run(args) -> None:
                 profiler.tick(step)
             pending = []
         profiler.close()
-        state = export_best(state)
+        if best < 0:
+            # no best-eval save fired (e.g. --evaluate_during_training off):
+            # export the final state so the run still yields artifacts. When
+            # a best save DID fire, the reference leaves its artifacts alone
+            # (mask.pt/classifier/test.json are written ONLY inside the
+            # best-save block, mask_trainer_Robust_VQA.py:717-744)
+            state = export_best(state)
 
     if args.do_eval or args.do_predict:
         acc, out = evaluate(state)
         common.log_step(int(state.step), final_eval_acc=acc)
-        dump_predictions(os.path.join(args.output_dir, "test.json"),
-                         out["logits"], out["question_id"], label2ans)
+        # post-train eval writes eval_results_vqa.txt, NOT test.json
+        # (prune_debias_VQA.py:973-986); test.json only if no best save
+        # produced one
+        common.write_eval_results(args.output_dir, "eval_results_vqa.txt",
+                                  eval_acc=acc)
+        if not os.path.exists(os.path.join(args.output_dir, "test.json")):
+            dump_predictions(os.path.join(args.output_dir, "test.json"),
+                             out["logits"], out["question_id"], label2ans)
 
 
 if __name__ == "__main__":

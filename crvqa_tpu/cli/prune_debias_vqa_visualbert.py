@@ -56,15 +56,18 @@ def _to_visualbert_batch(batch: dict) -> dict:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    common.init_distributed(args)
     common.setup_logging(args.output_dir)
     common.apply_prng_impl(args)
     common.dump_args(args, args.output_dir)
+    common.init_metrics(args)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.tiny:
-        config = VisualBertConfig.tiny(dtype=dtype)
+        config = VisualBertConfig.tiny(dtype=dtype, **common.config_overrides(args))
     else:
-        config = VisualBertConfig(ans_num=args.ans_num, dtype=dtype)
+        config = VisualBertConfig(ans_num=args.ans_num, dtype=dtype,
+                                  **common.config_overrides(args))
     model = VisualBertForVQA(config)
     rng = jax.random.PRNGKey(args.seed)
 
@@ -88,7 +91,8 @@ def main(argv=None) -> None:
 
     train_batches, eval_batches, label2ans, n_train = common.build_data(args, _Cfg)
     steps_per_epoch = max(n_train // args.train_batch_size, 1)
-    total_steps = int(steps_per_epoch * args.num_train_epochs)
+    total_steps = common.scheduler_horizon(
+        n_train, args.train_batch_size, args.num_train_epochs)
 
     cfg = stage2.Stage2Config(
         masker_type=args.Masker_type, learning_rate=args.learning_rate,
@@ -164,11 +168,18 @@ def main(argv=None) -> None:
                     profiler.close()
                     return
         profiler.close()
-        state = export_best(state)
+        if best < 0:
+            # reference parity: best-save owns the artifacts; final export
+            # only when no best-eval save fired (see prune_debias_vqa.py)
+            state = export_best(state)
 
     if args.do_eval or args.do_predict:
         acc, out = evaluate(state)
         common.log_step(int(state.step), final_eval_acc=acc)
+        common.write_eval_results(args.output_dir, "eval_results_vqa.txt",
+                                  eval_acc=acc)
+        if os.path.exists(os.path.join(args.output_dir, "test.json")):
+            return
         dump_predictions(os.path.join(args.output_dir, "test.json"),
                          out["logits"], out["question_id"], label2ans)
 

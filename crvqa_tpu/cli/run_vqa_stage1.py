@@ -39,15 +39,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    common.init_distributed(args)
     common.setup_logging(args.output_dir)
     common.apply_prng_impl(args)
     common.dump_args(args, args.output_dir)
+    common.init_metrics(args)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.tiny:
-        config = LxmertConfig.tiny(dtype=dtype)
+        config = LxmertConfig.tiny(dtype=dtype, **common.config_overrides(args))
     else:
-        config = LxmertConfig(ans_num=args.ans_num, dtype=dtype)
+        config = LxmertConfig(ans_num=args.ans_num, dtype=dtype,
+                              **common.config_overrides(args))
     model = LxmertForVQA(config)
 
     from .prune_debias_vqa import load_stage1_params
@@ -57,7 +60,8 @@ def main(argv=None) -> None:
 
     train_batches, eval_batches, label2ans, n_train = common.build_data(args, config)
     steps_per_epoch = max(n_train // args.train_batch_size, 1)
-    total_steps = int(steps_per_epoch * args.num_train_epochs)
+    total_steps = common.scheduler_horizon(
+        n_train, args.train_batch_size, args.num_train_epochs)
 
     cfg = stage1.Stage1Config(
         ft_type=args.FT_type, learning_rate=args.learning_rate,
@@ -130,12 +134,22 @@ def main(argv=None) -> None:
             # total steps below save_steps): persist the final params —
             # but never overwrite a best-eval checkpoint with the last one
             save_best(state)
+        if best >= 0:
+            # `best_eval_results_vqa_noMASK.txt` after training
+            # (run_vqa_stage1.py:615-623)
+            common.write_eval_results(
+                args.output_dir, "best_eval_results_vqa_noMASK.txt",
+                eval_acc=best)
 
     if args.do_eval or args.do_predict:
         acc, out = evaluate(state)
         common.log_step(int(state.step), final_eval_acc=acc)
-        dump_predictions(os.path.join(args.output_dir, "test.json"),
-                         out["logits"], out["question_id"], label2ans)
+        common.write_eval_results(args.output_dir, "eval_results_vqa.txt",
+                                  eval_acc=acc)
+        # the reference never rewrites the best-save test.json post-train
+        if not os.path.exists(os.path.join(args.output_dir, "test.json")):
+            dump_predictions(os.path.join(args.output_dir, "test.json"),
+                             out["logits"], out["question_id"], label2ans)
 
 
 if __name__ == "__main__":

@@ -240,9 +240,11 @@ def build_rank_fn(args, config, tokenizer, model, masker, cfg):
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    common.init_distributed(args)
     common.setup_logging(args.output_dir)
     common.apply_prng_impl(args)
     common.dump_args(args, args.output_dir)
+    common.init_metrics(args)
 
     config, tokenizer, model = build_model(args)
 
@@ -303,8 +305,10 @@ def main(argv=None) -> None:
     # with device steps (the reference runs DataLoader(num_workers=[12,8,8]),
     # vqa_mplug.py:422)
     b0 = next(iter(train_batches(0)))
-    train_batches = common.wrap_prefetch(train_batches, args)
-    eval_batches = common.wrap_prefetch(eval_batches, args)
+    train_batches = common.wrap_prefetch(
+        common.wrap_process_local(train_batches), args)
+    eval_batches = common.wrap_prefetch(
+        common.wrap_process_local(eval_batches), args)
     jb0 = {k: jnp.asarray(v) for k, v in b0.items()
            if k not in ("qid", "valid")}
     params = model.init(jax.random.PRNGKey(args.seed), jb0["images"],
@@ -344,12 +348,15 @@ def main(argv=None) -> None:
     scheduler = None
     if args.mode == "mask":
         masker, scheduler = build_masker(args, config)
-        # dump the mask config like vqa_mplug.py:506-507
-        with open(os.path.join(args.output_dir, "mask_config.json"), "w") as f:
-            json.dump({"zero_rate": args.zero_rate, "threshold": args.threshold,
-                       "init_scale": args.init_scale,
-                       "controlled_init": args.controlled_init,
-                       "masker_update_step": args.masker_update_step}, f)
+        # dump the mask config like vqa_mplug.py:506-507 (process 0 only)
+        if jax.process_index() == 0:
+            with open(os.path.join(args.output_dir,
+                                   "mask_config.json"), "w") as f:
+                json.dump({"zero_rate": args.zero_rate,
+                           "threshold": args.threshold,
+                           "init_scale": args.init_scale,
+                           "controlled_init": args.controlled_init,
+                           "masker_update_step": args.masker_update_step}, f)
 
     state, tx = mplug_train.init_state(model, params, cfg,
                                        jax.random.PRNGKey(args.seed),
@@ -448,23 +455,30 @@ def main(argv=None) -> None:
             rank_fn, answers, best_index = build_rank_fn(
                 args, config, tokenizer, model, masker, cfg)
 
+        from ..parallel.mesh import host_all_gather, host_all_gather_local
+
         for batch in eval_batches():
             dev = shard_fn({k: v for k, v in batch.items()
                             if k not in ("qid", "valid")})
+            # multi-process: device outputs are sharded globals and qid/valid
+            # are loader-local — gather both so every process scores the full
+            # set (distributed_concat analogue); single-process: pass-through
+            qids = host_all_gather_local(np.asarray(batch["qid"]))
+            ok_vec = host_all_gather_local(np.asarray(
+                batch.get("valid", np.ones(len(batch["qid"]), bool))))
             if rank_fn is not None:
                 out = rank_fn(state, dev)
+                out = jax.tree_util.tree_map(host_all_gather, out)
                 best = best_index(out)
-                ok_vec = batch.get("valid", np.ones(len(batch["qid"]), bool))
-                for idx, qid, ok in zip(best, batch["qid"], ok_vec):
+                for idx, qid, ok in zip(best, qids, ok_vec):
                     if not ok:  # ragged-final-batch padding
                         continue
                     results.append({"question_id": int(qid),
                                     "answer": answers[int(idx)]})
                 continue
             ids, scores = gen_fn(state, dev)
-            ids = np.asarray(ids)
-            ok_vec = batch.get("valid", np.ones(len(batch["qid"]), bool))
-            for row, qid, ok in zip(ids, batch["qid"], ok_vec):
+            ids = host_all_gather(ids)
+            for row, qid, ok in zip(ids, qids, ok_vec):
                 if not ok:  # ragged-final-batch padding
                     continue
                 if tokenizer is not None:
@@ -475,8 +489,10 @@ def main(argv=None) -> None:
                 else:
                     answer = " ".join(str(int(t)) for t in row[1:] if t != 0)
                 results.append({"question_id": int(qid), "answer": answer})
-        with open(os.path.join(args.output_dir, "vqa_result.json"), "w") as f:
-            json.dump(results, f)
+        if jax.process_index() == 0:
+            with open(os.path.join(args.output_dir,
+                                   "vqa_result.json"), "w") as f:
+                json.dump(results, f)
         common.log_step(int(state.step), num_predictions=len(results))
 
 

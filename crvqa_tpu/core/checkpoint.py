@@ -18,10 +18,29 @@ from flax import serialization
 PyTree = Any
 
 
+def _gather_leaf(x):
+    """Host copy of a leaf; process-sharded leaves (e.g. ZeRO-sharded
+    optimizer state spanning hosts) are assembled collectively."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(x, tiled=True)
+    return jax.device_get(x)
+
+
 def save_checkpoint(path: str, state: PyTree, metadata: Optional[dict] = None
                     ) -> None:
+    """Atomic msgpack dump of a state pytree.
+
+    Multi-process contract (the torch `save_on_master` analogue,
+    `mPLUG/utils.py:196-214`): EVERY process must call this together — leaves
+    that span processes are gathered collectively — and only process 0
+    touches the filesystem.
+    """
+    host_state = jax.tree_util.tree_map(_gather_leaf, state)
+    if jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    host_state = jax.device_get(state)
     payload = serialization.to_bytes(host_state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -63,8 +82,9 @@ def rotate_checkpoints(directory: str, keep: int, prefix: str = "ckpt_") -> None
     """`_rotate_checkpoints` retention (mask_trainer_Robust_VQA.py:1040-1052).
 
     `keep <= 0` means NO rotation (unlimited retention) — the reference
-    returns early when save_total_limit is None or <= 0."""
-    if keep <= 0 or not os.path.isdir(directory):
+    returns early when save_total_limit is None or <= 0. Process-0-gated
+    (only process 0 wrote the files)."""
+    if keep <= 0 or not os.path.isdir(directory) or jax.process_index() != 0:
         return
     cands = sorted(
         (int(n[len(prefix):]), os.path.join(directory, n))

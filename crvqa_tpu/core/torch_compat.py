@@ -37,7 +37,12 @@ def _torch():
 def export_mask_pt(path: str, masks: dict[str, np.ndarray],
                    specs: Sequence[MaskSpec]) -> None:
     """Write masks (keyed by spec.key, flax orientation) as a reference-format
-    `mask.pt` keyed by `<torch_name>.weight` bool tensors."""
+    `mask.pt` keyed by `<torch_name>.weight` bool tensors. Process-0-gated
+    (masks are host/replicated — no gather needed)."""
+    import jax
+
+    if jax.process_index() != 0:
+        return
     torch = _torch()
     out = {}
     for spec in specs:
@@ -170,7 +175,12 @@ def torch_state_dict_to_flax(state: dict[str, Any], template: PyTree) -> PyTree:
 def export_classifier_bin(path: str, classifier_params: PyTree) -> None:
     """Save the classifier as a torch state_dict pickle with the reference's
     `classifier.main.{0,3}` naming (`classifier4masker.bin` contract, module
-    pickle replaced by its state_dict)."""
+    pickle replaced by its state_dict). Process-0-gated (classifier params
+    are replicated)."""
+    import jax
+
+    if jax.process_index() != 0:
+        return
     torch = _torch()
     # classifier_params = {'main_0': ..., 'main_3': ...} -> 'main.0.*'/'main.3.*'
     sd = flax_to_torch_state_dict(classifier_params)
@@ -336,7 +346,12 @@ def load_torch_params(path: str, template: PyTree) -> PyTree:
 
 def save_torch_state_dict(path: str, params: PyTree) -> None:
     """torch.save a flax param tree as a reference-named state_dict (the
-    stage-1 -> stage-2/3 interop artifact)."""
+    stage-1 -> stage-2/3 interop artifact). Process-0-gated (params are
+    replicated)."""
+    import jax
+
+    if jax.process_index() != 0:
+        return
     torch = _torch()
     sd = flax_to_torch_state_dict(params)
     torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()}, path)

@@ -7,6 +7,9 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
     host_all_gather,
+    host_all_gather_local,
+    is_main_process,
+    process_local_slice,
     initialize_multihost,
 )
 
@@ -17,6 +20,9 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "host_all_gather",
+    "host_all_gather_local",
+    "is_main_process",
+    "process_local_slice",
     "initialize_multihost",
     "param_partition_spec", "shard_params_tp", "shard_scores_tp",
     "shard_opt_state", "constrain_opt_state",

@@ -3,9 +3,13 @@
 Re-design of `_prediction_loop` + `make_json`
 (`mask_trainer_Robust_VQA.py:487-496, 1096-1245`): the jitted eval step
 returns per-batch logits (sharded over `data`); accumulation and the JSON
-dump happen on host. With jax.sharding the all-gather the reference does via
+dump happen on host. Single-process, the all-gather the reference does via
 `distributed_concat` / `xm.mesh_reduce` is just a host fetch of the global
-array.
+array; under `jax.process_count() > 1` the logits shards are exchanged with
+`host_all_gather` and the host-side fields (qids/labels/valid, local to each
+process's loader shard) with `host_all_gather_local`, so EVERY process sees
+the full prediction set (like the reference's distributed_concat) and
+artifact writes are gated on process 0 by the drivers.
 """
 from __future__ import annotations
 
@@ -14,6 +18,8 @@ from typing import Callable, Iterable, Optional, Sequence
 
 import numpy as np
 
+from ..parallel.mesh import host_all_gather, host_all_gather_local
+
 
 def predict(eval_step: Callable, state, batches: Iterable[dict],
             shard_fn: Optional[Callable] = None) -> dict:
@@ -21,18 +27,26 @@ def predict(eval_step: Callable, state, batches: Iterable[dict],
 
     Batches may be padded to a fixed size; a 'valid' bool vector marks real
     rows (fixed shapes keep XLA from recompiling on the ragged final batch).
+    Multi-process: every process must iterate the SAME NUMBER of batches
+    (its own loader shard of each global batch) — the gathers are
+    collectives.
     """
     all_logits, all_qids, all_labels = [], [], []
     n_valid = 0
     for batch in batches:
         dev_batch = shard_fn(batch) if shard_fn is not None else batch
-        logits = np.asarray(eval_step(state, dev_batch))
-        valid = np.asarray(batch.get("valid", np.ones(logits.shape[0], bool)))
+        logits = host_all_gather(eval_step(state, dev_batch))
+        if "valid" in batch:
+            valid = host_all_gather_local(np.asarray(batch["valid"]))
+        else:
+            valid = np.ones(logits.shape[0], bool)
         all_logits.append(logits[valid])
         if "question_id" in batch:
-            all_qids.append(np.asarray(batch["question_id"])[valid])
+            all_qids.append(
+                host_all_gather_local(np.asarray(batch["question_id"]))[valid])
         if "labels" in batch:
-            all_labels.append(np.asarray(batch["labels"])[valid])
+            all_labels.append(
+                host_all_gather_local(np.asarray(batch["labels"]))[valid])
         n_valid += int(valid.sum())
     out = {"logits": np.concatenate(all_logits) if all_logits else np.zeros((0,))}
     if all_qids:
@@ -64,5 +78,11 @@ def make_json(logits: np.ndarray, qids: Sequence, label2ans: Sequence[str]
 
 def dump_predictions(path: str, logits: np.ndarray, qids: Sequence,
                      label2ans: Sequence[str]) -> None:
+    """Process-0-gated: after `predict`'s gathers every process holds the
+    full prediction set; only one writes test.json."""
+    import jax
+
+    if jax.process_index() != 0:
+        return
     with open(path, "w") as f:
         json.dump(make_json(logits, qids, label2ans), f)

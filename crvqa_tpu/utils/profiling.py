@@ -67,14 +67,33 @@ class MetricsWriter:
     """JSONL metrics sink — the torch-free stand-in for the reference's
     TensorBoard SummaryWriter / wandb hooks
     (`mask_trainer_Robust_VQA.py:51-82, 273-276, 785-799`). One JSON object
-    per line; any TB/wandb frontend can tail it."""
+    per line; any TB/wandb frontend can tail it.
 
-    def __init__(self, output_dir: str, name: str = "metrics.jsonl"):
+    `tensorboard_dir` mirrors every float metric into a real TensorBoard
+    event file (scalars only — the surface the reference uses), via the
+    dependency-free emitter in utils/tb_events.py.
+
+    Process-0-gated: on other processes every method is a no-op, so drivers
+    call it unconditionally (the reference's rank-gated logging,
+    `prune_debias_VQA.py:714-719`)."""
+
+    def __init__(self, output_dir: str, name: str = "metrics.jsonl",
+                 tensorboard_dir: Optional[str] = None):
+        self._fh = None
+        self._tb = None
+        if jax.process_index() != 0:
+            return
         os.makedirs(output_dir, exist_ok=True)
         self.path = os.path.join(output_dir, name)
         self._fh = open(self.path, "a")
+        if tensorboard_dir:
+            from .tb_events import TBEventWriter
+
+            self._tb = TBEventWriter(tensorboard_dir)
 
     def write(self, step: int, **metrics) -> None:
+        if self._fh is None:
+            return
         payload = {"step": int(step)}
         for k, v in metrics.items():
             try:
@@ -83,6 +102,16 @@ class MetricsWriter:
                 payload[k] = v
         self._fh.write(json.dumps(payload) + "\n")
         self._fh.flush()
+        if self._tb is not None:
+            for k, v in payload.items():
+                if k != "step" and isinstance(v, float):
+                    self._tb.add_scalar(k, v, payload["step"])
+            self._tb.flush()
 
     def close(self) -> None:
-        self._fh.close()
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None

@@ -24,6 +24,21 @@ _installed = False
 def install():
     """Make `/root/reference` importable; returns the torch module."""
     global _installed
+    # py3.12/numpy>=1.24 removed aliases the reference touches at runtime
+    # (collections.Mapping/Sequence in data_collator.py:91-93, np.float in
+    # mask_trainer_Robust_VQA.py:794); restore them additively
+    import collections
+    import collections.abc
+
+    import numpy as _np
+
+    for name in ("Mapping", "Sequence", "Iterable"):
+        if not hasattr(collections, name):
+            setattr(collections, name, getattr(collections.abc, name))
+    for alias, typ in (("float", float), ("int", int), ("bool", bool),
+                       ("object", object)):
+        if not hasattr(_np, alias):
+            setattr(_np, alias, typ)
     if "sentencepiece" not in sys.modules:
         sp = types.ModuleType("sentencepiece")
         sp.SentencePieceProcessor = object

@@ -1,0 +1,138 @@
+"""Multi-process runtime correctness: 2 real processes x 4 virtual CPU
+devices (8 global), coordinated via jax.distributed on localhost — the CPU
+stand-in for a multi-host TPU pod slice (SURVEY.md §5.8; the reference's
+DDP/DeepSpeed layer, `mask_trainer_Robust_VQA.py:303-307, 547-557,
+1247-1257`, `mPLUG/utils.py:238-262`).
+
+Two tiers:
+- `test_two_process_units`: shard_batch/process_local_slice/host_all_gather/
+  checkpoint semantics under 2 real processes.
+- `test_two_process_stage2_matches_single`: the full stage-2 CLI run twice —
+  1 process x 8 devices vs 2 processes x 4 devices, SAME global batches —
+  asserting the loss trajectory, mask.pt, and test.json agree (up to
+  cross-process reduction-order float noise).
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "mp_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _env() -> dict:
+    env = dict(os.environ)
+    # the worker owns its XLA_FLAGS / platform; drop the pytest harness's
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _launch(mode: str, nproc: int, out_dir: str, timeout: int):
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, mode, str(nproc), str(pid), str(port),
+             out_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=_env())
+        for pid in range(nproc)
+    ]
+    outs = []
+    try:
+        for pid, pr in enumerate(procs):
+            out, _ = pr.communicate(timeout=timeout)
+            outs.append(out)
+            assert pr.returncode == 0, (
+                f"worker {mode} pid {pid} rc={pr.returncode}\n{out[-4000:]}")
+            assert f"WORKER_OK {mode} {pid}" in out
+    finally:
+        for pr in procs:
+            if pr.poll() is None:
+                pr.kill()
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_units(tmp_path):
+    out = str(tmp_path)
+    _launch("units", 2, out, timeout=600)
+    for pid in (0, 1):
+        checks = json.load(open(os.path.join(out, f"units_{pid}.json")))
+        bad = [k for k, v in checks.items() if v is not True]
+        assert not bad, f"pid {pid} failed checks: {bad}"
+    # process-0 gating: exactly one process wrote the checkpoint
+    assert os.path.exists(os.path.join(out, "mp_ckpt"))
+
+
+def _read_metrics(out_dir: str) -> dict:
+    rows = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.jsonl"))]
+    by_step = {}
+    for r in rows:
+        by_step.setdefault(r["step"], {}).update(r)
+    return by_step
+
+
+@pytest.mark.slow
+def test_two_process_stage2_matches_single(tmp_path):
+    import torch
+
+    single = str(tmp_path / "single")
+    multi = str(tmp_path / "multi")
+    os.makedirs(single), os.makedirs(multi)
+    _launch("stage2", 1, single, timeout=1200)
+    _launch("stage2", 2, multi, timeout=1200)
+
+    # artifact set: process-0 wrote everything exactly once
+    for name in ("mask.pt", "classifier4masker.bin", "test.json",
+                 "metrics.jsonl", "args.txt"):
+        assert os.path.exists(os.path.join(multi, name)), name
+
+    # loss trajectory: step-paired, identical global batches -> equal up to
+    # cross-process reduction-order noise
+    ms, mm = _read_metrics(single), _read_metrics(multi)
+    steps = sorted(set(ms) & set(mm))
+    assert steps, "no common logged steps"
+    for s in steps:
+        if "loss" in ms[s] or "loss" in mm[s]:
+            np.testing.assert_allclose(ms[s]["loss"], mm[s]["loss"],
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"loss at step {s}")
+        if "eval_acc" in ms[s] or "eval_acc" in mm[s]:
+            assert abs(ms[s]["eval_acc"] - mm[s]["eval_acc"]) < 0.5, s
+
+    # mask.pt: same keys/shapes/zero-rate; near-total elementwise agreement
+    # (threshold-adjacent scores can flip on last-ulp psum differences)
+    m1 = torch.load(os.path.join(single, "mask.pt"), weights_only=False)
+    m2 = torch.load(os.path.join(multi, "mask.pt"), weights_only=False)
+    assert set(m1) == set(m2)
+    agree = total = zeros1 = zeros2 = 0
+    for k in m1:
+        a, b = m1[k].numpy(), m2[k].numpy()
+        assert a.shape == b.shape, k
+        agree += int((a == b).sum())
+        total += a.size
+        zeros1 += int((~a).sum())
+        zeros2 += int((~b).sum())
+    assert agree / total > 0.999, f"mask agreement {agree / total:.6f}"
+    assert abs(zeros1 - zeros2) / total < 1e-3
+
+    # predictions: same qid set, near-total answer agreement
+    p1 = {p["question_id"]: p["answer"]
+          for p in json.load(open(os.path.join(single, "test.json")))}
+    p2 = {p["question_id"]: p["answer"]
+          for p in json.load(open(os.path.join(multi, "test.json")))}
+    assert set(p1) == set(p2)
+    same = sum(p1[q] == p2[q] for q in p1)
+    assert same / len(p1) > 0.95, f"answer agreement {same / len(p1):.3f}"
