@@ -23,13 +23,15 @@ jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
 
 def run(fused: bool, window: int = 32, windows: int = 4,
-        bwd_impl: str = "stored", thin_seg: bool = False) -> float:
+        bwd_impl: str = "stored", thin_seg: bool = False,
+        q_pair: bool = False) -> float:
     from crvqa_tpu.models import layers
     from crvqa_tpu.ops import fused_attention as fa
 
     layers.FUSED_ATTENTION = fused
     fa.BWD_IMPL = bwd_impl
     fa.THIN_SEG = thin_seg
+    fa.Q_PAIR = q_pair
     from bench_window import build
 
     compiled, state, stacked, bs = build(window)
@@ -50,6 +52,13 @@ def main() -> None:
         for thin in (False, True):
             key = "thin_seg" if thin else "square_seg"
             results[key] = round(run(True, thin_seg=thin), 1)
+            print(f"# {key}: {results[key]} ex/s", file=sys.stderr)
+    elif "--pair" in sys.argv:
+        # batch-pair formulation A/B (VERDICT r3 #4's q-stack): two batch
+        # rows per dot, half the sequential dots, double the arithmetic
+        for pair in (False, True):
+            key = "pair" if pair else "single"
+            results[key] = round(run(True, q_pair=pair), 1)
             print(f"# {key}: {results[key]} ex/s", file=sys.stderr)
     elif "--bwd" in sys.argv:
         # backward-implementation sweep (all through the fused kernel)

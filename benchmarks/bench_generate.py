@@ -68,7 +68,7 @@ def _gen_flops(model, masker, cfg, state, jb, gen, max_len: int) -> float:
 
 
 def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
-        iters: int = 8, midseq: bool = False) -> dict:
+        iters: int = 8, midseq: bool = False, use_cache: bool = False) -> dict:
     from crvqa_tpu.train import mplug_train
     from crvqa_tpu.utils.mfu import mfu
 
@@ -77,7 +77,8 @@ def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
     config, model, masker, cfg, state, _ = build_masked_mplug(midseq=midseq)
     jb = _batch(config, batch_size)
     gen = mplug_train.make_generate_step(model, cfg, masker=masker,
-                                         beam_size=beam_size, max_len=max_len)
+                                         beam_size=beam_size, max_len=max_len,
+                                         use_cache=use_cache)
     flops_call = _gen_flops(model, masker, cfg, state, jb, gen, max_len)
     ids, scores = gen(state, jb)  # compile + warmup
     _ = np.asarray(ids)
@@ -139,14 +140,16 @@ def run_rank(batch_size: int = 32, n_answers: int = 3129, ans_len: int = 8,
 
 def main() -> None:
     midseq = "--midseq" in sys.argv
+    use_cache = "--cache" in sys.argv
     if "--rank" in sys.argv:
         r = run_rank(midseq=midseq)
         print(f"# rank-k10 masked eval: {r}", file=sys.stderr)
         print(json.dumps({"mplug_rank_eval": r, "midseq": midseq}))
         return
-    r = run(midseq=midseq)
+    r = run(midseq=midseq, use_cache=use_cache)
     print(f"# beam-5 masked eval: {r}", file=sys.stderr)
-    print(json.dumps({"mplug_beam5_eval": r, "midseq": midseq}))
+    print(json.dumps({"mplug_beam5_eval": r, "midseq": midseq,
+                      "self_kv_cache": use_cache}))
 
 
 if __name__ == "__main__":

@@ -138,8 +138,63 @@ def summarize_trace(logdir: str, hlo_map: dict, categorize_fn) -> dict:
     }
 
 
+def _stage2_bucket_flops(batch: int) -> tuple:
+    """Analytic TRUE-FLOP totals (fwd + bwd) per train step for (a) the
+    attention score/context dots — everything the pallas buckets contain —
+    and (b) the FFN matmuls, LXMERT base at lang 14 / vis 36 (9/5/5 layers,
+    hidden 768, intermediate 3072). True means the useful arithmetic: the
+    lane-blocked kernel's block-diagonal operands execute H x these FLOPs
+    by construction (ops/fused_attention.py) — that redundancy is exactly
+    the gap this bound quantifies. A dot's backward is two dots, so
+    fwd+bwd = 3x fwd. Elementwise mask multiplies are excluded (VPU, not
+    MXU)."""
+    SL, SV, HID, INT = 14, 36, 768, 3072
+    L, R, X = 9, 5, 5
+
+    def att(sq, sk):  # qk^T + pv dots, fwd
+        return 4 * batch * sq * sk * HID
+
+    att_fwd = (L * att(SL, SL) + R * att(SV, SV)
+               + X * (att(SL, SV) + att(SV, SL) + att(SL, SL) + att(SV, SV)))
+
+    def ffn(s):  # 768->3072 + 3072->768, fwd
+        return 2 * 2 * batch * s * HID * INT
+
+    ffn_fwd = L * ffn(SL) + R * ffn(SV) + X * (ffn(SL) + ffn(SV))
+    return 3 * att_fwd, 3 * ffn_fwd
+
+
+def speed_of_light(summary: dict, window: int, batch: int) -> dict:
+    """Pin the step-time bound with the attention kernels at FFN arithmetic
+    efficiency (VERDICT r3 #4): the pallas buckets' TRUE FLOPs are ~1% of
+    the model, so if those dots ran at the FFN matmuls' measured FLOP/s the
+    attention time would collapse to ~nothing; everything else is already
+    model matmuls near peak (the r2/r3 profile conclusion). The implied MFU
+    ceiling = measured MFU x (total / sol_total)."""
+    cats = summary["by_category_ms"]
+    att_ms = sum(v for k, v in cats.items() if k.startswith("pallas_attn"))
+    ffn_ms = sum(v for k, v in cats.items() if k.startswith("ffn"))
+    total_ms = summary["total_ms"]
+    att_fl, ffn_fl = _stage2_bucket_flops(batch)
+    att_fl *= window
+    ffn_fl *= window
+    eff_ffn = ffn_fl / (ffn_ms / 1e3)  # measured FFN FLOP/s
+    sol_att_ms = att_fl / eff_ffn * 1e3
+    sol_total = total_ms - att_ms + sol_att_ms
+    return {
+        "attention_ms": round(att_ms, 2),
+        "attention_true_gflops_per_step": round(att_fl / window / 1e9, 2),
+        "ffn_ms": round(ffn_ms, 2),
+        "ffn_measured_tflops": round(eff_ffn / 1e12, 2),
+        "sol_attention_ms": round(sol_att_ms, 3),
+        "sol_total_ms": round(sol_total, 1),
+        "sol_step_speedup": round(total_ms / sol_total, 4),
+    }
+
+
 def main() -> None:
-    compiled, state, stacked = build()
+    window, batch = 32, 256
+    compiled, state, stacked = build(window)
     hlo_map = build_hlo_map(compiled)
     state, losses, _ = compiled(state, stacked)  # warmup / compile
     _ = float(losses[-1])
@@ -149,7 +204,10 @@ def main() -> None:
     _ = float(losses[-1])
     jax.profiler.stop_trace()
 
-    print(json.dumps(summarize_trace(LOGDIR, hlo_map, categorize)))
+    summary = summarize_trace(LOGDIR, hlo_map, categorize)
+    if "by_category_ms" in summary:
+        summary["speed_of_light"] = speed_of_light(summary, window, batch)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -105,7 +105,8 @@ def main(argv=None) -> None:
 
     gen_fn = mplug_train.make_generate_step(
         model, cfg, masker=masker, beam_size=args.beam_size,
-        max_len=args.max_answer_len, min_length=args.min_length)
+        max_len=args.max_answer_len, min_length=args.min_length,
+        use_cache=args.decode_cache)
 
     bs = args.serve_batch_size
     q_len = question_token_len(args.add_ocr, args.max_input_length)

@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_res", type=int, default=384)
     p.add_argument("--beam_size", type=int, default=5)
     p.add_argument("--max_answer_len", type=int, default=12)
+    p.add_argument("--decode_cache", type=common.str2bool, default=True,
+                   help="incremental beam decode with self-attention KV "
+                        "caches (chip-measured +31%% beam-5 eval; identical "
+                        "outputs — equivalence-tested)")
     p.add_argument("--min_length", type=int, default=1,
                    help="EOS blocked while decode step < min_length "
                         "(vqa_mplug.py:472, predictor.py:207-208)")
@@ -381,7 +385,8 @@ def main(argv=None) -> None:
     gen_fn = mplug_train.make_generate_step(model, cfg, masker=masker,
                                             beam_size=args.beam_size,
                                             max_len=args.max_answer_len,
-                                            min_length=args.min_length)
+                                            min_length=args.min_length,
+                                            use_cache=args.decode_cache)
 
     if args.do_train:
         # host-side counter: int(state.step) every iteration would sync on

@@ -135,6 +135,31 @@ class WeightNormDense(nn.Module):
         return y
 
 
+class PadFrozenEmbed(nn.Embed):
+    """nn.Embed with torch `nn.Embedding(padding_idx=pad_idx)` GRAD
+    semantics: the forward is an ordinary gather, but the padding row
+    receives NO gradient (torch zeroes it inside the embedding backward).
+    The reference builds every text embedding this way
+    (`modeling_lxmert.py:734-736` — word AND position AND token-type;
+    `modeling_mplug.py:173`, `modeling_visualbert.py:82` — word), so without
+    this the [PAD] row trains here and — worse — its spurious gradient
+    enters `clip_grad_norm`'s global norm, perturbing EVERY tensor's update
+    (caught by the stage-1 trajectory rehearsal). Row-level grad surgery has
+    no explicit-signature spelling, hence the one sanctioned stop_gradient:
+    a substituted stopped row in the gathered table. Same param path as
+    nn.Embed ("<name>/embedding") — checkpoint-compatible; `attend` (the
+    tied LM head) is inherited UNfrozen, matching torch, where padding_idx
+    only affects the embedding op, not the tied linear."""
+
+    pad_idx: int = 0
+
+    def __call__(self, inputs):
+        table = self.embedding
+        table = table.at[self.pad_idx].set(
+            jax.lax.stop_gradient(table[self.pad_idx]))
+        return jnp.take(table, inputs, axis=0)
+
+
 class MultiHeadAttention(nn.Module):
     """LXMERT/BERT-style attention over an explicit context.
 
@@ -154,11 +179,16 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, context, attention_bias=None, deterministic=True,
-                 kv=None, joint_split=None, joint_biases=None):
+                 kv=None, joint_split=None, joint_biases=None,
+                 self_cache=None, cache_position=None):
         """`kv`: optional precomputed (k, v) head-split projections of the
         context ([B, S, heads, head_size] each). Generation caches the
         cross-attention K/V of the static encoder memory once instead of
         recomputing them every decode step (see models/mplug/generator.py).
+
+        `self_cache`/`cache_position`: incremental self-attention — the
+        growing-prefix analogue of `kv` for autoregressive decoding; returns
+        (out, updated_cache) instead of out.
 
         `joint_split`/`joint_biases`: bidirectional cross-attention over
         SHARED weights (LxmertXLayer's one `visual_attention` called for
@@ -182,6 +212,25 @@ class MultiHeadAttention(nn.Module):
             ctx_v = self._attend(q[:, s:], k[:, :s], v[:, :s], lang_bias,
                                  deterministic)
             return jnp.concatenate([ctx_l, ctx_v], axis=1)
+
+        if self_cache is not None:
+            # incremental decode: `hidden`/`context` is the single new row
+            # [N, 1, D]; project it, write k/v into the cache at
+            # cache_position, attend the one query row over the whole cache
+            # (future rows are zeros the caller's key bias masks out).
+            # Returns (out, updated_cache) — beam search reorders the cache
+            # by parent beam, which is exactly the reference predictor's
+            # map_batch_fn state reindexing (mPLUG/models/predictor.py:243).
+            k_cache, v_cache = self_cache
+            k_new = self._split_heads(dense("key")(context))
+            v_new = self._split_heads(dense("value")(context))
+            k_cache = jax.lax.dynamic_update_slice_in_dim(
+                k_cache, k_new.astype(k_cache.dtype), cache_position, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(
+                v_cache, v_new.astype(v_cache.dtype), cache_position, axis=1)
+            out = self._attend_heads(self._split_heads(q), k_cache, v_cache,
+                                     attention_bias, deterministic)
+            return out, (k_cache, v_cache)
 
         if kv is None:
             return self._attend(q, dense("key")(context),

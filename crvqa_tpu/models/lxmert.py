@@ -24,6 +24,7 @@ from .layers import (
     CrossAttentionLayer,
     FFNOutput,
     Intermediate,
+    PadFrozenEmbed,
     SelfAttentionLayer,
     TransformerLayer,
     extend_attention_mask,
@@ -89,17 +90,21 @@ class LxmertEmbeddings(nn.Module):
     def __call__(self, input_ids, token_type_ids=None, deterministic=True):
         c = self.config
         emb_init = nn.initializers.normal(stddev=c.initializer_range)
-        words = nn.Embed(c.vocab_size, c.hidden_size, embedding_init=emb_init,
-                         param_dtype=jnp.float32, name="word_embeddings")(input_ids)
+        # all three tables carry padding_idx=0 grad semantics in the
+        # reference (modeling_lxmert.py:734-736) — layers.PadFrozenEmbed
+        words = PadFrozenEmbed(
+            c.vocab_size, c.hidden_size, embedding_init=emb_init,
+            param_dtype=jnp.float32, name="word_embeddings")(input_ids)
         seq_len = input_ids.shape[1]
         pos_ids = jnp.arange(seq_len)[None, :]
-        pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
-                       embedding_init=emb_init, param_dtype=jnp.float32,
-                       name="position_embeddings")(pos_ids)
+        pos = PadFrozenEmbed(c.max_position_embeddings, c.hidden_size,
+                             embedding_init=emb_init, param_dtype=jnp.float32,
+                             name="position_embeddings")(pos_ids)
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
-        tok = nn.Embed(c.type_vocab_size, c.hidden_size, embedding_init=emb_init,
-                       param_dtype=jnp.float32, name="token_type_embeddings")(token_type_ids)
+        tok = PadFrozenEmbed(
+            c.type_vocab_size, c.hidden_size, embedding_init=emb_init,
+            param_dtype=jnp.float32, name="token_type_embeddings")(token_type_ids)
         h = (words + pos + tok).astype(c.dtype)
         h = nn.LayerNorm(epsilon=1e-12, dtype=c.dtype, name="LayerNorm")(h)
         return nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)

@@ -84,9 +84,13 @@ class BertEmbeddings(nn.Module):
     def setup(self):
         c = self.config
         emb_init = nn.initializers.normal(stddev=c.initializer_range)
-        self.word_embeddings = nn.Embed(
+        # padding_idx=pad_token_id grad semantics on the word table only
+        # (modeling_mplug.py:173) — layers.PadFrozenEmbed; `attend` (tied LM
+        # head) inherits unfrozen, like torch
+        self.word_embeddings = layers.PadFrozenEmbed(
             c.vocab_size, c.hidden_size, embedding_init=emb_init,
-            param_dtype=jnp.float32, name="word_embeddings")
+            param_dtype=jnp.float32, name="word_embeddings",
+            pad_idx=c.pad_token_id if hasattr(c, "pad_token_id") else 0)
         self.position_embeddings = nn.Embed(
             c.max_position_embeddings, c.hidden_size, embedding_init=emb_init,
             param_dtype=jnp.float32, name="position_embeddings")
@@ -97,9 +101,15 @@ class BertEmbeddings(nn.Module):
                                        name="LayerNorm")
         self.dropout = nn.Dropout(c.hidden_dropout_prob)
 
-    def __call__(self, input_ids, deterministic=True):
+    def __call__(self, input_ids, deterministic=True, position=None):
+        """`position` (traced scalar): embed input_ids ([N, 1], the single
+        current decode row) at that absolute position instead of 0..L-1 —
+        the incremental-decode entry (generator KV cache)."""
         c = self.config
-        pos_ids = jnp.arange(input_ids.shape[1])[None, :]
+        if position is None:
+            pos_ids = jnp.arange(input_ids.shape[1])[None, :]
+        else:
+            pos_ids = jnp.reshape(position, (1, 1))
         h = (self.word_embeddings(input_ids)
              + self.position_embeddings(pos_ids)
              + self.token_type_embeddings(jnp.zeros_like(input_ids)))
@@ -118,15 +128,21 @@ class BertSelfBlock(nn.Module):
     config: MPlugBertConfig
 
     @nn.compact
-    def __call__(self, x, context, bias, deterministic=True, kv=None):
+    def __call__(self, x, context, bias, deterministic=True, kv=None,
+                 self_cache=None, cache_position=None):
         c = self.config
-        att = MultiHeadAttention(
+        mha = MultiHeadAttention(
             c.num_attention_heads, c.head_size, c.attention_probs_dropout_prob,
-            c.dtype, name="self",
-        )(x, context, bias, deterministic, kv=kv)
-        return AttentionOutput(
-            c.hidden_size, c.hidden_dropout_prob, c.dtype, name="output",
-        )(att, x, deterministic)
+            c.dtype, name="self")
+        out = AttentionOutput(
+            c.hidden_size, c.hidden_dropout_prob, c.dtype, name="output")
+        if self_cache is not None:
+            att, new_cache = mha(x, context, bias, deterministic,
+                                 self_cache=self_cache,
+                                 cache_position=cache_position)
+            return out(att, x, deterministic), new_cache
+        att = mha(x, context, bias, deterministic, kv=kv)
+        return out(att, x, deterministic)
 
 
 class BertLayer(nn.Module):
@@ -149,10 +165,18 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, self_bias=None, enc_states=None, enc_bias=None,
-                 deterministic=True, cross_kv=None):
+                 deterministic=True, cross_kv=None, self_cache=None,
+                 cache_position=None):
         c = self.config
         g = self.memory_groups
-        x = BertSelfBlock(c, name="attention")(x, x, self_bias, deterministic)
+        new_cache = None
+        if self_cache is not None:
+            x, new_cache = BertSelfBlock(c, name="attention")(
+                x, x, self_bias, deterministic, self_cache=self_cache,
+                cache_position=cache_position)
+        else:
+            x = BertSelfBlock(c, name="attention")(x, x, self_bias,
+                                                   deterministic)
         if self.has_cross:
             block = BertSelfBlock(c, name="crossattention")
             if g > 1:
@@ -165,8 +189,9 @@ class BertLayer(nn.Module):
                 x = block(x, enc_states, enc_bias, deterministic, kv=cross_kv)
         inter = Intermediate(c.intermediate_size, c.hidden_act, c.dtype,
                              name="intermediate")(x)
-        return FFNOutput(c.hidden_size, c.hidden_dropout_prob, c.dtype,
-                         name="output")(inter, x, deterministic)
+        x = FFNOutput(c.hidden_size, c.hidden_dropout_prob, c.dtype,
+                      name="output")(inter, x, deterministic)
+        return x if new_cache is None else (x, new_cache)
 
 
 class TextEncoder(nn.Module):
@@ -281,7 +306,8 @@ class TextDecoder(nn.Module):
     @nn.compact
     def __call__(self, input_ids, attention_mask, enc_states, enc_mask,
                  deterministic=True, cross_kv=None, position=None,
-                 memory_groups: int = 1):
+                 memory_groups: int = 1, self_caches=None,
+                 cache_position=None):
         """`cross_kv`: optional per-layer list of precomputed cross-attention
         (k, v) projections of `enc_states` — decode-time caching of the
         static encoder memory (generator.precompute_cross_kv).
@@ -297,20 +323,48 @@ class TextDecoder(nn.Module):
         row BEFORE the LM head and return [N, 1, V]. Autoregressive
         generation reads exactly one position per step, and the tied
         [hidden, 30522] vocab projection is the decode loop's largest
-        matmul — computing it for all L rows was an L-fold waste."""
+        matmul — computing it for all L rows was an L-fold waste.
+
+        `self_caches`/`cache_position`: incremental decode. Per-layer
+        [(k, v)] self-attention caches [N, max_len, H, D]; only the
+        `cache_position` row of `input_ids` is embedded and pushed through
+        the layers (the prefix rows come from the caches instead of being
+        recomputed — the reference predictor's `state.cache` analogue,
+        `mPLUG/models/predictor.py:243-253`). Returns (logits [N, 1, V],
+        updated_caches). `attention_mask` is ignored (the causal structure
+        IS the cache-validity mask)."""
         c = self.config
         emb = BertEmbeddings(c, name="embeddings")
-        h = emb(input_ids, deterministic)
-        self_bias = causal_mask_bias(input_ids.shape[1], attention_mask)
+        if self_caches is not None:
+            tok = jax.lax.dynamic_slice_in_dim(input_ids, cache_position, 1,
+                                               axis=1)
+            h = emb(tok, deterministic, position=cache_position)
+            max_len = self_caches[0][0].shape[1]
+            # the single query row attends cache rows <= cache_position
+            self_bias = jnp.where(
+                jnp.arange(max_len)[None, None, None, :] <= cache_position,
+                0.0, -10000.0).astype(jnp.float32)
+        else:
+            h = emb(input_ids, deterministic)
+            self_bias = causal_mask_bias(input_ids.shape[1], attention_mask)
         enc_bias = extend_attention_mask(enc_mask)
         layer_cls = (nn.remat(BertLayer, static_argnums=(5,))
-                     if c.use_remat else BertLayer)
+                     if c.use_remat and self_caches is None else BertLayer)
+        new_caches = []
         for i in range(c.text_decode_layers):
-            h = layer_cls(c, has_cross=True, memory_groups=memory_groups,
-                          name=f"layer_{i}")(
-                h, self_bias, enc_states, enc_bias, deterministic,
-                cross_kv=None if cross_kv is None else cross_kv[i])
-        if position is not None:
+            layer = layer_cls(c, has_cross=True, memory_groups=memory_groups,
+                              name=f"layer_{i}")
+            layer_kv = None if cross_kv is None else cross_kv[i]
+            if self_caches is not None:
+                h, cache_i = layer(h, self_bias, enc_states, enc_bias,
+                                   deterministic, cross_kv=layer_kv,
+                                   self_cache=self_caches[i],
+                                   cache_position=cache_position)
+                new_caches.append(cache_i)
+            else:
+                h = layer(h, self_bias, enc_states, enc_bias, deterministic,
+                          cross_kv=layer_kv)
+        if position is not None and self_caches is None:
             h = jax.lax.dynamic_slice_in_dim(h, position, 1, axis=1)
         # LM head: transform + tied decoder
         t = nn.Dense(c.hidden_size, dtype=c.dtype,
@@ -324,6 +378,8 @@ class TextDecoder(nn.Module):
         logits = emb.attend(t.astype(jnp.float32))
         bias = self.param("predictions_bias", nn.initializers.zeros,
                           (c.vocab_size,), jnp.float32)
+        if self_caches is not None:
+            return logits + bias, new_caches
         return logits + bias
 
 

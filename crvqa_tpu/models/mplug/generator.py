@@ -31,37 +31,49 @@ def _supports_position(decode_logits: Callable) -> bool:
 
 def greedy_generate(decode_logits: Callable, states, state_mask,
                     max_len: int = 12, bos: int = 101, eos: int = 102,
-                    pad: int = 0):
+                    pad: int = 0, decode_step: Callable = None,
+                    init_caches=None):
     """Greedy decoding. `decode_logits(ids, mask, states, state_mask[,
     position])` returns [N, L, V] logits (or [N, 1, V] when it accepts
-    `position`). Returns token ids [B, max_len] (bos included)."""
+    `position`). Returns token ids [B, max_len] (bos included).
+
+    `decode_step(ids, states, state_mask, position, caches) ->
+    (logits [N, 1, V], caches)` + `init_caches`: incremental decoding with
+    per-layer self-attention KV caches (prefix computed once instead of per
+    step)."""
     b = states.shape[0]
     ids = jnp.full((b, max_len), pad, jnp.int32).at[:, 0].set(bos)
     done = jnp.zeros((b,), bool)
-    sliced = _supports_position(decode_logits)
+    cached = decode_step is not None
+    sliced = not cached and _supports_position(decode_logits)
 
     def body(t, carry):
-        ids, done = carry
-        mask = (jnp.arange(max_len)[None, :] < t).astype(jnp.float32)
-        if sliced:
+        ids, done, caches = carry
+        if cached:
+            step, caches = decode_step(ids, states, state_mask, t - 1, caches)
+            step = step[:, 0]
+        elif sliced:
+            mask = (jnp.arange(max_len)[None, :] < t).astype(jnp.float32)
             step = decode_logits(ids, mask, states, state_mask,
                                  position=t - 1)[:, 0]
         else:
+            mask = (jnp.arange(max_len)[None, :] < t).astype(jnp.float32)
             step = decode_logits(ids, mask, states, state_mask)[:, t - 1]
         next_tok = jnp.argmax(step, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(done, pad, next_tok)
         ids = ids.at[:, t].set(next_tok)
         done = jnp.logical_or(done, next_tok == eos)
-        return ids, done
+        return ids, done, caches
 
-    ids, _ = jax.lax.fori_loop(1, max_len, body, (ids, done))
+    ids, _, _ = jax.lax.fori_loop(1, max_len, body, (ids, done, init_caches))
     return ids
 
 
 def beam_generate(decode_logits: Callable, states, state_mask,
                   beam_size: int = 5, max_len: int = 12, bos: int = 101,
                   eos: int = 102, pad: int = 0, lp_alpha: float = 0.6,
-                  min_length: int = 1, group_memory: bool = False):
+                  min_length: int = 1, group_memory: bool = False,
+                  decode_step: Callable = None, init_caches=None):
     """ONMT-style beam search matching the reference `TextGenerator`
     (`mPLUG/models/predictor.py:197-311`; beam 5, `vqa_mplug.py:475`).
 
@@ -90,6 +102,14 @@ def beam_generate(decode_logits: Callable, states, state_mask,
     closure must accept B*W query rows over B memory rows (question-major —
     `TextDecoder(memory_groups=W)`). The per-step cross-attend then reads
     each item's memory K/V once instead of W times.
+
+    `decode_step(ids, states, state_mask, position, caches) ->
+    (logits [B*W, 1, V], caches)` + `init_caches`: incremental decoding with
+    per-layer self-attention KV caches. After each top-k the caches are
+    reindexed by parent beam — the reference predictor's `map_batch_fn`
+    state reorder (`predictor.py:243-253`). The per-step decoder then runs
+    on ONE query row instead of recomputing the whole prefix (self-attn
+    projections + FFN + LM-head transform drop max_len-fold).
     """
     b, s, h = states.shape
     w = beam_size
@@ -107,18 +127,25 @@ def beam_generate(decode_logits: Callable, states, state_mask,
     batch_done = jnp.zeros((b,), bool)
     best_score = jnp.full((b,), -jnp.inf, jnp.float32)
     best_ids = jnp.full((b, max_len), pad, jnp.int32)
-    sliced = _supports_position(decode_logits)
+    cached = decode_step is not None
+    sliced = not cached and _supports_position(decode_logits)
 
     def body(t, carry):
-        ids, scores, batch_done, best_score, best_ids = carry
+        ids, scores, batch_done, best_score, best_ids, caches = carry
         step = t - 1  # the reference's 0-indexed decode step
-        mask = (jnp.arange(max_len)[None, :] < t).astype(jnp.float32)
         flat_ids = ids.reshape(b * w, max_len)
-        flat_mask = jnp.broadcast_to(mask, (b * w, max_len))
-        if sliced:
+        if cached:
+            logits, caches = decode_step(flat_ids, rep_states, rep_mask,
+                                         t - 1, caches)
+            logits = logits[:, 0]
+        elif sliced:
+            mask = (jnp.arange(max_len)[None, :] < t).astype(jnp.float32)
+            flat_mask = jnp.broadcast_to(mask, (b * w, max_len))
             logits = decode_logits(flat_ids, flat_mask, rep_states, rep_mask,
                                    position=t - 1)[:, 0]
         else:
+            mask = (jnp.arange(max_len)[None, :] < t).astype(jnp.float32)
+            flat_mask = jnp.broadcast_to(mask, (b * w, max_len))
             logits = decode_logits(flat_ids, flat_mask, rep_states,
                                    rep_mask)[:, t - 1]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -138,6 +165,16 @@ def beam_generate(decode_logits: Callable, states, state_mask,
         tok_idx = (top_idx % v).astype(jnp.int32)
         ids = jnp.take_along_axis(ids, beam_idx[:, :, None], axis=1)
         ids = ids.at[:, :, t].set(tok_idx)
+        if cached:
+            # reindex the KV caches by parent beam, like the ids above
+            # (predictor.py:243-253 map_batch_fn)
+            def _reorder(c):
+                cc = c.reshape(b, w, *c.shape[1:])
+                idx = beam_idx.reshape(b, w, *([1] * (c.ndim - 1)))
+                cc = jnp.take_along_axis(cc, idx, axis=1)
+                return cc.reshape(c.shape)
+
+            caches = jax.tree_util.tree_map(_reorder, caches)
         is_fin = tok_idx == eos
         is_fin = jnp.logical_or(is_fin, t == max_len - 1)  # :256-257
         end_cond = is_fin[:, 0]  # top beam finished -> batch ends (:259)
@@ -153,11 +190,24 @@ def beam_generate(decode_logits: Callable, states, state_mask,
         best_score = jnp.where(improve, step_best, best_score)
         best_ids = jnp.where(improve[:, None], step_ids, best_ids)
         batch_done = jnp.logical_or(batch_done, end_cond)
-        return ids, top_cum, batch_done, best_score, best_ids
+        return ids, top_cum, batch_done, best_score, best_ids, caches
 
-    carry = (ids, scores, batch_done, best_score, best_ids)
-    _, _, _, best_score, best_ids = jax.lax.fori_loop(1, max_len, body, carry)
+    carry = (ids, scores, batch_done, best_score, best_ids, init_caches)
+    _, _, _, best_score, best_ids, _ = jax.lax.fori_loop(1, max_len, body,
+                                                         carry)
     return best_ids, best_score
+
+
+def init_self_caches(n: int, num_layers: int, max_len: int, num_heads: int,
+                     head_size: int, dtype=jnp.float32):
+    """Zeroed per-layer self-attention KV caches for incremental decoding:
+    [(k, v)] with k/v [n, max_len, num_heads, head_size]. Rows beyond the
+    current decode position are masked by the decoder's cache-validity bias,
+    so zeros are safe filler."""
+    def z():
+        return jnp.zeros((n, max_len, num_heads, head_size), dtype)
+
+    return [(z(), z()) for _ in range(num_layers)]
 
 
 def precompute_cross_kv(decoder_params: dict, states, num_layers: int,

@@ -144,6 +144,22 @@ class MPlug(nn.Module):
                                  cross_kv=cross_kv, position=position,
                                  memory_groups=memory_groups)
 
+    def decode_logits_step(self, answer_ids, states, state_mask,
+                           cache_position, self_caches, cross_kv=None,
+                           memory_groups: int = 1, deterministic=True):
+        """One incremental decode step: embeds only the `cache_position` row
+        of `answer_ids`, reads the prefix from the per-layer self-attention
+        `self_caches` (and the static memory from `cross_kv`). Returns
+        (logits [N, 1, V], updated self_caches). The TPU-native analogue of
+        the reference predictor's `state.cache` + `map_batch_fn`
+        (`mPLUG/models/predictor.py:243-253`)."""
+        return self.text_decoder(answer_ids, None, states, state_mask,
+                                 deterministic=deterministic,
+                                 cross_kv=cross_kv,
+                                 memory_groups=memory_groups,
+                                 self_caches=self_caches,
+                                 cache_position=cache_position)
+
     def rank_answers(self, images, question_ids, question_mask,
                      answer_list_ids, answer_list_mask, deterministic=True):
         """`rank_answer` re-ranking (model_vqa_mplug.py:188-245): score every

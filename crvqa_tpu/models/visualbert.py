@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .classifier import SimpleClassifier
-from .layers import TransformerLayer, extend_attention_mask
+from .layers import PadFrozenEmbed, TransformerLayer, extend_attention_mask
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,8 +72,11 @@ class VisualBertEmbeddings(nn.Module):
                  visual_token_type_ids=None, deterministic=True):
         c = self.config
         emb_init = nn.initializers.normal(stddev=c.initializer_range)
-        word = nn.Embed(c.vocab_size, c.hidden_size, embedding_init=emb_init,
-                        param_dtype=jnp.float32, name="word_embeddings")(input_ids)
+        # padding_idx=0 grad semantics on the word table only
+        # (modeling_visualbert.py:82) — layers.PadFrozenEmbed
+        word = PadFrozenEmbed(
+            c.vocab_size, c.hidden_size, embedding_init=emb_init,
+            param_dtype=jnp.float32, name="word_embeddings")(input_ids)
         seq_len = input_ids.shape[1]
         pos_ids = jnp.arange(seq_len)[None, :]
         pos_table = nn.Embed(c.max_position_embeddings, c.hidden_size,

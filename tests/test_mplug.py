@@ -528,6 +528,74 @@ def test_position_sliced_decode_matches_full(setup):
                                rtol=1e-6)
 
 
+def test_self_kv_cache_decode_matches_full(setup):
+    """Incremental decoding with per-layer self-attention KV caches
+    (decode_logits_step) must produce identical tokens and scores to the
+    full-prefix recompute — the cache holds exactly the rows the full pass
+    would recompute, and beam reorders carry the parent's cache."""
+    from crvqa_tpu.models.mplug.generator import (
+        beam_generate,
+        greedy_generate,
+        init_self_caches,
+    )
+
+    config, model, params, jb = setup
+    c = config.bert
+    states, state_mask = model.apply(
+        {"params": params}, jb["images"], jb["question_ids"],
+        jb["question_mask"], method=model.encode)
+
+    def decode_full(ids, mask, st, st_mask):
+        return model.apply({"params": params}, ids, mask, st, st_mask,
+                           method=model.decode_logits)
+
+    def decode_step(ids, st, st_mask, position, caches):
+        return model.apply({"params": params}, ids, st, st_mask, position,
+                           caches, method=model.decode_logits_step)
+
+    max_len, w = 6, 3
+    b = states.shape[0]
+    kw = dict(max_len=max_len,
+              bos=config.bos_token_id % c.vocab_size,
+              eos=config.eos_token_id % c.vocab_size)
+    mk = lambda n: init_self_caches(n, c.text_decode_layers, max_len,
+                                    c.num_attention_heads, c.head_size)
+    g_full = greedy_generate(decode_full, states, state_mask, **kw)
+    g_cached = greedy_generate(decode_full, states, state_mask,
+                               decode_step=decode_step, init_caches=mk(b),
+                               **kw)
+    np.testing.assert_array_equal(np.asarray(g_full), np.asarray(g_cached))
+
+    b_full = beam_generate(decode_full, states, state_mask, beam_size=w, **kw)
+    b_cached = beam_generate(decode_full, states, state_mask, beam_size=w,
+                             decode_step=decode_step,
+                             init_caches=mk(b * w), **kw)
+    np.testing.assert_array_equal(np.asarray(b_full[0]),
+                                  np.asarray(b_cached[0]))
+    np.testing.assert_allclose(np.asarray(b_full[1]), np.asarray(b_cached[1]),
+                               rtol=1e-5)
+
+
+def test_generate_step_use_cache_matches(setup):
+    """make_generate_step(use_cache=True) — grouped memory + cross-KV +
+    self-KV caches composed — matches the uncached path exactly."""
+    from crvqa_tpu.train import mplug_train
+
+    config, model, params, jb = setup
+    cfg = mplug_train.MPlugTrainConfig(mode="full", total_steps=10,
+                                       warmup_steps=1)
+    state, _ = mplug_train.init_state(model, params, cfg,
+                                      jax.random.PRNGKey(1))
+    gen = mplug_train.make_generate_step(model, cfg, beam_size=3, max_len=5)
+    gen_c = mplug_train.make_generate_step(model, cfg, beam_size=3, max_len=5,
+                                           use_cache=True)
+    ids, scores = gen(state, jb)
+    ids_c, scores_c = gen_c(state, jb)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_c))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(scores_c),
+                               rtol=1e-5)
+
+
 def test_distill_twin_scores_ema_and_reset(setup):
     """Mask-mode distill EMAs the twins' mask SCORES from the live ones
     (reference `_momentum_update` covers patched modules' weight_mask

@@ -402,6 +402,212 @@ def test_best_save_classifier_matches(trajectory):
             rtol=1e-4, atol=1e-6, err_msg=k)
 
 
+# --------------------------------------------------------------- stage 1 ---
+
+
+def _run_ours_stage1(tmp, init_bin, out_dir):
+    from crvqa_tpu.cli import run_vqa_stage1
+
+    run_vqa_stage1.main([
+        "--output_dir", str(out_dir), "--FT_type", "normal",
+        "--label4save", "traj", "--init_ckpt", init_bin, "--tiny",
+        "--dataroot", str(tmp),
+        "--img_root", str(tmp / "vqa_img_feature_trainval.pickle"),
+        "--vocab_file", str(tmp / "vocab.txt"),
+        "--train_batch_size", str(BS), "--eval_batch_size", str(BS),
+        "--num_train_epochs", str(EPOCHS), "--logging_steps", "1",
+        "--save_steps", "2", "--warmup_steps", str(WARMUP),
+        "--learning_rate", str(LR), "--dtype", "float32",
+        "--do_train", "--do_eval", "--evaluate_during_training",
+        "--seed", "0", "--train_shuffle", "false",
+        "--hidden_dropout_prob", "0",
+        "--attention_probs_dropout_prob", "0",
+        "--classifier_dropout", "0",
+    ])
+
+
+def _run_reference_stage1(tmp, init_bin, out_dir):
+    """The stage-1 driver stack (run_vqa_stage1.py) around the ACTUAL
+    `mask_trainer_VQA.Trainer.train` (:493): dense fine-tune, BCE loss,
+    torch.optim.Adam over every parameter, FTonly best-save."""
+    import run_vqa_stage1 as drv1
+    from hg_transformers.configuration_lxmert import LxmertConfig as TorchCfg
+    from hg_transformers.modeling_lxmert import LxmertForMultipleChoice
+    from hg_transformers.tokenization_bert import BertTokenizer
+    from torch.utils.data import DataLoader, SequentialSampler
+
+    model_args = drv1.ModelArguments(model_type="lxmert", structured=False)
+    data_args = drv1.DataTrainingArguments(
+        dataroot=str(tmp), img_root="", ans_num=16)
+    training_args = drv1.TrainingArguments(
+        output_dir=out_dir, logging_dir=out_dir + "/tblog",
+        do_train=True, do_eval=True, evaluate_during_training=True,
+        learning_rate=LR, warmup_steps=WARMUP,
+        per_gpu_train_batch_size=BS, per_gpu_eval_batch_size=BS,
+        num_train_epochs=EPOCHS, logging_steps=1, save_steps=2,
+        seed=0, training_type="FTonly", FT_type="normal",
+        label4save="traj")
+    training_args.__dict__["__cached__setup_devices"] = (
+        torch.device("cpu"), 1)
+
+    tcfg = TorchCfg(
+        vocab_size=128, hidden_size=32, num_attention_heads=4,
+        l_layers=2, r_layers=1, x_layers=1, intermediate_size=64,
+        visual_feat_dim=16, visual_pos_dim=4, max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    tcfg.ans_num = 16
+    model = LxmertForMultipleChoice(tcfg)
+    sd = torch.load(init_bin, map_location="cpu", weights_only=False)
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    assert not ({n for n, _ in model.named_parameters()} & set(missing))
+    for mod in model.modules():
+        if isinstance(mod, torch.nn.Dropout):
+            mod.p = 0.0
+    tokenizer = BertTokenizer(str(tmp / "vocab.txt"))
+    model.resize_token_embeddings(len(tokenizer))
+
+    train_dataset = drv1.get_dataset(data_args, tokenizer=tokenizer)
+    eval_dataset = drv1.get_dataset(data_args, tokenizer=tokenizer,
+                                    evaluate=True)
+    # the stage-1 driver's own bias-prior block (run_vqa_stage1.py:487-510;
+    # FT normal never reads the bias, but the dataset getitem requires it)
+    src = open("/root/reference/run_vqa_stage1.py").read()
+    start = src.index("    question_type_to_probs = defaultdict(Counter)")
+    end = src.index('ex["bias"] = question_type_to_prob_array[q_type]', start)
+    end = src.index("\n", end)
+    block = "\n".join(l[4:] for l in src[start:end].split("\n"))
+    exec(block, dict(defaultdict=drv1.defaultdict, Counter=drv1.Counter,
+                     np=np, train_dataset=train_dataset,
+                     eval_dataset=eval_dataset,
+                     answer_voc_size=data_args.ans_num))
+
+    opt = drv1.init_optimizer(model, training_args, len(train_dataset))
+
+    def compute_metrics(p):
+        return drv1.compute_score_with_logits("vqa", p.predictions,
+                                              p.label_ids)
+
+    rec = RecorderTB()
+    trainer = drv1.Trainer(
+        model=model, args=training_args, model_args=model_args,
+        data_collator=drv1.TrimCollator(), train_dataset=train_dataset,
+        eval_dataset=eval_dataset, compute_metrics=compute_metrics,
+        prediction_loss_only=False, tb_writer=rec, optimizers=opt,
+        masker=None, teacher_model=None)
+
+    def sequential_loader():
+        return DataLoader(train_dataset,
+                          batch_size=training_args.train_batch_size,
+                          sampler=SequentialSampler(train_dataset),
+                          num_workers=1,
+                          collate_fn=trainer.data_collator.collate_batch)
+
+    trainer.get_train_dataloader = sequential_loader
+    trainer.train()
+    return rec
+
+
+@pytest.fixture(scope="module")
+def trajectory_stage1(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("traj_s1")
+    _fabricate(tmp)
+    _intify_image_ids(tmp)
+    _pad_vocab(tmp)
+    feat_dir = tmp / "xxxx" / "CompressVQA" / "coco" / "object_features"
+    feat_dir.mkdir(parents=True)
+    shutil.copy(tmp / "vqa_img_feature_trainval.pickle",
+                feat_dir / "vqa_img_feature_trainval.pickle")
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from crvqa_tpu.core.torch_compat import save_torch_state_dict
+        from crvqa_tpu.data.synthetic import synthetic_batch
+        from crvqa_tpu.models import LxmertConfig, LxmertForVQA
+
+        config = LxmertConfig.tiny(hidden_dropout_prob=0.0,
+                                   attention_probs_dropout_prob=0.0,
+                                   classifier_dropout=0.0)
+        model = LxmertForVQA(config)
+        b = synthetic_batch(batch_size=2, vocab_size=config.vocab_size,
+                            ans_num=config.ans_num,
+                            feat_dim=config.visual_feat_dim,
+                            pos_dim=config.visual_pos_dim)
+        params = model.init(jax.random.PRNGKey(0),
+                            input_ids=jnp.asarray(b["input_ids"]),
+                            visual_feats=jnp.asarray(b["visual_feats"]),
+                            visual_pos=jnp.asarray(b["visual_pos"]))["params"]
+        init_bin = str(tmp / "init.bin")
+        save_torch_state_dict(init_bin, params)
+
+        ours_out = tmp / "ours"
+        _run_ours_stage1(tmp, init_bin, ours_out)
+        ref_out = tmp / "ref"
+        os.makedirs(ref_out, exist_ok=True)
+        rec = _run_reference_stage1(tmp, init_bin, str(ref_out))
+    finally:
+        os.chdir(cwd)
+
+    rows = [json.loads(l) for l in open(ours_out / "metrics.jsonl")]
+    ours = {}
+    for r in rows:
+        ours.setdefault(r["step"], {}).update(r)
+    return ours, rec, ours_out, ref_out
+
+
+@pytest.mark.slow
+def test_stage1_step_paired_losses(trajectory_stage1):
+    ours, rec, _, _ = trajectory_stage1
+    ref_loss = rec.by_tag("loss")
+    ref_score = rec.by_tag("score")
+    assert sorted(ref_loss) == list(range(1, N_STEPS + 1))
+    for step in ref_loss:
+        np.testing.assert_allclose(ours[step]["loss"], ref_loss[step],
+                                   rtol=1e-4, err_msg=f"loss step {step}")
+        np.testing.assert_allclose(ours[step]["score"], ref_score[step],
+                                   rtol=1e-4, err_msg=f"score step {step}")
+    ref_acc = rec.by_tag("eval_acc")
+    for step in (s for s in ref_acc if s > 0):
+        np.testing.assert_allclose(ours[step]["eval_acc"], ref_acc[step],
+                                   rtol=1e-6, err_msg=f"eval step {step}")
+
+
+@pytest.mark.slow
+def test_stage1_best_save_artifacts(trajectory_stage1):
+    """The FTonly best-save: the reference pickles the whole model
+    (mask_trainer_VQA.py best-save torch.save(model, ...FTonly.bin)); ours
+    is the reference-named state_dict. Values must match; test.json too."""
+    _, _, ours_out, ref_out = trajectory_stage1
+    ref_model = torch.load(os.path.join(ref_out, "traj_FTonly.bin"),
+                           weights_only=False)
+    ref_sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    ours_sd = {k: v.detach().numpy() for k, v in
+               torch.load(os.path.join(ours_out, "traj_FTonly.bin"),
+                          weights_only=False).items()}
+    missing = set(ours_sd) - set(ref_sd)
+    assert not missing, missing
+    for k in ours_sd:  # every param we ship must match the reference's
+        if k.endswith("self.key.bias") or k.endswith("att.key.bias"):
+            # softmax shift invariance: adding a constant to every key moves
+            # all scores of a query row equally, so d(loss)/d(key.bias) is
+            # EXACTLY zero in real arithmetic — both sides accumulate only
+            # uncorrelated float roundoff through Adam's normalizer. Assert
+            # it stayed at noise level instead of comparing noise to noise.
+            assert np.abs(ours_sd[k]).max() < 1e-3, k
+            assert np.abs(ref_sd[k]).max() < 1e-3, k
+            continue
+        np.testing.assert_allclose(ours_sd[k], ref_sd[k], rtol=1e-4,
+                                   atol=1e-6, err_msg=k)
+    d1 = {p["question_id"]: p["answer"]
+          for p in json.load(open(os.path.join(ours_out, "test.json")))}
+    d2 = {p["question_id"]: p["answer"]
+          for p in json.load(open(os.path.join(ref_out, "test.json")))}
+    assert d1 == d2
+
+
 @pytest.mark.slow
 def test_best_save_test_json_identical(trajectory):
     _, _, ours_out, ref_out = trajectory
