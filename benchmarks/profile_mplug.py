@@ -59,6 +59,40 @@ def categorize(name: str, op: str) -> str:
     return f"{tower}_other_{fb}"
 
 
+def speed_of_light(summary: dict, config, total_flops_traced: float,
+                   batch: int, steps: int) -> dict:
+    """Pin the mPLUG step-time bound the same way profile_stage2 pins
+    stage-2's: the post-grouping profile's floor claim is "the ViT FFN
+    matmuls run near peak" — make that a number. Reference efficiency =
+    the vit_ffn buckets' analytic TRUE FLOPs over their measured time;
+    the bound is the whole step's cost-analysis FLOPs retiring at that
+    rate. Implied MFU ceiling = eff_ref / peak (device-kind bf16 spec)."""
+    from crvqa_tpu.utils.mfu import peak_flops
+
+    cats = summary["by_category_ms"]
+    vit_ffn_ms = sum(v for k, v in cats.items() if k.startswith("vit_ffn"))
+    total_ms = summary["total_ms"]
+    if vit_ffn_ms <= 0:
+        return {"error": "no vit_ffn bucket in trace"}
+    v = config.vit
+    tokens = v.num_patches + 1  # +cls
+    mlp = 4 * v.width  # CLIP MLP expansion (vit.py c_fc: width -> 4*width)
+    ffn_fwd = v.layers * 2 * 2 * batch * tokens * v.width * mlp
+    ffn_flops = 3 * ffn_fwd * steps  # bwd of a dot = two dots
+    eff = ffn_flops / (vit_ffn_ms / 1e3)
+    sol_total_ms = total_flops_traced / eff * 1e3
+    import jax as _jax
+    peak = peak_flops(_jax.devices()[0].device_kind)
+    return {
+        "vit_ffn_ms": round(vit_ffn_ms, 2),
+        "vit_ffn_true_gflops_per_step": round(ffn_flops / steps / 1e9, 2),
+        "vit_ffn_measured_tflops": round(eff / 1e12, 2),
+        "sol_total_ms": round(sol_total_ms, 1),
+        "sol_step_speedup": round(total_ms / sol_total_ms, 4),
+        "implied_mfu_ceiling": round(eff / peak, 4),
+    }
+
+
 def main() -> None:
     import bench_mplug
     from crvqa_tpu.train import mplug_train
@@ -84,6 +118,10 @@ def main() -> None:
 
     out = summarize_trace(LOGDIR, hlo_map, categorize)
     out.update(batch_size=bs, midseq=midseq, steps_traced=4)
+    if "by_category_ms" in out:
+        from crvqa_tpu.utils.mfu import compiled_flops
+        out["speed_of_light"] = speed_of_light(
+            out, config, compiled_flops(compiled) * 4, bs, 4)
     print(json.dumps(out))
 
 

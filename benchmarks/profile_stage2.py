@@ -175,6 +175,12 @@ def speed_of_light(summary: dict, window: int, batch: int) -> dict:
     att_ms = sum(v for k, v in cats.items() if k.startswith("pallas_attn"))
     ffn_ms = sum(v for k, v in cats.items() if k.startswith("ffn"))
     total_ms = summary["total_ms"]
+    if ffn_ms <= 0 or att_ms <= 0:
+        # don't discard a just-captured trace (minutes through the tunnel)
+        # on an unexpected bucketing (new XLA fusion names) or a
+        # PROFILE_FUSED=0 run where no pallas bucket exists
+        return {"error": "missing ffn/pallas_attn bucket",
+                "attention_ms": round(att_ms, 2), "ffn_ms": round(ffn_ms, 2)}
     att_fl, ffn_fl = _stage2_bucket_flops(batch)
     att_fl *= window
     ffn_fl *= window

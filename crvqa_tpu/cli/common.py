@@ -300,6 +300,15 @@ class PreemptionGuard:
     `--resume_from` restart. The reference has no preemption handling at
     all (SURVEY §5.3 — its "resume" is an optimizer-state reload plus a
     dead skip counter). SIGINT keeps its normal meaning.
+
+    Multi-process: SIGTERM may reach only SOME processes (or land between
+    different loop iterations), and both `save_checkpoint` (allgather of
+    sharded leaves) and continuing to train issue collectives — acting on a
+    process-local flag would mismatch collectives across the slice and hang
+    the pod. `save_and_stop` therefore reaches consensus first: every
+    process allgathers its latched flag at the same loop point every
+    iteration (one scalar over the coordinator per step — noise next to a
+    train dispatch) and all act iff ANY process was signalled.
     """
 
     def __init__(self):
@@ -314,10 +323,23 @@ class PreemptionGuard:
     def _on_signal(self, signum, frame):
         self.triggered = True
 
+    def _any_process_triggered(self) -> bool:
+        """Collective agreement on the latched flag. MUST be called at the
+        same loop point by every process (it is a collective when
+        process_count > 1)."""
+        if jax.process_count() == 1:
+            return self.triggered
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([self.triggered], dtype=np.int32))
+        return bool(np.asarray(flags).max())
+
     def save_and_stop(self, args, state, step: int) -> bool:
-        """When triggered: write ckpt_<step> (+ preempted marker) and return
-        True so the caller can exit its train loop."""
-        if not self.triggered:
+        """When ANY process was signalled: write ckpt_<step> (+ preempted
+        marker) and return True so the caller can exit its train loop."""
+        if not self._any_process_triggered():
             return False
         from ..core import checkpoint as ckpt
 

@@ -304,11 +304,11 @@ def run(args) -> None:
 
             sums = abs_grad_sum(state.opt_state)
             if sums is not None:
-                from ..core.checkpoint import _gather_leaf
+                from ..parallel import host_all_gather
 
                 # collective gather (ZeRO-sharded leaves span processes),
                 # then process-0 write
-                host = jax.tree_util.tree_map(_gather_leaf, sums)
+                host = jax.tree_util.tree_map(host_all_gather, sums)
                 if jax.process_index() == 0:
                     flat = {"/".join(k): np.asarray(v) for k, v in
                             traverse_util.flatten_dict(host).items()}

@@ -129,6 +129,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def build_model(args):
     """Config + tokenizer + model assembly (shared with `serve_mplug`)."""
+    import dataclasses
+
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.tiny:
         config = MPlugConfig(
@@ -141,6 +143,22 @@ def build_model(args):
             vit=ViTConfig(image_res=args.image_res, dtype=dtype,
                           use_remat=args.use_checkpoint),
             distill=args.distill)
+    # common parity-alignment dropout overrides (rehearsals run with 0):
+    # the two BERT probabilities exist on every tower config; the attention
+    # override also covers the ViT. classifier_dropout has no mPLUG surface
+    # (LM decoder, no classifier head) — reject rather than silently ignore.
+    over = common.config_overrides(args)
+    if over.pop("classifier_dropout", None) is not None:
+        raise SystemExit("--classifier_dropout has no mPLUG analogue "
+                         "(LM-decoder head); remove the flag")
+    if over:
+        config = dataclasses.replace(
+            config, bert=dataclasses.replace(config.bert, **over))
+        if "attention_probs_dropout_prob" in over:
+            config = dataclasses.replace(
+                config, vit=dataclasses.replace(
+                    config.vit,
+                    attn_dropout=over["attention_probs_dropout_prob"]))
     tokenizer = None
     if not getattr(args, "synthetic", 0) and args.vocab_file:
         # the reference derives bos/eos/pad from ITS tokenizer (eos '[SEP]',
@@ -294,7 +312,8 @@ def main(argv=None) -> None:
 
         def train_batches(epoch):
             return iterate_batches(train_entries, args.train_batch_size,
-                                   config.vit.image_res, shuffle=True,
+                                   config.vit.image_res,
+                                   shuffle=args.train_shuffle,
                                    seed=args.seed + epoch, drop_last=True,
                                    augment=args.augment,
                                    workers=args.data_workers)

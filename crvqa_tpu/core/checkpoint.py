@@ -20,11 +20,12 @@ PyTree = Any
 
 def _gather_leaf(x):
     """Host copy of a leaf; process-sharded leaves (e.g. ZeRO-sharded
-    optimizer state spanning hosts) are assembled collectively."""
-    if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        from jax.experimental import multihost_utils
+    optimizer state spanning hosts) are assembled collectively — the ONE
+    gather implementation lives in `parallel.mesh.host_all_gather`."""
+    if isinstance(x, jax.Array):
+        from ..parallel.mesh import host_all_gather
 
-        return multihost_utils.process_allgather(x, tiled=True)
+        return host_all_gather(x)
     return jax.device_get(x)
 
 

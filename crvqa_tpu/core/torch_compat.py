@@ -367,6 +367,14 @@ def save_torch_pickle(path: str, obj: Any) -> bool:
         return False
 
 
+def load_torch_pickle(path: str) -> Any:
+    """torch.load an arbitrary .pth artifact (target_count annotations etc).
+    Raises ImportError when torch is unavailable — callers outside the
+    sanctioned torch locations (CLAUDE.md) route ALL torch reads through
+    here so the boundary stays greppable."""
+    return _torch().load(path, map_location="cpu", weights_only=False)
+
+
 def load_mask_dict_bool(path: str) -> dict[str, np.ndarray]:
     """mask.pt -> {torch_name: bool ndarray} (compare_mask consumption)."""
     raw = _torch().load(path, map_location="cpu", weights_only=False)

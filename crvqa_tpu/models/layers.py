@@ -154,7 +154,8 @@ class PadFrozenEmbed(nn.Embed):
     pad_idx: int = 0
 
     def __call__(self, inputs):
-        table = self.embedding
+        # jnp.asarray: apply() may receive raw numpy leaves (torch interop)
+        table = jnp.asarray(self.embedding)
         table = table.at[self.pad_idx].set(
             jax.lax.stop_gradient(table[self.pad_idx]))
         return jnp.take(table, inputs, axis=0)

@@ -204,9 +204,9 @@ def _check_target_count(dataroot: str, test_qids: dict, problems: Problems
                      "evals.scoring offline accuracy")
         return
     try:
-        import torch
+        from crvqa_tpu.core.torch_compat import load_torch_pickle
 
-        anno = torch.load(path, map_location="cpu", weights_only=False)
+        anno = load_torch_pickle(path)
     except ImportError:
         print(f"note: torch unavailable; skipped schema check of {path}")
         return

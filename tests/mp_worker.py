@@ -82,6 +82,26 @@ def run_units(jax, nproc: int, pid: int, out_dir: str) -> None:
         checks["ckpt_value"] = bool(
             np.array_equal(np.asarray(restored["w"]), gbatch["x"]))
 
+    # 5) preemption consensus: the signal latched on process 0 ONLY — both
+    # processes must agree (collective flag allgather) and act together,
+    # else A enters save_checkpoint's gather while B keeps training
+    import argparse
+
+    from crvqa_tpu.cli import common as cli_common
+
+    guard = cli_common.PreemptionGuard()
+    guard.triggered = pid == 0
+    acted = guard.save_and_stop(
+        argparse.Namespace(output_dir=out_dir), {"w": sharded}, step=3)
+    checks["preempt_consensus"] = bool(acted)
+    if pid == 0:
+        checks["preempt_ckpt"] = os.path.exists(
+            os.path.join(out_dir, "ckpt_3"))
+    # and with NO process signalled, nobody acts
+    guard2 = cli_common.PreemptionGuard()
+    checks["preempt_quiet"] = not guard2.save_and_stop(
+        argparse.Namespace(output_dir=out_dir), {"w": sharded}, step=4)
+
     with open(os.path.join(out_dir, f"units_{pid}.json"), "w") as f:
         json.dump({k: bool(v) for k, v in checks.items()}, f)
 

@@ -788,3 +788,31 @@ def test_grouped_beam_decode_equivalence(setup):
     np.testing.assert_array_equal(np.asarray(ids_g), np.asarray(ids_r))
     np.testing.assert_allclose(np.asarray(scores_g), np.asarray(scores_r),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_build_model_applies_common_dropout_overrides():
+    """The common parity-alignment flags must ACT on the mPLUG configs
+    (rehearsals run with dropout 0 / no shuffle); silently parsing them
+    would let a step-paired comparison never match with no error."""
+    import pytest
+
+    from crvqa_tpu.cli import vqa_mplug
+
+    p = vqa_mplug.build_parser()
+    base = ["--output_dir", "/tmp/x", "--tiny", "--synthetic", "8"]
+    args = p.parse_args(base + ["--hidden_dropout_prob", "0.0",
+                                "--attention_probs_dropout_prob", "0.0"])
+    config, _, _ = vqa_mplug.build_model(args)
+    assert config.bert.hidden_dropout_prob == 0.0
+    assert config.bert.attention_probs_dropout_prob == 0.0
+    assert config.vit.attn_dropout == 0.0
+
+    # defaults untouched when the flags are absent
+    config2, _, _ = vqa_mplug.build_model(p.parse_args(base))
+    assert config2.bert.hidden_dropout_prob == 0.1
+    assert config2.vit.attn_dropout == 0.1
+
+    # classifier_dropout has no mPLUG surface -> explicit rejection
+    with pytest.raises(SystemExit):
+        vqa_mplug.build_model(
+            p.parse_args(base + ["--classifier_dropout", "0.1"]))
