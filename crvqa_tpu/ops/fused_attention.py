@@ -224,6 +224,13 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *p_out,
 # the dots are latency- rather than FLOP-bound (the THIN_SEG measurement
 # said they are). Read at trace time; measured via
 # benchmarks/bench_fused_attention.py --pair.
+#
+# MEASURED (v5e, stage-2 bs-256 window): 3565.6 ex/s paired vs 3568.2
+# single — a wash (0.999x). The halved issue count buys exactly what the
+# doubled per-dot arithmetic costs, i.e. at these operand heights the dots
+# already retire near the MXU's issue floor. VERDICT r3 #4's third
+# formulation: REJECTED; the profile-pinned speed-of-light (1.349x step
+# bound, profile_stage2.py) stands as the documented gap.
 Q_PAIR = False
 
 
