@@ -156,9 +156,14 @@ class PadFrozenEmbed(nn.Embed):
     def __call__(self, inputs):
         # jnp.asarray: apply() may receive raw numpy leaves (torch interop)
         table = jnp.asarray(self.embedding)
-        table = table.at[self.pad_idx].set(
-            jax.lax.stop_gradient(table[self.pad_idx]))
-        return jnp.take(table, inputs, axis=0)
+        y = jnp.take(table, inputs, axis=0)
+        # Zero the cotangent where input == pad_idx: gathers of the pad id
+        # are the ONLY writers of the pad row in the gather's backward
+        # scatter-add, so this equals torch's zeroed grad row — at [B,S,H]
+        # activation cost instead of the vocab-table copy an
+        # `.at[pad].set(stop_gradient(...))` spelling pays per step.
+        keep = (inputs != self.pad_idx)[..., None]
+        return jnp.where(keep, y, jax.lax.stop_gradient(y))
 
 
 class MultiHeadAttention(nn.Module):

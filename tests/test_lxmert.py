@@ -185,3 +185,36 @@ def test_bqhk_layout_handles_causal_bias(monkeypatch):
         for i in range(2):
             np.testing.assert_allclose(outs[layout][i], outs["bqhd"][i],
                                        rtol=1e-5, atol=1e-6, err_msg=layout)
+
+
+def test_pad_frozen_embed_grad_semantics():
+    """PadFrozenEmbed == nn.Embed values; torch padding_idx grad semantics:
+    the pad row's grad is exactly zero, every other gathered row's grad is
+    the plain-Embed grad (`modeling_lxmert.py:734-736` nn.Embedding
+    padding_idx). Guards the activation-masked spelling (no table copy)."""
+    import flax.linen as nn
+
+    from crvqa_tpu.models.layers import PadFrozenEmbed
+
+    pad = 3
+    ids = jnp.asarray([[0, 3, 5, 3], [7, 1, 3, 0]])
+    mod = PadFrozenEmbed(8, 4, pad_idx=pad)
+    plain = nn.Embed(8, 4)
+    v = mod.init(jax.random.PRNGKey(0), ids)
+    np.testing.assert_array_equal(np.asarray(mod.apply(v, ids)),
+                                  np.asarray(plain.apply(v, ids)))
+
+    def loss(params, module):
+        out = module.apply(params, ids)
+        return jnp.sum(out * (1.0 + jnp.arange(out.size).reshape(out.shape)))
+
+    g = jax.grad(loss)(v, mod)["params"]["embedding"]
+    g_plain = jax.grad(loss)(v, plain)["params"]["embedding"]
+    np.testing.assert_array_equal(np.asarray(g[pad]), np.zeros(4))
+    rows = np.asarray([r for r in range(8) if r != pad])
+    np.testing.assert_allclose(np.asarray(g)[rows], np.asarray(g_plain)[rows],
+                               rtol=1e-6)
+    # numpy-leaf interop path (torch-loaded checkpoints)
+    v_np = jax.tree.map(np.asarray, v)
+    np.testing.assert_array_equal(np.asarray(mod.apply(v_np, ids)),
+                                  np.asarray(mod.apply(v, ids)))
