@@ -2,10 +2,12 @@
 
 Re-design of `mPLUG/models/predictor.py:TextGenerator` (ONMT-style beam
 search, :33-519). The reference mutates Python lists per step; here decoding
-is a `lax.fori_loop` over a fixed `max_len` with static shapes. VQA answers
-are <= ~12 tokens and the decoder is 12 layers, so prefix re-computation per
-step (no KV cache) costs less than the bookkeeping it avoids at these sizes;
-a cached variant is a later optimization.
+is a `lax.fori_loop` over a fixed `max_len` with static shapes. Incremental
+decoding is the default: per-layer self-attention KV caches with static
+slots + beam-reorder reindexing (the reference predictor's `state.cache` /
+`map_batch_fn` analogue, :243-253), composed with grouped memory; the
+uncached prefix-recompute path stays behind `--decode_cache false` for the
+A/B (chip-measured: cache 352.9 vs 269.4 ex/s beam-5 bs 32, +31%).
 """
 from __future__ import annotations
 
