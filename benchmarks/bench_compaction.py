@@ -58,19 +58,25 @@ def _setup():
     return config, model, params, inputs, b
 
 
-def _time_forward(model, params, inputs, iters=30) -> float:
+def _time_forward(model, params, inputs, iters=30):
+    """Returns (ex/s, MFU, GFLOP/example) for the eval forward."""
+    from crvqa_tpu.utils.mfu import lowered_flops, mfu
+
     # compaction returns numpy trees — device_put once, or every dispatch
     # re-uploads ~850 MB of fp32 params through the tunnel
     params = jax.tree_util.tree_map(jnp.asarray, params)
     fwd = jax.jit(lambda p, i: model.apply({"params": p}, **i,
                                            deterministic=True)[0])
+    flops_call = lowered_flops(fwd, params, inputs)
     out = fwd(params, inputs)
     _ = float(out[0, 0])  # fence
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(params, inputs)
     _ = float(out[0, 0])
-    return BATCH * iters / (time.perf_counter() - t0)
+    dt = time.perf_counter() - t0
+    u = mfu(flops_call, iters, dt, jax.devices()[0].device_kind)
+    return BATCH * iters / dt, u, flops_call / BATCH / 1e9
 
 
 def main() -> None:
@@ -95,20 +101,26 @@ def main() -> None:
 
     dense_params = apply_dense_ffn_mask(
         apply_dense_head_mask(params, head_mask, config.head_size), ffn_mask)
-    dense = _time_forward(model, dense_params, inputs)
-    print(f"# dense masked: {dense:.1f} ex/s", file=sys.stderr)
+    dense, dense_mfu, dense_gflops = _time_forward(model, dense_params, inputs)
+    print(f"# dense masked: {dense:.1f} ex/s, mfu {dense_mfu}", file=sys.stderr)
 
     cparams, n_heads = compact_lang_heads(params, head_mask, config.head_size,
                                           pad_to_multiple=1)
     cparams, n_ffn = compact_lang_ffns(cparams, ffn_mask, pad_to_multiple=128)
     cconfig = dataclasses.replace(config, lang_num_heads=n_heads,
                                   lang_intermediate_size=n_ffn)
-    compact = _time_forward(LxmertForVQA(cconfig), cparams, inputs)
+    compact, compact_mfu, compact_gflops = _time_forward(
+        LxmertForVQA(cconfig), cparams, inputs)
     print(f"# compacted ({n_heads}/12 heads, {n_ffn}/3072 ffn): "
-          f"{compact:.1f} ex/s", file=sys.stderr)
+          f"{compact:.1f} ex/s, mfu {compact_mfu}", file=sys.stderr)
     print(json.dumps({"dense_masked_ex_s": round(dense, 1),
                       "compacted_ex_s": round(compact, 1),
                       "speedup": round(compact / dense, 3),
+                      "dense_mfu": round(dense_mfu, 4) if dense_mfu else None,
+                      "compacted_mfu": (round(compact_mfu, 4)
+                                        if compact_mfu else None),
+                      "dense_gflops_per_example": round(dense_gflops, 2),
+                      "compacted_gflops_per_example": round(compact_gflops, 2),
                       "kept_heads": n_heads, "kept_ffn": n_ffn}))
 
 
