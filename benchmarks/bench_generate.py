@@ -69,17 +69,20 @@ def _gen_flops(model, masker, cfg, state, jb, compiled_gen,
 
 
 def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
-        iters: int = 8, midseq: bool = False, use_cache: bool = False) -> dict:
+        iters: int = 8, midseq: bool = False, use_cache: bool = False,
+        cache_reorder: str = "onehot", bf16_lm_head: bool = False) -> dict:
     from crvqa_tpu.train import mplug_train
     from crvqa_tpu.utils.mfu import mfu
 
     # midseq: fuse the 577-patch ViT/fusion attention too — beam eval is
     # encode-dominated, so this is where the midseq kernel should pay most
-    config, model, masker, cfg, state, _ = build_masked_mplug(midseq=midseq)
+    config, model, masker, cfg, state, _ = build_masked_mplug(
+        midseq=midseq, bf16_lm_head=bf16_lm_head)
     jb = _batch(config, batch_size)
     gen = mplug_train.make_generate_step(model, cfg, masker=masker,
                                          beam_size=beam_size, max_len=max_len,
-                                         use_cache=use_cache)
+                                         use_cache=use_cache,
+                                         cache_reorder=cache_reorder)
     # AOT-compile once and invoke the executable directly: lowered_flops on
     # the jitted fn would compile a SECOND time on the first call (the AOT
     # compile does not populate the jit cache), doubling tunnel startup
@@ -152,10 +155,14 @@ def main() -> None:
         print(f"# rank-k10 masked eval: {r}", file=sys.stderr)
         print(json.dumps({"mplug_rank_eval": r, "midseq": midseq}))
         return
-    r = run(midseq=midseq, use_cache=use_cache)
+    reorder = "gather" if "--reorder-gather" in sys.argv else "onehot"
+    bf16_head = "--bf16-head" in sys.argv
+    r = run(midseq=midseq, use_cache=use_cache, cache_reorder=reorder,
+            bf16_lm_head=bf16_head)
     print(f"# beam-5 masked eval: {r}", file=sys.stderr)
     print(json.dumps({"mplug_beam5_eval": r, "midseq": midseq,
-                      "self_kv_cache": use_cache}))
+                      "self_kv_cache": use_cache, "cache_reorder": reorder,
+                      "bf16_lm_head": bf16_head}))
 
 
 if __name__ == "__main__":

@@ -49,7 +49,7 @@ def _batch(config, b, a=5, ql=25, al=8, seed=0):
 
 def build_masked_mplug(dtype="bfloat16", remat: bool = False,
                        midseq: bool = False, total_steps: int = 10_000,
-                       mode: str = "mask"):
+                       mode: str = "mask", bf16_lm_head: bool = False):
     """Full-size mPLUG benchmark construction — the ONE definition of the
     measured configuration (the cli/vqa_mplug.py setup: mask mode = uniform
     0.5 magnitude_soft masking; full mode = dense dual-LR finetune; fused
@@ -74,8 +74,11 @@ def build_masked_mplug(dtype="bfloat16", remat: bool = False,
     dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     # the cli/vqa_mplug.py full-size config (reference runs DeepSpeed bf16
     # with partition_activations; --remat is its analogue here)
-    config = MPlugConfig(bert=MPlugBertConfig(dtype=dt, use_remat=remat),
-                         vit=ViTConfig(dtype=dt, use_remat=remat))
+    config = MPlugConfig(
+        bert=MPlugBertConfig(
+            dtype=dt, use_remat=remat,
+            lm_head_dtype=jnp.bfloat16 if bf16_lm_head else None),
+        vit=ViTConfig(dtype=dt, use_remat=remat))
     model = MPlug(config)
     probe = _batch(config, 1)
     params = model.init(

@@ -36,6 +36,11 @@ LOGDIR = "/tmp/crvqa_profile_generate"
 def categorize(name: str, op: str) -> str:
     if name.startswith(("copy-start", "copy-done")):
         return "dma_copy"
+    # top-k/sort BEFORE the custom-call rule: top_k lowers to a custom-call
+    # too, and was mislabeling 15.5 ms of beam top-k as pallas_attn in the
+    # 2026-08-20 06:34 trace
+    if re.search(r"(top_k|sort)", op):
+        return "beam_bookkeeping"
     if "custom-call" in name:
         return "pallas_attn"
     # encode towers (outside the decode while-loop)

@@ -104,6 +104,7 @@ def summarize_trace(logdir: str, hlo_map: dict, categorize_fn) -> dict:
                    if re.search(r"tpu|device|/device:", n, re.I)}
     by_name = collections.Counter()
     by_cat = collections.Counter()
+    name_cat = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -114,11 +115,17 @@ def summarize_trace(logdir: str, hlo_map: dict, categorize_fn) -> dict:
         name = e.get("name", "?")
         # skip the nested whole-window wrappers (they double-count: the
         # jit entry, the while loop, and the root track each span ~all of
-        # the window)
-        if name == "0" or name.startswith("jit_") or name.startswith("while."):
+        # the window). Bare-integer names are XLA computation-id wrappers
+        # (call/while region events) — the grad-accum scan emits them as
+        # "1"/"2"/"3", each spanning a whole step (seen inflating the mPLUG
+        # bs-64 profile by 43%).
+        if (re.fullmatch(r"\d+", name) or name.startswith("jit_")
+                or name.startswith("while.")):
             continue
         by_name[name] += dur
-        by_cat[categorize_fn(name, hlo_map.get(name, ""))] += dur
+        cat = categorize_fn(name, hlo_map.get(name, ""))
+        by_cat[cat] += dur
+        name_cat[name] = cat
         total += dur
 
     print(f"# device tracks: {sorted(pid_names[p] for p in device_pids)}",
@@ -132,6 +139,18 @@ def summarize_trace(logdir: str, hlo_map: dict, categorize_fn) -> dict:
         op = hlo_map.get(name, "")
         print(f"# {dur/1e3:9.2f} ms  {name[:40]:40s} {op[:90]}",
               file=sys.stderr)
+    # per-bucket top ops for every bucket worth optimizing (>3% of window)
+    # — turns "bucket X is N ms" into the actual ops to attack
+    print("# --- top 3 ops per bucket (>3%) ---", file=sys.stderr)
+    for cat, cdur in by_cat.most_common():
+        if cdur / max(total, 1e-9) < 0.03:
+            continue
+        tops = sorted(((d, n) for n, d in by_name.items()
+                       if name_cat.get(n) == cat), reverse=True)[:3]
+        print(f"# {cat} ({cdur/1e3:.2f} ms):", file=sys.stderr)
+        for d, n in tops:
+            print(f"#   {d/1e3:9.2f} ms  {n[:36]:36s} "
+                  f"{hlo_map.get(n, '')[:80]}", file=sys.stderr)
     return {
         "total_ms": round(total / 1e3, 1),
         "by_category_ms": {k: round(v / 1e3, 2) for k, v in by_cat.items()},

@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_length", type=int, default=1,
                    help="EOS blocked while decode step < min_length "
                         "(vqa_mplug.py:472, predictor.py:207-208)")
+    p.add_argument("--lm_head_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="tied-LM-head matmul operand dtype. float32 = "
+                        "reference-exact; bfloat16 rounds the operands but "
+                        "keeps fp32 accumulation + fp32 logits (the decode "
+                        "loop's largest matmul moves to the bf16 MXU path)")
     p.add_argument("--train_files", type=str, nargs="*", default=None)
     p.add_argument("--test_files", type=str, nargs="*", default=None)
     p.add_argument("--vqa_root", type=str, default="")
@@ -132,14 +138,20 @@ def build_model(args):
     import dataclasses
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    lm_head = (jnp.bfloat16
+               if getattr(args, "lm_head_dtype", "float32") == "bfloat16"
+               else None)
     if args.tiny:
         config = MPlugConfig(
-            bert=MPlugBertConfig.tiny(dtype=dtype, use_remat=args.use_checkpoint),
+            bert=MPlugBertConfig.tiny(dtype=dtype,
+                                      use_remat=args.use_checkpoint,
+                                      lm_head_dtype=lm_head),
             vit=ViTConfig.tiny(dtype=dtype, use_remat=args.use_checkpoint),
             distill=args.distill)
     else:
         config = MPlugConfig(
-            bert=MPlugBertConfig(dtype=dtype, use_remat=args.use_checkpoint),
+            bert=MPlugBertConfig(dtype=dtype, use_remat=args.use_checkpoint,
+                                 lm_head_dtype=lm_head),
             vit=ViTConfig(image_res=args.image_res, dtype=dtype,
                           use_remat=args.use_checkpoint),
             distill=args.distill)

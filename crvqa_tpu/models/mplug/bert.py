@@ -57,6 +57,14 @@ class MPlugBertConfig:
     # DeepSpeed partition_activations, mPLUG/configs/ds_config.json:12-16,
     # model_vqa_mplug.py:149) -> flax nn.remat on each layer
     use_remat: bool = False
+    # tied-LM-head matmul dtype. None = fp32 operands (reference-exact: the
+    # torch model runs the whole head in fp32). jnp.bfloat16 rounds the
+    # OPERANDS to bf16 but keeps fp32 accumulation + fp32 logits
+    # (preferred_element_type) — the decode loop's largest matmul
+    # ([N, hidden] @ [hidden, 30522] every step) moves to the bf16 MXU
+    # path. Opt-in for the bf16 eval mode; the beam A/B is in
+    # benchmarks/bench_generate.py --bf16-head.
+    lm_head_dtype: Any = None
 
     @property
     def head_size(self) -> int:
@@ -119,6 +127,16 @@ class BertEmbeddings(nn.Module):
     def attend(self, hidden):
         """hidden @ word_embedding_table.T (tied LM head)."""
         return self.word_embeddings.attend(hidden)
+
+    def attend_cast(self, hidden, dtype):
+        """Tied LM head with the operands rounded to `dtype` (bf16 MXU
+        path) but fp32 accumulation and fp32 logits — the only error vs
+        `attend(fp32)` is the input rounding, not the reduction."""
+        table = jnp.asarray(self.word_embeddings.embedding).astype(dtype)
+        return jax.lax.dot_general(
+            hidden.astype(dtype), table,
+            (((hidden.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 class BertSelfBlock(nn.Module):
@@ -375,7 +393,10 @@ class TextDecoder(nn.Module):
         t = layers.gelu(t)
         t = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype,
                          name="predictions_transform_LayerNorm")(t)
-        logits = emb.attend(t.astype(jnp.float32))
+        if c.lm_head_dtype is None:
+            logits = emb.attend(t.astype(jnp.float32))
+        else:
+            logits = emb.attend_cast(t, c.lm_head_dtype)
         bias = self.param("predictions_bias", nn.initializers.zeros,
                           (c.vocab_size,), jnp.float32)
         if self_caches is not None:

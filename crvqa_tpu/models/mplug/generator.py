@@ -75,7 +75,8 @@ def beam_generate(decode_logits: Callable, states, state_mask,
                   beam_size: int = 5, max_len: int = 12, bos: int = 101,
                   eos: int = 102, pad: int = 0, lp_alpha: float = 0.6,
                   min_length: int = 1, group_memory: bool = False,
-                  decode_step: Callable = None, init_caches=None):
+                  decode_step: Callable = None, init_caches=None,
+                  reorder: str = "onehot"):
     """ONMT-style beam search matching the reference `TextGenerator`
     (`mPLUG/models/predictor.py:197-311`; beam 5, `vqa_mplug.py:475`).
 
@@ -112,6 +113,11 @@ def beam_generate(decode_logits: Callable, states, state_mask,
     state reorder (`predictor.py:243-253`). The per-step decoder then runs
     on ONE query row instead of recomputing the whole prefix (self-attn
     projections + FFN + LM-head transform drop max_len-fold).
+
+    `reorder`: how the per-step cache reindex is spelled — "onehot" (MXU
+    dot, single read of each parent row; default) or "gather"
+    (take_along_axis -> XLA select_n, W-fold read amplification; kept so
+    the A/B stays measurable). Bit-identical outputs either way.
     """
     b, s, h = states.shape
     w = beam_size
@@ -169,12 +175,31 @@ def beam_generate(decode_logits: Callable, states, state_mask,
         ids = ids.at[:, :, t].set(tok_idx)
         if cached:
             # reindex the KV caches by parent beam, like the ids above
-            # (predictor.py:243-253 map_batch_fn)
-            def _reorder(c):
-                cc = c.reshape(b, w, *c.shape[1:])
-                idx = beam_idx.reshape(b, w, *([1] * (c.ndim - 1)))
-                cc = jnp.take_along_axis(cc, idx, axis=1)
-                return cc.reshape(c.shape)
+            # (predictor.py:243-253 map_batch_fn). Default formulation is a
+            # one-hot dot, NOT take_along_axis: XLA's gather expander lowers
+            # the small-domain beam gather to a select_n chain that reads
+            # all W parent rows per output element (W-fold HBM
+            # amplification — 6.1 ms/call of the 85 ms beam-5 bs-32 decode
+            # in the 2026-08-20 06:34 trace). The one-hot dot reads each
+            # parent row ONCE through the MXU and is bit-exact: every
+            # output row is 1.0 * parent + 0.0 * rest, accumulated over
+            # exactly one nonzero (fp32 accumulation of a single bf16 value
+            # round-trips exactly).
+            if reorder == "onehot":
+                onehot = jax.nn.one_hot(beam_idx, w, axis=-1)  # [B,W,Wp]
+
+                def _reorder(c):
+                    cc = c.reshape(b, w, -1)
+                    out = jnp.einsum("bwp,bpn->bwn",
+                                     onehot.astype(c.dtype), cc)
+                    return out.reshape(c.shape)
+            else:  # "gather": the select_n formulation, kept for the A/B
+
+                def _reorder(c):
+                    cc = c.reshape(b, w, *c.shape[1:])
+                    idx = beam_idx.reshape(b, w, *([1] * (c.ndim - 1)))
+                    cc = jnp.take_along_axis(cc, idx, axis=1)
+                    return cc.reshape(c.shape)
 
             caches = jax.tree_util.tree_map(_reorder, caches)
         is_fin = tok_idx == eos

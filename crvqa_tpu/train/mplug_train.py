@@ -511,7 +511,8 @@ def make_generate_step(model, config: MPlugTrainConfig,
                        masker: Optional[Masker] = None,
                        beam_size: int = 5, max_len: int = 12,
                        min_length: int = 1, lp_alpha: float = 0.6,
-                       use_cache: bool = True) -> Callable:
+                       use_cache: bool = True,
+                       cache_reorder: str = "onehot") -> Callable:
     """Beam-search answer generation for evaluation
     (`vqa_mplug.py:247-287`; GNMT length penalty + min_length EOS block per
     `predictor.py:61,207-237`).
@@ -571,6 +572,6 @@ def make_generate_step(model, config: MPlugTrainConfig,
                              eos=cfg.eos_token_id, pad=cfg.pad_token_id,
                              min_length=min_length, lp_alpha=lp_alpha,
                              group_memory=True, decode_step=decode_step,
-                             init_caches=init_caches)
+                             init_caches=init_caches, reorder=cache_reorder)
 
     return generate

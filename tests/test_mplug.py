@@ -574,6 +574,40 @@ def test_self_kv_cache_decode_matches_full(setup):
                                   np.asarray(b_cached[0]))
     np.testing.assert_allclose(np.asarray(b_full[1]), np.asarray(b_cached[1]),
                                rtol=1e-5)
+    # the two cache-reorder spellings (one-hot MXU dot vs take_along_axis
+    # select) must be BIT-identical — the one-hot dot multiplies each row
+    # by exactly 1.0/0.0 and accumulates one nonzero
+    b_gather = beam_generate(decode_full, states, state_mask, beam_size=w,
+                             decode_step=decode_step, init_caches=mk(b * w),
+                             reorder="gather", **kw)
+    np.testing.assert_array_equal(np.asarray(b_cached[0]),
+                                  np.asarray(b_gather[0]))
+    np.testing.assert_array_equal(np.asarray(b_cached[1]),
+                                  np.asarray(b_gather[1]))
+
+
+def test_bf16_lm_head_fp32_logits_and_close(setup):
+    """lm_head_dtype=bf16 rounds only the head matmul's OPERANDS: logits
+    stay fp32 (fp32 accumulation) and track the fp32 head to bf16 input
+    rounding."""
+    import dataclasses
+
+    config, model, params, jb = setup
+    states, state_mask = model.apply(
+        {"params": params}, jb["images"], jb["question_ids"],
+        jb["question_mask"], method=model.encode)
+    ids, mask = jb["answer_ids"][:, 0], jb["answer_mask"][:, 0]
+    full = model.apply({"params": params}, ids, mask, states, state_mask,
+                       method=model.decode_logits)
+    cfg_bf = dataclasses.replace(
+        config, bert=dataclasses.replace(config.bert,
+                                         lm_head_dtype=jnp.bfloat16))
+    model_bf = MPlug(cfg_bf)
+    bf = model_bf.apply({"params": params}, ids, mask, states, state_mask,
+                        method=model_bf.decode_logits)
+    assert bf.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(full),
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_generate_step_use_cache_matches(setup):
