@@ -59,24 +59,32 @@ def _setup():
 
 
 def _time_forward(model, params, inputs, iters=30):
-    """Returns (ex/s, MFU, GFLOP/example) for the eval forward."""
-    from crvqa_tpu.utils.mfu import lowered_flops, mfu
+    """Returns (ex/s, MFU, GFLOP/example or None) for the eval forward."""
+    from crvqa_tpu.utils.mfu import compiled_flops, mfu
 
     # compaction returns numpy trees — device_put once, or every dispatch
     # re-uploads ~850 MB of fp32 params through the tunnel
     params = jax.tree_util.tree_map(jnp.asarray, params)
     fwd = jax.jit(lambda p, i: model.apply({"params": p}, **i,
                                            deterministic=True)[0])
-    flops_call = lowered_flops(fwd, params, inputs)
-    out = fwd(params, inputs)
+    # compile ONCE via AOT and invoke the executable directly — calling the
+    # jitted wrapper after .lower().compile() recompiles (AOT doesn't
+    # populate the jit cache), costing minutes through the axon tunnel
+    compiled = fwd.lower(params, inputs).compile()
+    try:
+        flops_call = compiled_flops(compiled)
+    except Exception:
+        flops_call = 0.0
+    out = compiled(params, inputs)
     _ = float(out[0, 0])  # fence
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(params, inputs)
+        out = compiled(params, inputs)
     _ = float(out[0, 0])
     dt = time.perf_counter() - t0
     u = mfu(flops_call, iters, dt, jax.devices()[0].device_kind)
-    return BATCH * iters / dt, u, flops_call / BATCH / 1e9
+    gflops = flops_call / BATCH / 1e9 if flops_call else None
+    return BATCH * iters / dt, u, gflops
 
 
 def main() -> None:
@@ -119,8 +127,12 @@ def main() -> None:
                       "dense_mfu": round(dense_mfu, 4) if dense_mfu else None,
                       "compacted_mfu": (round(compact_mfu, 4)
                                         if compact_mfu else None),
-                      "dense_gflops_per_example": round(dense_gflops, 2),
-                      "compacted_gflops_per_example": round(compact_gflops, 2),
+                      "dense_gflops_per_example": (
+                          round(dense_gflops, 2)
+                          if dense_gflops is not None else None),
+                      "compacted_gflops_per_example": (
+                          round(compact_gflops, 2)
+                          if compact_gflops is not None else None),
                       "kept_heads": n_heads, "kept_ffn": n_ffn}))
 
 

@@ -190,8 +190,14 @@ def beam_generate(decode_logits: Callable, states, state_mask,
 
                 def _reorder(c):
                     cc = c.reshape(b, w, -1)
+                    # HIGHEST precision: the TPU default truncates fp32
+                    # operands to bf16 in the MXU, which would silently
+                    # round fp32 caches each reorder. Free for bf16 caches,
+                    # exact for fp32 — keeps "bit-identical either way" true
+                    # on-chip, not only under the CPU test config.
                     out = jnp.einsum("bwp,bpn->bwn",
-                                     onehot.astype(c.dtype), cc)
+                                     onehot.astype(c.dtype), cc,
+                                     precision=jax.lax.Precision.HIGHEST)
                     return out.reshape(c.shape)
             else:  # "gather": the select_n formulation, kept for the A/B
 
