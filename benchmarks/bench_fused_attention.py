@@ -24,7 +24,7 @@ jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
 def run(fused: bool, window: int = 32, windows: int = 4,
         bwd_impl: str = "stored", thin_seg: bool = False,
-        q_pair: bool = False) -> float:
+        q_pair: bool = False, head_group: int = 0) -> float:
     from crvqa_tpu.models import layers
     from crvqa_tpu.ops import fused_attention as fa
 
@@ -32,6 +32,7 @@ def run(fused: bool, window: int = 32, windows: int = 4,
     fa.BWD_IMPL = bwd_impl
     fa.THIN_SEG = thin_seg
     fa.Q_PAIR = q_pair
+    fa.HEAD_GROUP = head_group
     from bench_window import build
 
     compiled, state, stacked, bs = build(window)
@@ -59,6 +60,16 @@ def main() -> None:
         for pair in (False, True):
             key = "pair" if pair else "single"
             results[key] = round(run(True, q_pair=pair), 1)
+            print(f"# {key}: {results[key]} ex/s", file=sys.stderr)
+    elif "--hgroup" in sys.argv:
+        # head-group (128-lane) packing A/B (VERDICT r4 weak #2): shipped
+        # rev-3 stored, rev-3 recompute (the grouped path's bwd style), and
+        # G=2 grouped — decomposes formulation effect from residual effect
+        for key, kw in (("rev3_stored", {}),
+                        ("rev3_recompute", {"bwd_impl": "recompute"}),
+                        ("hgroup2", {"head_group": 2}),
+                        ("hgroup4", {"head_group": 4})):
+            results[key] = round(run(True, **kw), 1)
             print(f"# {key}: {results[key]} ex/s", file=sys.stderr)
     elif "--bwd" in sys.argv:
         # backward-implementation sweep (all through the fused kernel)

@@ -37,15 +37,19 @@ def lxmert_uniform_masker(config, zero_rate: float):
         specs, ModalSparsity.uniform(zero_rate, ("Lang", "Vis", "Fus", "P")))
 
 
-def load_params_any(path: Optional[str], params):
+def load_params_any(path: Optional[str], params, torch_loader=None):
     """Overlay a params checkpoint of either lineage onto init params:
     reference torch artifacts (`.bin`/`.pt`/`.pth` state_dicts or whole-model
     pickles, via `torch_compat.load_torch_params`) or this repo's msgpack
-    checkpoint dirs. The single home of the format dispatch — the stage-2
-    drivers and both serving paths all route through here."""
+    checkpoint dirs. The single home of the format dispatch — every driver
+    and both serving paths route through here. `torch_loader(path, template)`
+    overrides the torch branch for model-specific name shims (the mPLUG
+    driver's pretrained-checkpoint import)."""
     if path is None:
         return params
     if path.endswith((".bin", ".pt", ".pth")):
+        if torch_loader is not None:
+            return torch_loader(path, params)
         from ..core import torch_compat
 
         return torch_compat.load_torch_params(path, params)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -336,6 +337,7 @@ def run(args) -> None:
         # by the dispatch width; the device value is only needed at resume)
         step = int(state.step)
         pending = []
+        t_last, s_last = time.perf_counter(), step
         guard = common.PreemptionGuard()
         profiler = common.ProfileWindow(args)
         for epoch in range(int(args.num_train_epochs)):
@@ -383,9 +385,18 @@ def run(args) -> None:
                     tmp_masks = jax.device_get(
                         masks_fn(state.scores, state.thresholds))
                     score_pct = 100 * float(metrics.score) / float(metrics.batch_size)
+                    # interval throughput, fence-to-fence (the float() above
+                    # synced the device) — the product-surface number the
+                    # bench harness must agree with (BENCHMARKS.md
+                    # product-surface parity row)
+                    now = time.perf_counter()
+                    ex_s = ((step - s_last) * args.train_batch_size
+                            / max(now - t_last, 1e-9))
+                    t_last, s_last = now, step
                     common.log_step(step, loss=float(metrics.loss),
                                     score=score_pct, epoch=epoch,
-                                    mask_distance=distance, mask_change=change)
+                                    mask_distance=distance, mask_change=change,
+                                    ex_s=round(ex_s, 1))
                 if common.crossed(step, prev, args.save_steps):
                     ckpt.save_checkpoint(
                         os.path.join(args.output_dir, f"ckpt_{step}"), state,

@@ -12,6 +12,7 @@ import argparse
 import dataclasses
 import json
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -90,7 +91,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_files", type=str, nargs="*", default=None)
     p.add_argument("--test_files", type=str, nargs="*", default=None)
     p.add_argument("--vqa_root", type=str, default="")
-    p.add_argument("--init_ckpt", type=str, default=None)
+    p.add_argument("--init_ckpt", type=str, default=None,
+                   help="params init: msgpack checkpoint dir, or a reference "
+                        "torch .pt/.pth/.bin (vqa_mplug.py:338-376 import: "
+                        "model/module unwrap, pos-embed resize, "
+                        "fusion./bert. shim)")
+    p.add_argument("--init_ckpt_format", type=str, default="auto",
+                   choices=["auto", "pretrain", "finetuned"],
+                   help="torch-checkpoint key format: 'pretrain' applies the "
+                        "reference's pos-embed resize + fusion./bert. rename "
+                        "shim (vqa_mplug.py:345-371); 'auto' mirrors its "
+                        "gate (full-mode training only, :346)")
+    p.add_argument("--clip_name", type=str, default="ViT-B-16",
+                   choices=["ViT-B-16", "ViT-L-14"],
+                   help="visual tower preset (visual_transformers.py:41-47); "
+                        "ViT-L-14 adds the visn_fc 'large' adapter")
     p.add_argument("--use_checkpoint", type=common.str2bool, default=False,
                    help="activation checkpointing (remat) on transformer layers")
     p.add_argument("--eval_method", type=str, default="beam",
@@ -120,6 +135,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--add_object", type=common.str2bool, default=False,
                    help="append object labels to questions "
                         "(vqa_dataset.py:68-70)")
+    p.add_argument("--eval_pipeline_depth", type=int, default=1,
+                   help="in-flight eval batches dispatched ahead of the "
+                        "result fetch (0 = serial reference-shaped loop); "
+                        "overlaps encode of batch i+1 with the host's fetch/"
+                        "detokenize of batch i")
     p.add_argument("--data_workers", type=int, default=4,
                    help="thread-pool width for per-image decode+augment "
                         "inside a batch (reference num_workers=[12,8,8]); "
@@ -149,12 +169,16 @@ def build_model(args):
             vit=ViTConfig.tiny(dtype=dtype, use_remat=args.use_checkpoint),
             distill=args.distill)
     else:
+        if getattr(args, "clip_name", "ViT-B-16") == "ViT-L-14":
+            vit = ViTConfig.vit_l_14(image_res=args.image_res, dtype=dtype,
+                                     use_remat=args.use_checkpoint)
+        else:
+            vit = ViTConfig(image_res=args.image_res, dtype=dtype,
+                            use_remat=args.use_checkpoint)
         config = MPlugConfig(
             bert=MPlugBertConfig(dtype=dtype, use_remat=args.use_checkpoint,
                                  lm_head_dtype=lm_head),
-            vit=ViTConfig(image_res=args.image_res, dtype=dtype,
-                          use_remat=args.use_checkpoint),
-            distill=args.distill)
+            vit=vit, distill=args.distill)
     # common parity-alignment dropout overrides (rehearsals run with 0):
     # the two BERT probabilities exist on every tower config; the attention
     # override also covers the ViT. classifier_dropout has no mPLUG surface
@@ -350,8 +374,32 @@ def main(argv=None) -> None:
                         jb0["question_ids"], jb0["question_mask"],
                         jb0["answer_ids"], jb0["answer_mask"],
                         jb0["weights"])["params"]
+    loaded_params_m = None
     if args.init_ckpt:
-        params = ckpt.load_checkpoint(args.init_ckpt, params)
+        pretrain_fmt = (args.init_ckpt_format == "pretrain"
+                        or (args.init_ckpt_format == "auto"
+                            and args.mode == "full" and args.do_train))
+
+        def _mplug_torch_loader(path, template):
+            nonlocal loaded_params_m
+            from ..core import torch_compat
+
+            loaded, loaded_params_m, report = (
+                torch_compat.load_mplug_torch_checkpoint(
+                    path, template,
+                    template_m=template if args.distill else None,
+                    pretrain_format=pretrain_fmt))
+            # the analogue of the reference's printed load_state_dict msg
+            # (vqa_mplug.py:373-375)
+            common.logger.info(
+                "init_ckpt %s: %d template leaves missing, %d checkpoint "
+                "keys unused%s", path, len(report["missing"]),
+                len(report["unused"]),
+                " (pretrain-format shims applied)" if pretrain_fmt else "")
+            return loaded
+
+        params = common.load_params_any(args.init_ckpt, params,
+                                        torch_loader=_mplug_torch_loader)
 
     steps_per_epoch = max(n_train // args.train_batch_size, 1)
     total_steps = int(steps_per_epoch * args.num_train_epochs)
@@ -396,6 +444,12 @@ def main(argv=None) -> None:
     state, tx = mplug_train.init_state(model, params, cfg,
                                        jax.random.PRNGKey(args.seed),
                                        masker=masker)
+    if loaded_params_m is not None and state.params_m is not None:
+        # checkpoint carried `_m` momentum twins: they override init_state's
+        # params copy (reference order — init_distill copies, then
+        # load_state_dict fills the twins from the checkpoint, :338-373)
+        state = state.replace(params_m=jax.tree_util.tree_map(
+            jnp.asarray, loaded_params_m))
     if args.resume_from:
         # BEFORE device placement — from_bytes yields host numpy, which
         # would silently undo shard_opt_state's ZeRO placement below
@@ -425,6 +479,7 @@ def main(argv=None) -> None:
         step = int(state.step)
         guard = common.PreemptionGuard()
         profiler = common.ProfileWindow(args)
+        t_last, s_last = time.perf_counter(), step
         for epoch in range(int(args.num_train_epochs)):
             for batch_idx, batch in enumerate(train_batches(epoch)):
                 dev = shard_fn({k: v for k, v in batch.items()
@@ -445,7 +500,13 @@ def main(argv=None) -> None:
                     common.log_step(step, sparsity=float(report["all"]),
                                     target=target)
                 if common.crossed(step, prev, args.logging_steps):
-                    common.log_step(step, loss=float(loss), epoch=epoch)
+                    loss_f = float(loss)  # device fence
+                    now = time.perf_counter()
+                    ex_s = ((step - s_last) * args.train_batch_size
+                            / max(now - t_last, 1e-9))
+                    t_last, s_last = now, step
+                    common.log_step(step, loss=loss_f, epoch=epoch,
+                                    ex_s=round(ex_s, 1))
                 if common.crossed(step, prev, args.save_steps):
                     ckpt.save_checkpoint(
                         os.path.join(args.output_dir, f"ckpt_{step}"), state,
@@ -491,19 +552,26 @@ def main(argv=None) -> None:
             rank_fn, answers, best_index = build_rank_fn(
                 args, config, tokenizer, model, masker, cfg)
 
+        from collections import deque
+
         from ..parallel.mesh import host_all_gather, host_all_gather_local
 
-        for batch in eval_batches():
-            dev = shard_fn({k: v for k, v in batch.items()
-                            if k not in ("qid", "valid")})
-            # multi-process: device outputs are sharded globals and qid/valid
-            # are loader-local — gather both so every process scores the full
-            # set (distributed_concat analogue); single-process: pass-through
-            qids = host_all_gather_local(np.asarray(batch["qid"]))
-            ok_vec = host_all_gather_local(np.asarray(
-                batch.get("valid", np.ones(len(batch["qid"]), bool))))
-            if rank_fn is not None:
-                out = rank_fn(state, dev)
+        # Software pipeline (depth = --eval_pipeline_depth): dispatch the
+        # NEXT batch's jitted generate/rank call before fetching this
+        # batch's results. JAX's async dispatch keeps the device queue
+        # non-empty while the host fetches ids through the tunnel,
+        # detokenizes, and the prefetcher decodes the next images — the
+        # encode of batch i+1 runs while the host is still consuming batch
+        # i. The reference predictor's per-step Python beam loop
+        # (mPLUG/models/predictor.py) keeps the host inside the decode
+        # loop and cannot pipeline at all. Depth 0 = the serial
+        # reference-shaped loop (the A/B surface, bench_serve/CLI session).
+        pending = deque()
+        depth = max(args.eval_pipeline_depth, 0)
+
+        def flush_one():
+            kind, out, qids, ok_vec = pending.popleft()
+            if kind == "rank":
                 out = jax.tree_util.tree_map(host_all_gather, out)
                 best = best_index(out)
                 for idx, qid, ok in zip(best, qids, ok_vec):
@@ -511,9 +579,8 @@ def main(argv=None) -> None:
                         continue
                     results.append({"question_id": int(qid),
                                     "answer": answers[int(idx)]})
-                continue
-            ids, scores = gen_fn(state, dev)
-            ids = host_all_gather(ids)
+                return
+            ids = host_all_gather(out)
             for row, qid, ok in zip(ids, qids, ok_vec):
                 if not ok:  # ragged-final-batch padding
                     continue
@@ -525,6 +592,27 @@ def main(argv=None) -> None:
                 else:
                     answer = " ".join(str(int(t)) for t in row[1:] if t != 0)
                 results.append({"question_id": int(qid), "answer": answer})
+
+        for batch in eval_batches():
+            dev = shard_fn({k: v for k, v in batch.items()
+                            if k not in ("qid", "valid")})
+            # multi-process: device outputs are sharded globals and qid/valid
+            # are loader-local — gather both so every process sees the full
+            # set (distributed_concat analogue); single-process: pass-through.
+            # Every process runs the same depth, so the collective gathers
+            # inside flush_one stay order-aligned.
+            qids = host_all_gather_local(np.asarray(batch["qid"]))
+            ok_vec = host_all_gather_local(np.asarray(
+                batch.get("valid", np.ones(len(batch["qid"]), bool))))
+            if rank_fn is not None:
+                pending.append(("rank", rank_fn(state, dev), qids, ok_vec))
+            else:
+                ids, scores = gen_fn(state, dev)
+                pending.append(("gen", ids, qids, ok_vec))
+            while len(pending) > depth:
+                flush_one()
+        while pending:
+            flush_one()
         if jax.process_index() == 0:
             with open(os.path.join(args.output_dir,
                                    "vqa_result.json"), "w") as f:

@@ -17,7 +17,7 @@ hidden) on both sides. torch is CPU-only here and used purely for
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import numpy as np
 
@@ -104,7 +104,9 @@ def flax_to_torch_state_dict(params: PyTree, prefix: str = "") -> dict[str, np.n
                 parts.append(p)
         leaf = path[-1]
         if leaf == "kernel":
-            leaf, arr = "weight", arr.T
+            # Dense (in, out) -> (out, in); Conv HWIO -> OIHW
+            leaf = "weight"
+            arr = arr.transpose(3, 2, 0, 1) if arr.ndim == 4 else arr.T
         elif leaf == "embedding":
             leaf = "weight"
         elif leaf == "scale":
@@ -118,12 +120,28 @@ def flax_to_torch_state_dict(params: PyTree, prefix: str = "") -> dict[str, np.n
     return out
 
 
-def torch_state_dict_to_flax(state: dict[str, Any], template: PyTree) -> PyTree:
+def torch_state_dict_to_flax(state: dict[str, Any], template: PyTree,
+                             missing: str = "raise") -> PyTree:
     """Inverse mapping: fill a flax param template from a torch state_dict.
 
     `template` provides the tree structure + shapes; any torch tensor values
-    are converted to numpy. Raises KeyError listing missing names.
+    are converted to numpy. `missing="raise"` raises KeyError listing absent
+    names; `missing="keep"` keeps the template's value for them (the
+    `load_state_dict(strict=False)` analogue the mPLUG checkpoint import
+    needs, `mPLUG/vqa_mplug.py:373`). Conv kernels (4-D) translate
+    OIHW <-> HWIO rather than the Dense transpose.
     """
+    tree, absent, _ = _torch_state_dict_to_flax_report(state, template)
+    if absent and missing == "raise":
+        raise KeyError(f"missing keys in torch state_dict: {absent[:10]}"
+                       f"{'...' if len(absent) > 10 else ''}")
+    return tree
+
+
+def _torch_state_dict_to_flax_report(
+        state: dict[str, Any], template: PyTree,
+) -> tuple[PyTree, list[str], list[str]]:
+    """(filled tree, missing torch names, used torch names)."""
     from flax import traverse_util
 
     def to_np(v):
@@ -134,6 +152,7 @@ def torch_state_dict_to_flax(state: dict[str, Any], template: PyTree) -> PyTree:
     flat = traverse_util.flatten_dict(template)
     out = {}
     missing = []
+    used = []
     for path, value in flat.items():
         parts = []
         for p in path[:-1]:
@@ -157,19 +176,20 @@ def torch_state_dict_to_flax(state: dict[str, Any], template: PyTree) -> PyTree:
         name = ".".join(parts + [leaf])
         if name not in state:
             missing.append(name)
+            out[path] = np.asarray(value)
             continue
+        used.append(name)
         arr = to_np(state[name]).astype(np.asarray(value).dtype)
         if transpose:
-            arr = arr.T
+            # torch Linear (out, in) -> flax Dense (in, out); torch Conv
+            # OIHW -> flax HWIO
+            arr = arr.transpose(2, 3, 1, 0) if arr.ndim == 4 else arr.T
         if leaf == "weight_g":
             arr = arr.reshape(np.asarray(value).shape)
         if arr.shape != np.asarray(value).shape:
             raise ValueError(f"{name}: shape {arr.shape} != {np.asarray(value).shape}")
         out[path] = arr
-    if missing:
-        raise KeyError(f"missing keys in torch state_dict: {missing[:10]}"
-                       f"{'...' if len(missing) > 10 else ''}")
-    return traverse_util.unflatten_dict(out)
+    return traverse_util.unflatten_dict(out), missing, used
 
 
 def export_classifier_bin(path: str, classifier_params: PyTree) -> None:
@@ -379,3 +399,187 @@ def load_mask_dict_bool(path: str) -> dict[str, np.ndarray]:
     """mask.pt -> {torch_name: bool ndarray} (compare_mask consumption)."""
     raw = _torch().load(path, map_location="cpu", weights_only=False)
     return {k: v.numpy().astype(bool) for k, v in raw.items()}
+
+
+# ------------------------------------------- mPLUG pretrained-checkpoint import
+#
+# The reference initializes mPLUG from a downloaded torch checkpoint
+# (`mPLUG/vqa_mplug.py:338-376`): `model`/`module` unwrap, a bilinear
+# positional-embedding resize for the configured image resolution
+# (`models/visual_transformers.py:resize_pos_embed`, :19-38), a
+# `fusion.`/`bert.` key-rename shim for pretraining-format checkpoints, and
+# `load_state_dict(strict=False)`. The functions below reproduce that
+# pipeline into our flax MPlug tree (models/mplug/mplug.py) so `--init_ckpt
+# mplug_base.pth` starts training from the published weights.
+
+_MPLUG_TOWERS = ("visual_encoder", "text_encoder", "fusion_encoder",
+                 "text_decoder", "visn_fc", "visn_layer_norm")
+
+
+def resize_pos_embed_np(pos: np.ndarray, new_len: int) -> np.ndarray:
+    """`models/visual_transformers.py:resize_pos_embed` (:19-38): keep the
+    class token, bilinearly resize the square patch grid. Uses torch
+    F.interpolate(bilinear) exactly like the reference (torch is sanctioned
+    in this module)."""
+    if pos.shape[0] == new_len:
+        return pos
+    torch = _torch()
+    import torch.nn.functional as F
+
+    tok = np.asarray(pos[:1], np.float32)
+    grid = np.asarray(pos[1:], np.float32)
+    gs_old = int(round(len(grid) ** 0.5))
+    gs_new = int(round((new_len - 1) ** 0.5))
+    g = torch.from_numpy(np.ascontiguousarray(grid))
+    g = g.reshape(1, gs_old, gs_old, -1).permute(0, 3, 1, 2)
+    g = F.interpolate(g, size=(gs_new, gs_new), mode="bilinear")
+    g = g.permute(0, 2, 3, 1).reshape(gs_new * gs_new, -1).numpy()
+    return np.concatenate([tok, g], 0)
+
+
+def strip_fusion_bert_keys(sd: dict[str, Any]) -> dict[str, Any]:
+    """The reference's pretraining-format key shim, replicated with its exact
+    dict semantics (`vqa_mplug.py:367-371`): for every key containing
+    'fusion' or 'bert' but not 'decode', re-key at
+    `key.replace('fusion.', '').replace('bert.', '')` — including the quirk
+    that a key whose replacement equals itself is DELETED (set-then-del on
+    the same name)."""
+    sd = dict(sd)
+    for key in list(sd.keys()):
+        if ("fusion" in key or "bert" in key) and "decode" not in key:
+            encoder_key = key.replace("fusion.", "").replace("bert.", "")
+            sd[encoder_key] = sd[key]
+            del sd[key]
+    return sd
+
+
+def _mplug_remap_key(key: str) -> Optional[str]:
+    """Reference torch parameter name -> the generic torch-style name of our
+    flax MPlug tree (what `flax_to_torch_state_dict` would emit for it), or
+    None for parameters our model has no analogue of (CLIP text tower /
+    `visual.proj` under skip_last_layer / tied `cls.predictions.decoder` /
+    position_ids buffers / beam_generator)."""
+    if key.startswith("visual_encoder."):
+        rest = key[len("visual_encoder."):]
+        if not rest.startswith("visual."):
+            return None  # CLIP text transformer / logit_scale — unused
+        rest = rest[len("visual."):]
+        if rest == "proj":
+            return None  # skip_last_layer=True never applies the projection
+        rest = rest.replace("transformer.resblocks.", "resblocks.")
+        # the generic torch-name derivation splits trailing digits
+        # (ln_1 -> ln.1); align the CLIP names with it
+        rest = rest.replace(".ln_1.", ".ln.1.")
+        rest = rest.replace(".ln_2.", ".ln.2.")
+        rest = rest.replace(".attn.in_proj_weight", ".attn_in_proj.weight")
+        rest = rest.replace(".attn.in_proj_bias", ".attn_in_proj.bias")
+        rest = rest.replace(".attn.out_proj.", ".attn_out_proj.")
+        rest = rest.replace(".mlp.c_fc.", ".mlp_c_fc.")
+        rest = rest.replace(".mlp.c_proj.", ".mlp_c_proj.")
+        return "visual_encoder." + rest
+    for tower in ("text_encoder.", "fusion_encoder."):
+        if key.startswith(tower):
+            rest = key[len(tower):]
+            if rest.startswith("encoder.layer."):
+                rest = "layer." + rest[len("encoder.layer."):]
+            if rest.endswith("position_ids"):
+                return None
+            return tower + rest
+    if key.startswith("text_decoder."):
+        rest = key[len("text_decoder."):]
+        if rest.startswith("bert.embeddings."):
+            rest = "embeddings." + rest[len("bert.embeddings."):]
+        elif rest.startswith("bert.encoder.layer."):
+            rest = "layer." + rest[len("bert.encoder.layer."):]
+        elif rest == "cls.predictions.bias":
+            rest = "predictions_bias"
+        elif rest.startswith("cls.predictions.transform.dense."):
+            rest = ("predictions_transform_dense."
+                    + rest[len("cls.predictions.transform.dense."):])
+        elif rest.startswith("cls.predictions.transform.LayerNorm."):
+            rest = ("predictions_transform_LayerNorm."
+                    + rest[len("cls.predictions.transform.LayerNorm."):])
+        elif rest.startswith("cls.predictions.decoder"):
+            return None  # tied to word_embeddings (BertEmbeddings.attend)
+        if rest.endswith("position_ids"):
+            return None
+        return "text_decoder." + rest
+    if key.startswith(("visn_fc.", "visn_layer_norm.")):
+        return key  # ViT-L 'large' adapter (model_vqa_mplug.py:143-147)
+    return None
+
+
+def load_mplug_torch_checkpoint(
+        path: str, template: PyTree, template_m: Optional[PyTree] = None,
+        pretrain_format: bool = True,
+) -> tuple[PyTree, Optional[PyTree], dict[str, list]]:
+    """Load a reference-format mPLUG torch checkpoint into our flax tree.
+
+    Reproduces `mPLUG/vqa_mplug.py:338-376`: `model`/`module` unwrap,
+    bilinear pos-embed resize to the template's resolution + the
+    `fusion.`/`bert.` pretraining-format shim (both only when
+    `pretrain_format`, mirroring the reference's
+    `not evaluate and not do_mask` gate), then a strict=False fill of the
+    main tree and (when the checkpoint carries `_m` momentum twins and
+    `template_m` is given) the twin tree.
+
+    Returns (params, params_m or None, report) where report lists
+    `missing` template leaves the checkpoint didn't cover and `unused`
+    checkpoint keys nothing consumed — the analogue of the reference's
+    printed `load_state_dict` msg.
+    """
+    torch = _torch()
+    try:
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+    except (ModuleNotFoundError, AttributeError):
+        raw = {"model": module_pickle_state_dict(path)}
+    if isinstance(raw, dict) and ("model" in raw or "module" in raw):
+        # exact reference order: try checkpoint['model'] first (:339-342)
+        sd = raw.get("model", raw.get("module"))
+    else:
+        sd = raw.state_dict() if hasattr(raw, "state_dict") else raw
+
+    def to_np(v):
+        if hasattr(v, "detach"):
+            v = v.detach()
+        return v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+
+    sd = {k: to_np(v) for k, v in sd.items()}
+
+    from flax import traverse_util
+
+    if pretrain_format:
+        # pos-embed resize to the template resolution (:345-365), main +
+        # twin, BEFORE the key shim (reference order; the key is unaffected
+        # by the shim either way)
+        flat_t = traverse_util.flatten_dict(template)
+        new_len = np.asarray(
+            flat_t[("visual_encoder", "positional_embedding")]).shape[0]
+        for k in ("visual_encoder.visual.positional_embedding",
+                  "visual_encoder_m.visual.positional_embedding"):
+            if k in sd:
+                sd[k] = resize_pos_embed_np(np.asarray(sd[k], np.float32),
+                                            new_len)
+        sd = strip_fusion_bert_keys(sd)
+
+    main, twin = {}, {}
+    unmapped = []
+    for k, v in sd.items():
+        tower = k.split(".", 1)[0]
+        if tower.endswith("_m") and tower[:-2] in _MPLUG_TOWERS:
+            g = _mplug_remap_key(tower[:-2] + k[len(tower):])
+            (twin.__setitem__(g, v) if g else unmapped.append(k))
+        else:
+            g = _mplug_remap_key(k)
+            (main.__setitem__(g, v) if g else unmapped.append(k))
+
+    params, missing, used = _torch_state_dict_to_flax_report(main, template)
+    report = {"missing": missing,
+              "unused": sorted(set(main) - set(used)) + unmapped}
+    params_m = None
+    if template_m is not None and twin:
+        params_m, missing_m, used_m = _torch_state_dict_to_flax_report(
+            twin, template_m)
+        report["missing_m"] = missing_m
+        report["unused"] += sorted(set(twin) - set(used_m))
+    return params, params_m, report

@@ -56,6 +56,16 @@ class MPlugConfig:
     def tiny(cls, **kw) -> "MPlugConfig":
         return cls(bert=MPlugBertConfig.tiny(), vit=ViTConfig.tiny(), **kw)
 
+    @classmethod
+    def vit_l(cls, image_res: int = 392, bert: Optional[MPlugBertConfig] = None,
+              **kw) -> "MPlugConfig":
+        """`clip_name: ViT-L-14` preset (`models/visual_transformers.py:
+        46-47`): the 1024-wide visual tower plus the 'large' visn_fc/
+        visn_layer_norm adapter MPlug.setup adds whenever vit.width !=
+        bert.hidden_size (model_vqa_mplug.py:143-147)."""
+        return cls(bert=bert if bert is not None else MPlugBertConfig(),
+                   vit=ViTConfig.vit_l_14(image_res=image_res), **kw)
+
 
 class MPlug(nn.Module):
     """Module tree mirrors the torch names: visual_encoder / text_encoder /
@@ -69,11 +79,24 @@ class MPlug(nn.Module):
         self.text_encoder = TextEncoder(c.bert, name="text_encoder")
         self.fusion_encoder = FusionEncoder(c.bert, name="fusion_encoder")
         self.text_decoder = TextDecoder(c.bert, name="text_decoder")
+        if c.vit.width != c.bert.hidden_size:
+            # the reference's 'large' adapter (ViT-L-14's 1024-wide tower):
+            # dropout(LayerNorm(Linear(image_embeds)))
+            # (model_vqa_mplug.py:143-147, applied at :34-35)
+            self.visn_fc = nn.Dense(c.bert.hidden_size, dtype=c.bert.dtype,
+                                    name="visn_fc")
+            self.visn_layer_norm = nn.LayerNorm(
+                epsilon=1e-12, dtype=c.bert.dtype, name="visn_layer_norm")
+            self.visn_dropout = nn.Dropout(c.bert.hidden_dropout_prob)
 
     def encode(self, images, question_ids, question_mask, deterministic=True):
         """image + question -> fused decoder memory
         (`MPLUG.forward` train=False path, model_vqa_mplug.py:119-130)."""
         image_embeds = self.visual_encoder(images, deterministic=deterministic)
+        if self.config.vit.width != self.config.bert.hidden_size:
+            image_embeds = self.visn_dropout(
+                self.visn_layer_norm(self.visn_fc(image_embeds)),
+                deterministic=deterministic)
         image_mask = jnp.ones(image_embeds.shape[:-1], jnp.float32)
         text_embeds = self.text_encoder(question_ids, question_mask,
                                         deterministic=deterministic)

@@ -55,6 +55,21 @@ class ViTConfig:
         base.update(kw)
         return cls(**base)
 
+    @classmethod
+    def vit_l_14(cls, image_res: int = 392, **kw) -> "ViTConfig":
+        """CLIP ViT-L-14 (`models/visual_transformers.py:46-47`). Default
+        resolution 392 (= 28 * 14): the reference pairs `clip_name:
+        ViT-L-14` with whatever `image_res` the yaml sets, but its
+        `int(res^2/14^2)` patch count only matches the conv grid when res is
+        a multiple of 14 — at the B-16 default 384 its pos-embed (753 rows)
+        disagrees with the 730-token conv output and the torch add fails.
+        Our pos table is sized off the true grid, so any multiple of 14
+        works."""
+        base = dict(image_res=image_res, patch_size=14, width=1024,
+                    layers=24, heads=16)
+        base.update(kw)
+        return cls(**base)
+
 
 class ResidualAttentionBlock(nn.Module):
     """Pre-LN block: x += attn(ln_1(x)); x += mlp(ln_2(x)) with QuickGELU

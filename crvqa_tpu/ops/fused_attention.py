@@ -216,6 +216,139 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *p_out,
     jax.lax.fori_loop(0, bb, body, 0)
 
 
+# Head-GROUP formulation (VERDICT r4 weak #2's unexplored midpoint between
+# rejected rev 1 (per-head 64-lane dots) and shipped rev 3 (768-lane,
+# H-fold redundant)): HEAD_GROUP = G heads per dot -> G*64-lane operands,
+# H/G sequential dot-triples per batch row, G-fold (instead of H-fold)
+# block-diagonal redundancy. G=2 gives exactly full-width 128-lane MXU
+# dots with 2x redundancy — 6x less arithmetic than rev 3 at 6x the dot
+# count. 0 = disabled (rev-3 full-width path). The grouped backward uses
+# the flash-style recompute formulation (no stored-p residual; lane-concat
+# of the per-group probs at 72-lane boundaries is what the stored variant
+# would need — build it only if the recompute A/B wins). Read at trace
+# time; measured via benchmarks/bench_fused_attention.py --hgroup.
+HEAD_GROUP = 0
+
+
+def _fwd_kernel_grouped(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                        *, num_heads: int, head_size: int, rate: float,
+                        bb: int, hpg: int):
+    """Grouped forward: per batch row, H//hpg sequential groups; group g
+    lane-slices q/k/v to its hpg heads ([*, hpg*head_size], 128-lane-aligned
+    when hpg*head_size == 128) and runs the rev-3 lane-blocked triple at
+    hpg-fold (not H-fold) redundancy. bias arrives group-majored
+    [B, n_groups, hpg*Sk]."""
+    prog = pl.program_id(0)
+    seed = seed_ref[0]
+    scale = 1.0 / (head_size ** 0.5)
+    sk = k_ref.shape[1]
+    gw = hpg * head_size                      # group lane width
+    rows = hpg * sk
+    n_groups = num_heads // hpg
+    headmask = _head_lane_mask(rows, sk, gw, head_size, k_ref.dtype)
+    segsum = _make_segsum(sk, hpg)
+
+    def body(b, _):
+        qb = q_ref[b]
+        kb = k_ref[b]
+        vb = v_ref[b]
+        ctx_parts = []
+        for g in range(n_groups):
+            lo, hi = g * gw, (g + 1) * gw
+            qg = qb[:, lo:hi]                                 # [Sq, gw]
+            km = _tile_rows(kb[:, lo:hi], hpg) * headmask     # [hpg*Sk, gw]
+            vm = _tile_rows(vb[:, lo:hi], hpg) * headmask
+            bias_g = bias_ref[b][g:g + 1, :]                  # [1, hpg*Sk]
+            s = jax.lax.dot_general(
+                qg, km, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [Sq, hpg*Sk]
+            s = s * scale + bias_g
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            denom = jnp.maximum(segsum(e), 1e-30)
+            p = e / denom
+            if rate > 0.0:
+                keep = _keep_mask(p.shape, rate, seed, prog * bb + b, g)
+                p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+            ctx_parts.append(jax.lax.dot_general(
+                p.astype(qg.dtype), vm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))          # [Sq, gw]
+        o_ref[b] = jnp.concatenate(ctx_parts, axis=1).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bb, body, 0)
+
+
+def _bwd_kernel_grouped(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
+                        dq_ref, dk_ref, dv_ref, *,
+                        num_heads: int, head_size: int, rate: float,
+                        bb: int, hpg: int):
+    """Grouped flash-style recompute backward: per group, the rev-3
+    recompute five-dot sequence at hpg-block width; dq/dk/dv lane-concat
+    their per-group parts back to d_model."""
+    prog = pl.program_id(0)
+    seed = seed_ref[0]
+    scale = 1.0 / (head_size ** 0.5)
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    sk = k_ref.shape[1]
+    gw = hpg * head_size
+    rows = hpg * sk
+    n_groups = num_heads // hpg
+    headmask = _head_lane_mask(rows, sk, gw, head_size, k_ref.dtype)
+    headmask_f = headmask.astype(jnp.float32)
+    segsum = _make_segsum(sk, hpg)
+
+    def body(b, _):
+        qb = q_ref[b]
+        kb = k_ref[b]
+        vb = v_ref[b]
+        gb = g_ref[b]
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for g in range(n_groups):
+            lo, hi = g * gw, (g + 1) * gw
+            qg = qb[:, lo:hi]
+            km = _tile_rows(kb[:, lo:hi], hpg) * headmask
+            vm = _tile_rows(vb[:, lo:hi], hpg) * headmask
+            gg = gb[:, lo:hi]
+            bias_g = bias_ref[b][g:g + 1, :]
+            s = jax.lax.dot_general(
+                qg, km, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * scale + bias_g
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            denom = jnp.maximum(segsum(e), 1e-30)
+            p = e / denom
+            if rate > 0.0:
+                keep = _keep_mask(p.shape, rate, seed, prog * bb + b, g)
+                drop = jnp.where(keep, inv_keep, 0.0)
+            else:
+                drop = 1.0
+            p_t = p * drop
+            dvm = jax.lax.dot_general(
+                p_t.astype(gg.dtype), gg, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [hpg*Sk, gw]
+            dv_parts.append(_sum_head_blocks(dvm, hpg, sk, headmask_f))
+            dp = jax.lax.dot_general(
+                gg, vm, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * drop   # [Sq, hpg*Sk]
+            blocksum = segsum(dp * p)
+            ds = ((dp - blocksum) * p * scale).astype(qg.dtype)
+            dq_parts.append(jax.lax.dot_general(
+                ds, km, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))         # [Sq, gw]
+            dkm = jax.lax.dot_general(
+                ds, qg, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [hpg*Sk, gw]
+            dk_parts.append(_sum_head_blocks(dkm, hpg, sk, headmask_f))
+        dq_ref[b] = jnp.concatenate(dq_parts, axis=1).astype(dq_ref.dtype)
+        dk_ref[b] = jnp.concatenate(dk_parts, axis=1).astype(dk_ref.dtype)
+        dv_ref[b] = jnp.concatenate(dv_parts, axis=1).astype(dv_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bb, body, 0)
+
+
 # Experimental batch-pair formulation (VERDICT r3 #4's "q-stack"): process
 # TWO batch rows per dot — q rows stacked on sublanes [2*Sq, d], k/v blocks
 # stacked on sublanes [2*H*Sk, d], cross-item scores masked to -1e9 before
@@ -635,8 +768,35 @@ def _pair_ok(batch: int) -> bool:
     return Q_PAIR and batch % 8 == 0 and BWD_IMPL != "recompute"
 
 
+def _hgroup_of(num_heads: int) -> int:
+    """Active heads-per-group, or 0 for the full-width rev-3 path."""
+    if 0 < HEAD_GROUP < num_heads and num_heads % HEAD_GROUP == 0:
+        return HEAD_GROUP
+    return 0
+
+
+def _qkvb_grouped(q, k, v, bias, num_heads: int, hpg: int):
+    """Grouped-mode inputs: bias group-majored to [B, n_groups, hpg*Sk]
+    (per-group sublane rows — lane slicing the flat [H*Sk] layout at
+    non-128 offsets is what this avoids)."""
+    d = q.shape[2]
+    sq, sk = q.shape[1], k.shape[1]
+    n_groups = num_heads // hpg
+    ins = [(sq, d, q.dtype), (sk, d, k.dtype), (sk, d, v.dtype),
+           (n_groups, hpg * sk, jnp.float32)]
+    bg = jnp.broadcast_to(jnp.tile(bias, (1, hpg))[:, None, :],
+                          (q.shape[0], n_groups, hpg * sk))
+    return ins, [q, k, v, bg], sq, sk, d
+
+
 def _fa_primal(q, k, v, bias, num_heads, head_size, rate, interpret, seed):
     """No-residual forward — eval / non-differentiated calls."""
+    hpg = _hgroup_of(num_heads)
+    if hpg:
+        ins, args, sq, sk, d = _qkvb_grouped(q, k, v, bias, num_heads, hpg)
+        (o,) = _call(_fwd_kernel_grouped, ins, ((sq, d, q.dtype),), args,
+                     seed, num_heads, head_size, rate, interpret, hpg=hpg)
+        return o
     ins, args, sq, sk, d = _qkvb(q, k, v, bias, num_heads)
     kern = _fwd_kernel_pair if _pair_ok(q.shape[0]) else _fwd_kernel
     (o,) = _call(kern, ins, ((sq, d, q.dtype),), args, seed,
@@ -646,6 +806,11 @@ def _fa_primal(q, k, v, bias, num_heads, head_size, rate, interpret, seed):
 
 def _fa_fwd(q, k, v, bias, num_heads, head_size, rate, interpret, seed):
     """Forward-for-grad: BWD_IMPL selects whether probs are saved."""
+    if _hgroup_of(num_heads):
+        # grouped mode: recompute-style backward, no residual
+        o = _fa_primal(q, k, v, bias, num_heads, head_size, rate, interpret,
+                       seed)
+        return o, (q, k, v, bias, seed, None)
     ins, args, sq, sk, d = _qkvb(q, k, v, bias, num_heads)
     if BWD_IMPL == "recompute":
         (o,) = _call(_fwd_kernel, ins, ((sq, d, q.dtype),), args, seed,
@@ -667,6 +832,15 @@ def _fa_fwd(q, k, v, bias, num_heads, head_size, rate, interpret, seed):
 
 def _fa_bwd(num_heads, head_size, rate, interpret, res, g):
     q, k, v, bias, seed, p = res
+    hpg = _hgroup_of(num_heads)
+    if hpg and p is None:
+        ins, args, sq, sk, d = _qkvb_grouped(q, k, v, bias, num_heads, hpg)
+        outs = ((sq, d, q.dtype), (sk, d, k.dtype), (sk, d, v.dtype))
+        dq, dk, dv = _call(_bwd_kernel_grouped, ins + [(sq, d, q.dtype)],
+                           outs, args + [g.astype(q.dtype)], seed,
+                           num_heads, head_size, rate, interpret, hpg=hpg)
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+                jnp.zeros_like(bias))
     ins, args, sq, sk, d = _qkvb(q, k, v, bias, num_heads)
     g = g.astype(q.dtype)
     outs = ((sq, d, q.dtype), (sk, d, k.dtype), (sk, d, v.dtype))

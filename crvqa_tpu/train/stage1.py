@@ -50,6 +50,14 @@ class Stage1Config:
     # bias_lin / smooth_param receive gradients but are NEVER stepped.
     # True = actually train them (beyond-reference option).
     train_lmh: bool = False
+    # microbatch gradient accumulation (`gradient_accumulation_steps`,
+    # mask_trainer_VQA.py grad-accum arm — same semantics as stage2's):
+    # the batch splits into `grad_accum_steps` microbatches whose grads
+    # average before ONE Adam update. At the canonical bs 64 the dense
+    # optimizer update (fp32 moments over 209M params) is a fixed HBM cost
+    # per step — accumulation amortizes it without changing the recipe's
+    # effective batch arithmetic (loss/grad averages match to fp noise).
+    grad_accum_steps: int = 1
 
 
 def init_state(params: PyTree, config: Stage1Config, rng: jax.Array,
@@ -97,8 +105,31 @@ def make_train_step(model, config: Stage1Config,
     def train_step(state: Stage1State, batch):
         rng, dropout_rng = jax.random.split(state.rng)
         trainable = {"params": state.params, "lmh": state.lmh_params}
-        (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, state, batch, dropout_rng)
+        accum = config.grad_accum_steps
+        if accum > 1:
+            # [B, ...] -> [A, B/A, ...] microbatch scan, grads averaged
+            # before the single Adam update (stage2.py pattern)
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
+                batch)
+            rngs = jax.random.split(dropout_rng, accum)
+
+            def body(carry, inp):
+                g_sum, loss_sum, score_sum = carry
+                mb, r = inp
+                (l, s), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    trainable, state, mb, r)
+                g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g)
+                return (g_sum, loss_sum + l, score_sum + s), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+            (grads, loss, score), _ = jax.lax.scan(
+                body, (zero, 0.0, 0.0), (micro, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            loss = loss / accum  # score is a batch SUM — microbatch sums add
+        else:
+            (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, state, batch, dropout_rng)
         if not config.train_lmh and trainable["lmh"] is not None:
             # LMH params are outside the reference optimizer AND outside its
             # clip_grad_norm_(model.parameters()) — zeroing before tx.update

@@ -130,6 +130,30 @@ def run_stage2(jax, nproc: int, pid: int, port: str, out_dir: str) -> None:
     prune_debias_vqa.main(argv)
 
 
+def run_mplug(jax, nproc: int, pid: int, port: str, out_dir: str) -> None:
+    """The full vqa_mplug CLI (mask mode + momentum twins) under NPROC
+    processes — the path that replaced DeepSpeed ZeRO-2
+    (`mPLUG/configs/ds_config.json`, `mPLUG/utils.py:238`): ZeRO-sharded
+    Adam moments, dual-LR param groups, twin-score EMA, process-local
+    loaders, process-0 gating of mask.pt / vqa_result.json / checkpoints."""
+    from crvqa_tpu.cli import vqa_mplug
+
+    argv = [
+        "--output_dir", out_dir, "--tiny", "--synthetic", "32",
+        "--mode", "mask", "--zero_rate", "0.5", "--distill", "true",
+        "--train_batch_size", "16", "--eval_batch_size", "16",
+        "--num_train_epochs", "1", "--logging_steps", "1",
+        "--masker_update_step", "2", "--save_steps", "100",
+        "--warmup_steps", "1", "--dtype", "float32",
+        "--do_train", "--do_predict", "--seed", "0",
+    ]
+    if nproc > 1:
+        argv += ["--multihost", "true",
+                 "--coordinator_address", f"localhost:{port}",
+                 "--num_processes", str(nproc), "--process_id", str(pid)]
+    vqa_mplug.main(argv)
+
+
 def main() -> None:
     mode, nproc, pid, port, out_dir = sys.argv[1:6]
     nproc, pid = int(nproc), int(pid)
@@ -143,6 +167,8 @@ def main() -> None:
     elif mode == "stage2":
         # the CLI's --multihost flags own jax.distributed.initialize
         run_stage2(jax, nproc, pid, port, out_dir)
+    elif mode == "mplug":
+        run_mplug(jax, nproc, pid, port, out_dir)
     else:
         raise SystemExit(f"unknown mode {mode}")
     print(f"WORKER_OK {mode} {pid}", flush=True)

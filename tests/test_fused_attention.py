@@ -490,3 +490,60 @@ def test_q_pair_dropout_fwd_bwd_consistent(monkeypatch):
     g2 = jax.grad(loss)(q)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
     assert np.isfinite(np.asarray(g1)).all()
+
+
+@pytest.mark.parametrize("sq,sk", [(14, 14), (36, 36), (14, 36), (36, 14)])
+def test_head_group_matches_reference(sq, sk, monkeypatch):
+    """Head-group formulation (HEAD_GROUP=2): per-group 2-head dots with
+    2-fold block-diagonal redundancy — values AND grads must equal the
+    reference (the recompute backward path)."""
+    from crvqa_tpu.ops import fused_attention as fa
+
+    monkeypatch.setattr(fa, "HEAD_GROUP", 2)
+    q, k, v, bias = _inputs(sq, sk, batch=8)
+    out = fa.fused_attention(q, k, v, bias, H, D, 0.0, True)
+    ref = fa.reference_attention(q, k, v, bias, H, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    tgt = jnp.asarray(np.random.default_rng(3).normal(
+        size=(q.shape[0], sq, H * D)).astype(np.float32))
+
+    def loss_fused(q, k, v):
+        return jnp.sum((fa.fused_attention(q, k, v, bias, H, D, 0.0, True)
+                        - tgt) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((fa.reference_attention(q, k, v, bias, H, D)
+                        - tgt) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_head_group_dropout_fwd_bwd_consistent(monkeypatch):
+    """Grouped-mode dropout: the recompute backward regenerates the
+    forward's group-indexed counter-hash mask — deterministic outputs and
+    finite deterministic grads under a fixed seed."""
+    from crvqa_tpu.ops import fused_attention as fa
+
+    monkeypatch.setattr(fa, "HEAD_GROUP", 2)
+    q, k, v, bias = _inputs(14, 36, batch=8)
+    seed = jnp.asarray([11], jnp.int32)
+    rate = 0.3
+
+    out1 = fa.fused_attention_seeded(q, k, v, bias, seed, H, D, rate, True)
+    out2 = fa.fused_attention_seeded(q, k, v, bias, seed, H, D, rate, True)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    def loss(q):
+        return jnp.sum(fa.fused_attention_seeded(
+            q, k, v, bias, seed, H, D, rate, True) ** 2)
+
+    g1 = jax.grad(loss)(q)
+    g2 = jax.grad(loss)(q)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    assert np.isfinite(np.asarray(g1)).all()

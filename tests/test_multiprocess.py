@@ -136,3 +136,57 @@ def test_two_process_stage2_matches_single(tmp_path):
     assert set(p1) == set(p2)
     same = sum(p1[q] == p2[q] for q in p1)
     assert same / len(p1) > 0.95, f"answer agreement {same / len(p1):.3f}"
+
+
+@pytest.mark.slow
+def test_two_process_mplug_matches_single(tmp_path):
+    """The mPLUG driver's --multihost path (VERDICT r4 weak #4): mask mode
+    with momentum twins — ZeRO-sharded moments, dual-LR groups, twin-score
+    EMA, process-local loaders, process-0 artifact gating. 1x8 == 2x4 loss
+    trajectory, mask.pt, vqa_result.json (the surface that replaced
+    DeepSpeed ZeRO-2, `mPLUG/configs/ds_config.json`, `mPLUG/utils.py:238`)."""
+    import torch
+
+    single = str(tmp_path / "single")
+    multi = str(tmp_path / "multi")
+    os.makedirs(single), os.makedirs(multi)
+    _launch("mplug", 1, single, timeout=1800)
+    _launch("mplug", 2, multi, timeout=1800)
+
+    for name in ("mask.pt", "mask_config.json", "vqa_result.json",
+                 "metrics.jsonl"):
+        assert os.path.exists(os.path.join(multi, name)), name
+
+    ms, mm = _read_metrics(single), _read_metrics(multi)
+    steps = sorted(set(ms) & set(mm))
+    assert steps, "no common logged steps"
+    for s in steps:
+        if "loss" in ms[s] or "loss" in mm[s]:
+            np.testing.assert_allclose(ms[s]["loss"], mm[s]["loss"],
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"loss at step {s}")
+        if "sparsity" in ms[s] or "sparsity" in mm[s]:
+            np.testing.assert_allclose(ms[s]["sparsity"], mm[s]["sparsity"],
+                                       atol=1e-3, err_msg=f"sparsity {s}")
+
+    # mask.pt (incl. the _m twin entries): same keys, near-total agreement
+    m1 = torch.load(os.path.join(single, "mask.pt"), weights_only=False)
+    m2 = torch.load(os.path.join(multi, "mask.pt"), weights_only=False)
+    assert set(m1) == set(m2)
+    assert any(k.startswith("text_encoder_m.") for k in m1)  # twins exported
+    agree = total = 0
+    for k in m1:
+        a, b = m1[k].numpy(), m2[k].numpy()
+        assert a.shape == b.shape, k
+        agree += int((a == b).sum())
+        total += a.size
+    assert agree / total > 0.999, f"mask agreement {agree / total:.6f}"
+
+    # beam-decoded predictions: same qids, near-total answer agreement
+    p1 = {p["question_id"]: p["answer"]
+          for p in json.load(open(os.path.join(single, "vqa_result.json")))}
+    p2 = {p["question_id"]: p["answer"]
+          for p in json.load(open(os.path.join(multi, "vqa_result.json")))}
+    assert set(p1) == set(p2)
+    same = sum(p1[q] == p2[q] for q in p1)
+    assert same / len(p1) > 0.9, f"answer agreement {same / len(p1):.3f}"

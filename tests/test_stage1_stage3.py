@@ -93,3 +93,31 @@ def test_ft_randmask_matches_target_rate(setup):
     total = sum(int((~np.asarray(m)).sum()) for m in masks.values())
     n = sum(np.asarray(m).size for m in masks.values())
     assert abs(total / n - 0.7) < 0.01
+
+
+def test_stage1_grad_accum_matches_full_batch(setup):
+    """grad_accum_steps=2 (microbatch scan, averaged grads — the reference's
+    gradient_accumulation_steps arm): identical loss/score/params to the
+    full-batch step up to fp reassociation. Dropout must be off — the
+    microbatch steps draw per-microbatch masks."""
+    import dataclasses as dc
+
+    config, model, params, _, batch = setup
+    config0 = dc.replace(config, hidden_dropout_prob=0.0,
+                         attention_probs_dropout_prob=0.0,
+                         classifier_dropout=0.0)
+    model0 = LxmertForVQA(config0)
+    outs = {}
+    for accum in (1, 2):
+        cfg = stage1.Stage1Config(ft_type="normal", total_steps=10,
+                                  warmup_steps=0, learning_rate=1e-3,
+                                  hidden_size=config.hidden_size,
+                                  grad_accum_steps=accum)
+        state, tx = stage1.init_state(params, cfg, jax.random.PRNGKey(1))
+        step = stage1.make_train_step(model0, cfg, tx)
+        state, m = step(state, _jb(batch))
+        outs[accum] = (float(m.loss), float(m.score),
+                       np.asarray(state.params["classifier"]["main_0"]["v"]))
+    np.testing.assert_allclose(outs[1][0], outs[2][0], rtol=1e-5)
+    np.testing.assert_allclose(outs[1][1], outs[2][1], rtol=1e-6)
+    np.testing.assert_allclose(outs[1][2], outs[2][2], rtol=1e-4, atol=1e-6)
