@@ -290,11 +290,14 @@ def _inner_optimizer(config: "MPlugTrainConfig", schedule) -> optax.GradientTran
     only). Torch's coupled L2 (weight_decay folded into the gradient before
     momentum) is reproduced by `add_decayed_weights` BEFORE the transform;
     adamW/lamb use their native decoupled decay. Fused/apex variants are the
-    same math (fusion is XLA's job here); adamp/sgdp/adahessian/rmsproptf
-    have no optax equivalent and raise."""
+    same math (fusion is XLA's job here); adamp/sgdp/rmsproptf are
+    oracle-tested re-implementations in train/timm_optim.py; adahessian
+    raises (needs Hessian probes no grad transformation can see)."""
     o = config.opt.lower().split("_")[-1]
     wd = optax.add_decayed_weights(config.weight_decay, mask=decay_mask)
     mom = config.opt_momentum
+    from . import timm_optim
+
     table = {
         "sgd": lambda: optax.chain(wd, optax.sgd(schedule, momentum=mom,
                                                  nesterov=True)),
@@ -320,8 +323,25 @@ def _inner_optimizer(config: "MPlugTrainConfig", schedule) -> optax.GradientTran
                                         mask=decay_mask),
         "lamb": lambda: optax.lamb(schedule, weight_decay=config.weight_decay,
                                    mask=decay_mask),
+        # the stragglers optax lacks — oracle-tested re-implementations of
+        # the vendored timm classes (train/timm_optim.py); factory kwargs
+        # per optim_factory.py:95-110. Their projection/shrink decay reads
+        # params, so the coupled-L2 prepend does NOT apply (decay is
+        # internal, like the torch classes).
+        "adamp": lambda: timm_optim.adamp(
+            schedule, weight_decay=config.weight_decay, wd_ratio=0.01,
+            nesterov=True),
+        "sgdp": lambda: timm_optim.sgdp(
+            schedule, momentum=mom, nesterov=True,
+            weight_decay=config.weight_decay),
+        "rmsproptf": lambda: timm_optim.rmsprop_tf(
+            schedule, alpha=0.9, momentum=mom,
+            weight_decay=config.weight_decay),
     }
     if o not in table:
+        # adahessian stays unsupported: it needs Hessian-diagonal probes
+        # (create_graph backward) no gradient transformation can see — and
+        # the reference's own driver never supplies them either
         raise ValueError(f"unsupported opt '{config.opt}' "
                          f"(one of {sorted(table)})")
     return table[o]()
