@@ -174,6 +174,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "be aligned)")
     p.add_argument("--attention_probs_dropout_prob", type=float, default=None)
     p.add_argument("--classifier_dropout", type=float, default=None)
+    p.add_argument("--wandb_project", type=str, default=None,
+                   help="mirror step metrics to wandb (optional, like the "
+                        "reference's is_wandb_available gate, "
+                        "mask_trainer_Robust_VQA.py:68-82; absent wandb "
+                        "degrades to JSONL/TB with a notice)")
     p.add_argument("--tensorboard_dir", type=str, default=None,
                    help="also emit scalar metrics as TensorBoard event "
                         "files into this dir (dependency-free writer, "
@@ -413,7 +418,8 @@ def init_metrics(args: argparse.Namespace) -> None:
         _metrics_writer.close()
     _metrics_writer = MetricsWriter(
         args.output_dir,
-        tensorboard_dir=getattr(args, "tensorboard_dir", None))
+        tensorboard_dir=getattr(args, "tensorboard_dir", None),
+        wandb_project=getattr(args, "wandb_project", None))
 
 
 def log_step(step: int, **metrics) -> None:

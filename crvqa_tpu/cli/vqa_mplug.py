@@ -568,6 +568,8 @@ def main(argv=None) -> None:
         # reference-shaped loop (the A/B surface, bench_serve/CLI session).
         pending = deque()
         depth = max(args.eval_pipeline_depth, 0)
+        t_eval0 = time.perf_counter()
+        warm = {"n": 0, "t": None}  # steady-state clock past batch 0's compile
 
         def flush_one():
             kind, out, qids, ok_vec = pending.popleft()
@@ -579,6 +581,10 @@ def main(argv=None) -> None:
                         continue
                     results.append({"question_id": int(qid),
                                     "answer": answers[int(idx)]})
+                if warm["t"] is None:
+                    warm["t"] = time.perf_counter()
+                else:
+                    warm["n"] += len(qids)
                 return
             ids = host_all_gather(out)
             for row, qid, ok in zip(ids, qids, ok_vec):
@@ -592,6 +598,10 @@ def main(argv=None) -> None:
                 else:
                     answer = " ".join(str(int(t)) for t in row[1:] if t != 0)
                 results.append({"question_id": int(qid), "answer": answer})
+            if warm["t"] is None:
+                warm["t"] = time.perf_counter()  # first fetch done = warm
+            else:
+                warm["n"] += len(qids)
 
         for batch in eval_batches():
             dev = shard_fn({k: v for k, v in batch.items()
@@ -617,7 +627,13 @@ def main(argv=None) -> None:
             with open(os.path.join(args.output_dir,
                                    "vqa_result.json"), "w") as f:
                 json.dump(results, f)
-        common.log_step(int(state.step), num_predictions=len(results))
+        eval_s = time.perf_counter() - t_eval0
+        steady = (round(warm["n"] / (time.perf_counter() - warm["t"]), 1)
+                  if warm["t"] is not None and warm["n"] > 0 else None)
+        common.log_step(int(state.step), num_predictions=len(results),
+                        eval_seconds=round(eval_s, 1),
+                        eval_ex_s_steady=steady,
+                        eval_pipeline_depth=depth)
 
 
 if __name__ == "__main__":

@@ -78,9 +78,11 @@ class MetricsWriter:
     `prune_debias_VQA.py:714-719`)."""
 
     def __init__(self, output_dir: str, name: str = "metrics.jsonl",
-                 tensorboard_dir: Optional[str] = None):
+                 tensorboard_dir: Optional[str] = None,
+                 wandb_project: Optional[str] = None):
         self._fh = None
         self._tb = None
+        self._wandb = None
         if jax.process_index() != 0:
             return
         os.makedirs(output_dir, exist_ok=True)
@@ -90,6 +92,17 @@ class MetricsWriter:
             from .tb_events import TBEventWriter
 
             self._tb = TBEventWriter(tensorboard_dir)
+        if wandb_project:
+            # optional, like the reference's is_wandb_available() gate
+            # (mask_trainer_Robust_VQA.py:68-82): absent wandb degrades to
+            # the JSONL/TB sinks with a one-line notice
+            try:
+                import wandb
+
+                self._wandb = wandb.init(project=wandb_project,
+                                         dir=output_dir, resume="allow")
+            except Exception as e:  # ImportError or offline init failure
+                print(f"# wandb disabled ({type(e).__name__}: {e})")
 
     def write(self, step: int, **metrics) -> None:
         if self._fh is None:
@@ -107,6 +120,9 @@ class MetricsWriter:
                 if k != "step" and isinstance(v, float):
                     self._tb.add_scalar(k, v, payload["step"])
             self._tb.flush()
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in payload.items() if k != "step"},
+                            step=payload["step"])
 
     def close(self) -> None:
         if self._fh is not None:
@@ -115,3 +131,6 @@ class MetricsWriter:
         if self._tb is not None:
             self._tb.close()
             self._tb = None
+        if self._wandb is not None:
+            self._wandb.finish()
+            self._wandb = None

@@ -77,3 +77,37 @@ def test_large_step_and_negative_values(tmp_path):
     w.add_scalar("g", -3.5, 2**40)
     w.close()
     assert _load_scalars(d) == [(2**40, "g", -3.5)]
+
+
+def test_metrics_writer_wandb_hook(tmp_path, monkeypatch):
+    """Optional wandb mirroring (the reference's is_wandb_available gate,
+    mask_trainer_Robust_VQA.py:68-82): present -> metrics logged + finish;
+    absent -> silent JSONL/TB degradation."""
+    import sys
+    import types
+
+    calls = []
+    fake = types.ModuleType("wandb")
+
+    class Run:
+        def log(self, d, step=None):
+            calls.append((step, dict(d)))
+
+        def finish(self):
+            calls.append(("finish", None))
+
+    fake.init = lambda **kw: Run()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    from crvqa_tpu.utils.profiling import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path), wandb_project="proj")
+    w.write(3, loss=1.5)
+    w.close()
+    assert (3, {"loss": 1.5}) in calls
+    assert ("finish", None) in calls
+
+    # absent wandb: degrades without raising
+    monkeypatch.delitem(sys.modules, "wandb")
+    w2 = MetricsWriter(str(tmp_path), wandb_project="proj")
+    w2.write(4, loss=2.0)
+    w2.close()
