@@ -158,6 +158,15 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     add_kernel_flags(p)
     p.add_argument("--synthetic", type=int, default=0,
                    help="run on N synthetic examples instead of real data")
+    p.add_argument("--synthetic_pool", type=int, default=0,
+                   help="pre-generate this many synthetic TRAIN batches and "
+                        "cycle them instead of regenerating per step. For "
+                        "chip parity sessions: a bs-256 batch is ~75 MB of "
+                        "host randn (~0.3 s on a 1-core host), which would "
+                        "make a product-surface throughput run host-RNG "
+                        "bound — unlike the real mmap feature store, which "
+                        "assembles 3x faster than the step consumes "
+                        "(benchmarks/bench_feature_store.py). 0 = regenerate")
     p.add_argument("--prefetch_batches", type=int, default=2,
                    help="host batches prepared ahead on a producer thread "
                         "(data/prefetch.py) — the DataLoader(num_workers) "
@@ -497,23 +506,33 @@ def build_data(args, config):
         ans_num = config.ans_num
         label2ans = [f"ans_{i}" for i in range(ans_num)]
 
+        pool_n = getattr(args, "synthetic_pool", 0)
+        pools: dict = {}
+
+        def _make(bs: int, seed: int) -> dict:
+            return synthetic_batch(
+                batch_size=bs, seed=seed,
+                vocab_size=config.vocab_size, ans_num=ans_num,
+                feat_dim=config.visual_feat_dim,
+                pos_dim=config.visual_pos_dim)
+
         def train_batches(epoch: int) -> Iterator[dict]:
             bs = args.train_batch_size
-            for i in range(max(n // bs, 1)):
-                yield synthetic_batch(
-                    batch_size=bs, seed=epoch * 10000 + i,
-                    vocab_size=config.vocab_size, ans_num=ans_num,
-                    feat_dim=config.visual_feat_dim,
-                    pos_dim=config.visual_pos_dim)
+            steps = max(n // bs, 1)
+            if pool_n > 0:
+                # cycle a fixed pool of distinct batches (see --synthetic_pool)
+                if bs not in pools:
+                    pools[bs] = [_make(bs, i) for i in range(pool_n)]
+                for i in range(steps):
+                    yield pools[bs][i % pool_n]
+                return
+            for i in range(steps):
+                yield _make(bs, epoch * 10000 + i)
 
         def eval_batches() -> Iterator[dict]:
             bs = args.eval_batch_size
             for i in range(max(n // bs, 1)):
-                yield synthetic_batch(
-                    batch_size=bs, seed=777000 + i,
-                    vocab_size=config.vocab_size, ans_num=ans_num,
-                    feat_dim=config.visual_feat_dim,
-                    pos_dim=config.visual_pos_dim)
+                yield _make(bs, 777000 + i)
 
         return (wrap_prefetch(wrap_process_local(train_batches), args),
                 wrap_prefetch(wrap_process_local(eval_batches), args),

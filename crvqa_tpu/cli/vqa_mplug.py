@@ -135,6 +135,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--add_object", type=common.str2bool, default=False,
                    help="append object labels to questions "
                         "(vqa_dataset.py:68-70)")
+    p.add_argument("--synthetic_shapes", type=str, default="6,5,3",
+                   help="q_len,answer_len,answers_per_question for the "
+                        "--synthetic loader. '25,8,5' matches the "
+                        "bench_mplug._batch workload for product-surface "
+                        "parity sessions; the tiny default keeps CPU smoke "
+                        "tests fast")
     p.add_argument("--eval_pipeline_depth", type=int, default=1,
                    help="in-flight eval batches dispatched ahead of the "
                         "result fetch (0 = serial reference-shaped loop); "
@@ -313,18 +319,22 @@ def main(argv=None) -> None:
     )
 
     if args.synthetic:
+        ql, al, apq = (int(x) for x in args.synthetic_shapes.split(","))
+
         def train_batches(epoch):
             for i in range(max(args.synthetic // args.train_batch_size, 1)):
                 yield synthetic_mplug_batch(
                     batch_size=args.train_batch_size,
-                    image_res=config.vit.image_res,
+                    image_res=config.vit.image_res, q_len=ql, a_len=al,
+                    answers_per_question=apq,
                     vocab_size=config.bert.vocab_size, seed=epoch * 1000 + i)
 
         def eval_batches():
             for i in range(max(args.synthetic // args.eval_batch_size, 1)):
                 yield synthetic_mplug_batch(
                     batch_size=args.eval_batch_size,
-                    image_res=config.vit.image_res,
+                    image_res=config.vit.image_res, q_len=ql, a_len=al,
+                    answers_per_question=apq,
                     vocab_size=config.bert.vocab_size, seed=90000 + i)
 
         n_train = args.synthetic

@@ -54,3 +54,25 @@ def test_visualbert_stage2_cli(tmp_path):
 
     mask = torch.load(out / "mask.pt", weights_only=False)
     assert "visual_bert.encoder.layer.0.attention.self.query.weight" in mask
+
+
+@pytest.mark.slow
+def test_eval_pipeline_depth_equivalence(tmp_path):
+    """--eval_pipeline_depth only changes WHEN results are fetched, never
+    what they are or their order: depths 0 (serial reference-shaped loop),
+    1 (default dispatch-ahead) and 3 (> batch count would deadlock a wrong
+    flush loop) must produce identical vqa_result.json files."""
+    from crvqa_tpu.cli import vqa_mplug
+
+    outs = []
+    for depth in (0, 1, 3):
+        out = tmp_path / f"d{depth}"
+        vqa_mplug.main([
+            "--output_dir", str(out), "--tiny", "--synthetic", "24",
+            "--mode", "full", "--eval_batch_size", "8",
+            "--do_predict", "--eval_pipeline_depth", str(depth),
+            "--dtype", "float32", "--seed", "0",
+        ])
+        outs.append(json.load(open(out / "vqa_result.json")))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 24
