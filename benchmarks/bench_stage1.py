@@ -31,7 +31,8 @@ jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
 
 def run(stage: str, batch_size: int = 64, window: int = 32,
-        windows: int = 4) -> dict:
+        windows: int = 4, moment_dtype: str = "float32",
+        accum: int = 1) -> dict:
     from crvqa_tpu.data import synthetic_batch
     from crvqa_tpu.masking import (Masker, ModalSparsity, lxmert_mask_specs,
                                    magnitude_masks)
@@ -64,7 +65,9 @@ def run(stage: str, batch_size: int = 64, window: int = 32,
             p, list(masker.specs), masker.zerorate_dict))(params)
         params = masker.prune_params(params, masks)
     cfg = stage1.Stage1Config(ft_type="lmh", total_steps=100_000,
-                              hidden_size=config.hidden_size)
+                              hidden_size=config.hidden_size,
+                              moment_dtype=moment_dtype,
+                              grad_accum_steps=accum)
     state, tx = stage1.init_state(params, cfg, jax.random.PRNGKey(1),
                                   masks=masks)
 
@@ -94,9 +97,15 @@ def main() -> None:
     bs = 64
     if "--bs" in sys.argv:
         bs = int(sys.argv[sys.argv.index("--bs") + 1])
-    out = {}
+    md = "float32"
+    if "--mdtype" in sys.argv:
+        md = sys.argv[sys.argv.index("--mdtype") + 1]
+    accum = 1
+    if "--accum" in sys.argv:
+        accum = int(sys.argv[sys.argv.index("--accum") + 1])
+    out = {"moment_dtype": md, "accum": accum}
     for stage in ("stage1", "stage3"):
-        out[stage] = run(stage, batch_size=bs)
+        out[stage] = run(stage, batch_size=bs, moment_dtype=md, accum=accum)
         print(f"# {stage}: {out[stage]}", file=sys.stderr)
     print(json.dumps(out))
 

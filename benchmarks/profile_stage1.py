@@ -88,7 +88,9 @@ def build(window: int, batch: int, stage: str, accum: int):
         params = masker.prune_params(params, masks)
     cfg = stage1.Stage1Config(ft_type="lmh", total_steps=100_000,
                               hidden_size=config.hidden_size,
-                              grad_accum_steps=accum)
+                              grad_accum_steps=accum,
+                              moment_dtype=os.environ.get(
+                                  "PROFILE_MDTYPE", "float32"))
     state, tx = stage1.init_state(params, cfg, jax.random.PRNGKey(1),
                                   masks=masks)
     multi = stage1.make_multi_step(model, cfg, tx, window, masker=masker)

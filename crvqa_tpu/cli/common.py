@@ -86,6 +86,20 @@ def overlay_classifier(params, classifier_bin: str, key: str = "classifier"):
     return params
 
 
+def add_dense_train_flags(p: argparse.ArgumentParser) -> None:
+    """Flags specific to the DENSE (stage-1/3) train step, shared by both
+    drivers. The reference surface carries gradient_accumulation_steps on
+    every TrainingArguments subclass (`hg_transformers/training_args.py`);
+    moment_dtype is the TPU-native HBM lever for the canonical bs-64 recipe
+    (train/stage1.Stage1Config.moment_dtype)."""
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--moment_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Adam m/v storage dtype (bfloat16 halves the dense "
+                        "update's optimizer-state HBM traffic; math stays "
+                        "fp32 per step)")
+
+
 def add_kernel_flags(p: argparse.ArgumentParser) -> None:
     """The Pallas attention-kernel switches — one definition shared by the
     training parsers (via add_common_args) and the serving parsers, so a

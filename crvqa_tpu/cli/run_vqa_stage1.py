@@ -34,6 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--training_type", type=str, default="FTonly")
     p.add_argument("--init_ckpt", type=str, default=None,
                    help="pretrained LXMERT weights (torch state_dict or native)")
+    common.add_dense_train_flags(p)
     return p
 
 
@@ -67,7 +68,9 @@ def main(argv=None) -> None:
         ft_type=args.FT_type, learning_rate=args.learning_rate,
         warmup_steps=args.warmup_steps, total_steps=total_steps,
         max_grad_norm=args.max_grad_norm, adam_epsilon=args.adam_epsilon,
-        gamma=args.gamma, hidden_size=config.hidden_size)
+        gamma=args.gamma, hidden_size=config.hidden_size,
+        grad_accum_steps=args.gradient_accumulation_steps,
+        moment_dtype=args.moment_dtype)
     state, tx = stage1.init_state(params, cfg, jax.random.PRNGKey(args.seed))
 
     if args.resume_from:

@@ -55,6 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="[L, H] 0/1 head mask .npy -> physical head pruning")
     p.add_argument("--ffn_mask_npy", type=str, default=None,
                    help="[L, intermediate] 0/1 FFN mask .npy -> neuron pruning")
+    common.add_dense_train_flags(p)
     return p
 
 
@@ -154,7 +155,9 @@ def main(argv=None) -> None:
         ft_type=args.FT_type, learning_rate=args.learning_rate,
         warmup_steps=args.warmup_steps, total_steps=total_steps,
         max_grad_norm=args.max_grad_norm, adam_epsilon=args.adam_epsilon,
-        gamma=args.gamma, hidden_size=config.hidden_size)
+        gamma=args.gamma, hidden_size=config.hidden_size,
+        grad_accum_steps=args.gradient_accumulation_steps,
+        moment_dtype=args.moment_dtype)
     state, tx = stage1.init_state(
         params, cfg, jax.random.PRNGKey(args.seed), masks=masks)
 

@@ -154,17 +154,76 @@ def make_adamw(lr: float, warmup_steps: int, total_steps: int,
     )
 
 
+class TorchAdamState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def torch_adam(learning_rate, b1: float = 0.9, b2: float = 0.999,
+               eps: float = 1e-8,
+               moment_dtype=None) -> optax.GradientTransformation:
+    """`torch.optim.Adam` math (the stage-1/3 optimizer,
+    `run_vqa_stage1.py:355`) with optional narrow moment STORAGE:
+
+      m_t = b1*m + (1-b1)*g;  v_t = b2*v + (1-b2)*g^2
+      p  -= lr/(1-b1^t) * m_t / (sqrt(v_t/(1-b2^t)) + eps)
+
+    identical trajectories to `optax.adam` at moment_dtype=None; with
+    jnp.bfloat16 only the CARRIED m/v round (per-step math stays fp32) —
+    at the canonical stage-1 bs 64 the dense update moves ~28 fp32
+    bytes/param/step regardless of batch size (the profile_stage1
+    speed-of-light's optimizer floor), and halving the m/v traffic is the
+    one lever that doesn't touch the recipe. Schedule reads the
+    pre-increment count (torch LambdaLR steps AFTER optimizer.step())."""
+    sched = (learning_rate if callable(learning_rate)
+             else (lambda _: learning_rate))
+    md = moment_dtype
+
+    def _zeros(p):
+        return jnp.zeros_like(p, dtype=md) if md is not None else jnp.zeros_like(p)
+
+    def init(params):
+        return TorchAdamState(jnp.zeros((), jnp.int32),
+                              jax.tree_util.tree_map(_zeros, params),
+                              jax.tree_util.tree_map(_zeros, params))
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m.astype(g.dtype) + (1 - b1) * g,
+            state.mu, grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v.astype(g.dtype) + (1 - b2) * g * g,
+            state.nu, grads)
+        lr = sched(state.count)
+        c = count.astype(jnp.float32)
+        step_size = lr / (1.0 - b1 ** c)
+        bc2 = jnp.sqrt(1.0 - b2 ** c)
+        updates = jax.tree_util.tree_map(
+            lambda m, v: -step_size * m / (jnp.sqrt(v) / bc2 + eps), mu, nu)
+        if md is not None:
+            mu = jax.tree_util.tree_map(lambda m: m.astype(md), mu)
+            nu = jax.tree_util.tree_map(lambda v: v.astype(md), nu)
+        return updates, TorchAdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_adam(lr: float, warmup_steps: int, total_steps: int,
-              max_grad_norm: float = 1.0, eps: float = 1e-8):
+              max_grad_norm: float = 1.0, eps: float = 1e-8,
+              moment_dtype=None):
     """Stage-1/3 optimizer: `torch.optim.Adam` + linear warmup
-    (`run_vqa_stage1.py:341-362`)."""
-    return optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.adam(
-            learning_rate=linear_warmup_schedule(lr, warmup_steps, total_steps),
-            eps=eps,
-        ),
-    )
+    (`run_vqa_stage1.py:341-362`). moment_dtype=None keeps the exact
+    optax.adam path the trajectory oracle pins to torch at 1e-7;
+    jnp.bfloat16 swaps in `torch_adam` with rounded carried moments."""
+    schedule = linear_warmup_schedule(lr, warmup_steps, total_steps)
+    if moment_dtype is None:
+        inner = optax.adam(learning_rate=schedule, eps=eps)
+    else:
+        inner = torch_adam(schedule, eps=eps, moment_dtype=moment_dtype)
+    return optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
 
 
 def batch_score(logits: jax.Array, labels: jax.Array) -> jax.Array:

@@ -58,6 +58,11 @@ class Stage1Config:
     # per step — accumulation amortizes it without changing the recipe's
     # effective batch arithmetic (loss/grad averages match to fp noise).
     grad_accum_steps: int = 1
+    # storage dtype of the Adam moments (train/common.torch_adam): at the
+    # canonical bs 64 the dense fp32 m/v traffic is ~27% of the step
+    # (profile_stage1 optimizer floor); 'bfloat16' halves it. 'float32' =
+    # the exact optax.adam path (trajectory-oracle-pinned to torch).
+    moment_dtype: str = "float32"
 
 
 def init_state(params: PyTree, config: Stage1Config, rng: jax.Array,
@@ -72,7 +77,10 @@ def init_state(params: PyTree, config: Stage1Config, rng: jax.Array,
                   if config.ft_type in ("lmh", "poe") else None)
     tx = make_adam(config.learning_rate, config.warmup_steps,
                    config.total_steps, config.max_grad_norm,
-                   eps=config.adam_epsilon)
+                   eps=config.adam_epsilon,
+                   moment_dtype=(jnp.bfloat16
+                                 if config.moment_dtype == "bfloat16"
+                                 else None))
     opt_state = tx.init({"params": params, "lmh": lmh_params})
     return Stage1State(
         step=jnp.zeros((), jnp.int32), params=params, lmh_params=lmh_params,

@@ -121,3 +121,73 @@ def test_stage1_grad_accum_matches_full_batch(setup):
     np.testing.assert_allclose(outs[1][0], outs[2][0], rtol=1e-5)
     np.testing.assert_allclose(outs[1][1], outs[2][1], rtol=1e-6)
     np.testing.assert_allclose(outs[1][2], outs[2][2], rtol=1e-4, atol=1e-6)
+
+
+def test_torch_adam_matches_optax_adam():
+    """make_adam(moment_dtype=fp32-ish) paths: torch_adam with md=None-math
+    must reproduce optax.adam exactly (same update math, same schedule
+    convention), and bf16 moments must stay a small perturbation — the
+    stage-1 analogue of stage-2's bf16-Adam-moments guard."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from crvqa_tpu.train.common import make_adam, torch_adam
+
+    rng = jax.random.PRNGKey(0)
+    params = {"w": jax.random.normal(rng, (32, 16)),
+              "b": jnp.zeros((16,))}
+    exact = make_adam(5e-3, warmup_steps=3, total_steps=50)
+    mirror = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        torch_adam(  # same schedule as make_adam builds
+            optax.join_schedules(
+                [optax.linear_schedule(0.0, 5e-3, 3),
+                 optax.linear_schedule(5e-3, 0.0, 47)], [3]),
+            eps=1e-8))
+    bf16 = make_adam(5e-3, warmup_steps=3, total_steps=50,
+                     moment_dtype=jnp.bfloat16)
+
+    s_e, s_m, s_b = exact.init(params), mirror.init(params), bf16.init(params)
+    p_e = p_m = p_b = params
+    for i in range(6):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.sin(p + i) * 0.1, params)
+        u_e, s_e = exact.update(g, s_e, p_e)
+        u_m, s_m = mirror.update(g, s_m, p_m)
+        u_b, s_b = bf16.update(g, s_b, p_b)
+        p_e = optax.apply_updates(p_e, u_e)
+        p_m = optax.apply_updates(p_m, u_m)
+        p_b = optax.apply_updates(p_b, u_b)
+    for a, b in zip(jax.tree_util.tree_leaves(p_e),
+                    jax.tree_util.tree_leaves(p_m)):
+        assert jnp.allclose(a, b, atol=1e-6), "torch_adam != optax.adam"
+    for a, b in zip(jax.tree_util.tree_leaves(p_e),
+                    jax.tree_util.tree_leaves(p_b)):
+        # bf16 carried moments: small drift only
+        assert jnp.max(jnp.abs(a - b)) < 5e-4
+
+
+def test_stage1_moment_dtype_state_and_cli(tmp_path, setup):
+    """moment_dtype='bfloat16' stores bf16 m/v in the state, and the
+    stage-1 driver's --moment_dtype/--gradient_accumulation_steps flags
+    reach the config (end-to-end tiny run)."""
+    config, model, params, masker, batch = setup
+    cfg = stage1.Stage1Config(total_steps=10,
+                              hidden_size=config.hidden_size,
+                              moment_dtype="bfloat16")
+    state, _ = stage1.init_state(params, cfg, jax.random.PRNGKey(0))
+    leaves = jax.tree_util.tree_leaves(state.opt_state)
+    assert any(getattr(l, "dtype", None) == jnp.bfloat16 for l in leaves)
+
+    from crvqa_tpu.cli import run_vqa_stage1
+
+    out = tmp_path / "s1bf16"
+    run_vqa_stage1.main([
+        "--output_dir", str(out), "--tiny", "--synthetic", "16",
+        "--train_batch_size", "8", "--num_train_epochs", "1",
+        "--logging_steps", "1", "--save_steps", "2", "--warmup_steps", "1",
+        "--moment_dtype", "bfloat16", "--gradient_accumulation_steps", "2",
+        "--do_train", "--seed", "0", "--dtype", "float32",
+    ])
+    assert (out / "ckpt_2").exists()
