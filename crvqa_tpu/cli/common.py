@@ -276,6 +276,19 @@ def apply_prng_impl(args: argparse.Namespace) -> None:
     impl = getattr(args, "prng_impl", None)
     if impl and impl != "threefry2x32":
         jax.config.update("jax_default_prng_impl", impl)
+    if getattr(args, "opt", "").lower().split("_")[-1] == "adahessian" and (
+            getattr(args, "fused_attention", False)
+            or getattr(args, "midseq_attention", False)):
+        # second-order (Hutchinson jvp-of-grad) cannot cross the Pallas
+        # kernels' custom_vjp; the XLA attention path differentiates at any
+        # order (the binarizer STEs are custom_jvp and fine)
+        import logging
+
+        logging.getLogger("crvqa_tpu").warning(
+            "opt=adahessian needs forward-mode autodiff: forcing the XLA "
+            "attention path (--fused_attention/--midseq_attention ignored)")
+        args.fused_attention = False
+        args.midseq_attention = False
     if getattr(args, "fused_attention", False):
         from ..models import layers
 

@@ -2,10 +2,17 @@
 
 JAX re-design of the three autograd.Function schemes in the reference
 (`masking/maskers_Robust.py:338-482`). Forward binarizes real-valued mask
-scores; backward passes the cotangent straight through to the scores
+scores; the gradient passes straight through to the scores
 (`_Binarizer1.backward`), optionally gated (scheme 2) or via a Bernoulli
-sample (scheme 3). Implemented with `jax.custom_vjp` so they compose with
-jit/vmap/pjit and the Pallas masked-matmul kernel.
+sample (scheme 3).
+
+Implemented with `jax.custom_jvp` carrying a LINEAR tangent rule: JAX
+transposes it automatically, so reverse-mode gradients are exactly the old
+`custom_vjp` behavior (identity / gated cotangent to scores, zero to the
+threshold) while forward-mode (jvp) also works — which second-order
+optimizers need (`timm_optim.hutchinson` runs jvp-of-grad through the
+masked forward; custom_vjp would refuse with "can't apply forward-mode
+autodiff").
 
 Scheme 1 (`MaskedLinear1`, the one used by every shipped pipeline —
 `prune_debias_VQA.py:465-467`): hard threshold, identity gradient.
@@ -18,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 
-@jax.custom_vjp
+@jax.custom_jvp
 def binarize_ste(scores: jax.Array, threshold: jax.Array) -> jax.Array:
     """scheme 1: 1.0 where scores > threshold else 0.0; identity grad.
 
@@ -29,18 +36,14 @@ def binarize_ste(scores: jax.Array, threshold: jax.Array) -> jax.Array:
     return (scores > threshold).astype(scores.dtype)
 
 
-def _binarize_ste_fwd(scores, threshold):
-    return binarize_ste(scores, threshold), threshold
+@binarize_ste.defjvp
+def _binarize_ste_jvp(primals, tangents):
+    scores, threshold = primals
+    s_dot, _ = tangents
+    return binarize_ste(scores, threshold), s_dot.astype(scores.dtype)
 
 
-def _binarize_ste_bwd(threshold, g):
-    return (g, jnp.zeros_like(threshold))
-
-
-binarize_ste.defvjp(_binarize_ste_fwd, _binarize_ste_bwd)
-
-
-@jax.custom_vjp
+@jax.custom_jvp
 def binarize_sign(scores: jax.Array, threshold: jax.Array) -> jax.Array:
     """scheme 2: (sign(scores)+1)/2 with gradient gated to |scores| < 1.
 
@@ -52,17 +55,13 @@ def binarize_sign(scores: jax.Array, threshold: jax.Array) -> jax.Array:
     return (jnp.sign(scores) + 1.0) / 2.0
 
 
-def _binarize_sign_fwd(scores, threshold):
-    return binarize_sign(scores, threshold), (scores, threshold)
-
-
-def _binarize_sign_bwd(res, g):
-    scores, threshold = res
+@binarize_sign.defjvp
+def _binarize_sign_jvp(primals, tangents):
+    scores, threshold = primals
+    s_dot, _ = tangents
     gate = jnp.logical_and(scores < 1.0, scores > -1.0)
-    return (jnp.where(gate, g, 0.0), jnp.zeros_like(threshold))
-
-
-binarize_sign.defvjp(_binarize_sign_fwd, _binarize_sign_bwd)
+    return (binarize_sign(scores, threshold),
+            jnp.where(gate, s_dot, 0.0).astype(scores.dtype))
 
 
 def clamp_scores_sign(scores: jax.Array) -> jax.Array:
@@ -78,18 +77,18 @@ def make_binarize_bernoulli(rng: jax.Array):
     RNG state). `threshold` is accepted and ignored.
     """
 
-    @jax.custom_vjp
+    @jax.custom_jvp
     def binarize_bernoulli(scores, threshold):
         probs = jax.nn.sigmoid(scores)
         return jax.random.bernoulli(rng, probs).astype(scores.dtype)
 
-    def _fwd(scores, threshold):
-        return binarize_bernoulli(scores, threshold), threshold
+    @binarize_bernoulli.defjvp
+    def _jvp(primals, tangents):
+        scores, threshold = primals
+        s_dot, _ = tangents
+        return (binarize_bernoulli(scores, threshold),
+                s_dot.astype(scores.dtype))
 
-    def _bwd(threshold, g):
-        return (g, jnp.zeros_like(threshold))
-
-    binarize_bernoulli.defvjp(_fwd, _bwd)
     return binarize_bernoulli
 
 

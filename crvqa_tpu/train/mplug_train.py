@@ -291,8 +291,9 @@ def _inner_optimizer(config: "MPlugTrainConfig", schedule) -> optax.GradientTran
     momentum) is reproduced by `add_decayed_weights` BEFORE the transform;
     adamW/lamb use their native decoupled decay. Fused/apex variants are the
     same math (fusion is XLA's job here); adamp/sgdp/rmsproptf are
-    oracle-tested re-implementations in train/timm_optim.py; adahessian
-    raises (needs Hessian probes no grad transformation can see)."""
+    oracle-tested re-implementations in train/timm_optim.py; adahessian is
+    handled one level up (make_two_group_adamw) — its update input is a
+    (grads, hess) pair, not a plain gradient."""
     o = config.opt.lower().split("_")[-1]
     wd = optax.add_decayed_weights(config.weight_decay, mask=decay_mask)
     mom = config.opt_momentum
@@ -339,12 +340,17 @@ def _inner_optimizer(config: "MPlugTrainConfig", schedule) -> optax.GradientTran
             weight_decay=config.weight_decay),
     }
     if o not in table:
-        # adahessian stays unsupported: it needs Hessian-diagonal probes
-        # (create_graph backward) no gradient transformation can see — and
-        # the reference's own driver never supplies them either
+        # adahessian never reaches here: make_two_group_adamw builds its
+        # self-contained pair-input transformation (is_second_order)
         raise ValueError(f"unsupported opt '{config.opt}' "
-                         f"(one of {sorted(table)})")
+                         f"(one of {sorted(table)} or adahessian)")
     return table[o]()
+
+
+def is_second_order(config: "MPlugTrainConfig") -> bool:
+    """adahessian needs Hessian-diagonal probes alongside the gradients
+    (the torch class's `is_second_order` property, adahessian.py:56-58)."""
+    return config.opt.lower().split("_")[-1] == "adahessian"
 
 
 def make_two_group_adamw(config: MPlugTrainConfig):
@@ -354,24 +360,34 @@ def make_two_group_adamw(config: MPlugTrainConfig):
     The inner optimizer is `config.opt` (default adamW, the shipped choice).
     """
 
-    def group(lr):
+    def sched(lr):
         if config.steps_per_epoch > 0:
-            sched = timm_epoch_schedule(
+            return timm_epoch_schedule(
                 config.sched, lr, config.warmup_epochs, config.epochs,
                 config.min_lr, config.steps_per_epoch,
                 decay_rate=config.decay_rate,
                 decay_epochs=config.decay_epochs,
                 warmup_lr_init=config.warmup_lr_init)
-        else:
-            sched = make_lr_schedule(
-                config.sched, lr, config.warmup_steps, config.total_steps,
-                config.min_lr, config.decay_rate, config.decay_steps)
-        return _inner_optimizer(config, sched)
+        return make_lr_schedule(
+            config.sched, lr, config.warmup_steps, config.total_steps,
+            config.min_lr, config.decay_rate, config.decay_steps)
+
+    if is_second_order(config):
+        # adahessian's update input is the (grads, hess) PAIR produced by
+        # timm_optim.hutchinson in the train step, so it owns its clip/
+        # grouping/decay instead of riding the shared chain below
+        from .timm_optim import adahessian_two_group
+
+        return adahessian_two_group(
+            sched(config.lr1), sched(config.lr2), two_group_labels,
+            weight_decay=config.weight_decay,
+            max_grad_norm=config.max_grad_norm, decay_mask=decay_mask)
 
     return optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.multi_transform(
-            {"body": group(config.lr1), "visual": group(config.lr2)},
+            {"body": _inner_optimizer(config, sched(config.lr1)),
+             "visual": _inner_optimizer(config, sched(config.lr2))},
             two_group_labels),
     )
 
@@ -475,9 +491,23 @@ def make_train_step(model, config: MPlugTrainConfig,
                                                    config.head_substrings)}
         else:
             trainable = state.params
-        loss, grads = jax.value_and_grad(loss_fn)(
-            trainable, state, batch, dropout_rng, soft, alpha)
-        updates, opt_state = tx.update(grads, state.opt_state, trainable)
+        if is_second_order(config):
+            # one extra JVP pass per step: (grads, H@z) together via
+            # forward-over-reverse (timm_optim.hutchinson) — the capability
+            # the reference's DeepSpeed backward lacks (never sets
+            # create_graph, so its own adahessian option gets zero Hessians)
+            from .timm_optim import hutchinson
+
+            rng, hess_rng = jax.random.split(rng)
+            loss, grads, hess = hutchinson(
+                loss_fn, trainable, hess_rng, state, batch, dropout_rng,
+                soft, alpha)
+            updates, opt_state = tx.update((grads, hess), state.opt_state,
+                                           trainable)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                trainable, state, batch, dropout_rng, soft, alpha)
+            updates, opt_state = tx.update(grads, state.opt_state, trainable)
         if mesh is not None:
             opt_state = constrain_opt_state(opt_state, mesh)  # ZeRO-2 analogue
         new = optax.apply_updates(trainable, updates)

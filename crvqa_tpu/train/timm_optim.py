@@ -21,9 +21,14 @@ RMSpropTF: TF-semantics RMSprop — square_avg initialized to ONES, eps
 inside the sqrt, coupled weight decay, and the LR folded into the momentum
 buffer (`lr_in_momentum`, rmsprop_tf.py:125-128).
 
-adahessian is NOT here: it needs Hessian diagonals (create_graph backward /
-hvp probes) that a gradient transformation cannot see — and the reference's
-own driver never passes them either, so the surface was dead upstream too.
+AdaHessian (arXiv 2006.00719; vendored `mPLUG/optim/adahessian.py`): the
+Hutchinson Hessian-diagonal probe z*(H@z) the torch class computes with a
+create_graph backward is ONE forward-over-reverse `jax.jvp` of the grad
+function here (`hutchinson`) — a capability note: the reference's own
+driver can never use its adahessian option (DeepSpeed's backward doesn't
+set create_graph, so p.hess stays 0.0 and every denominator collapses to
+eps). `adahessian_two_group` owns clip/grouping/decay because its update
+input is the (grads, hess) pair, not a plain gradient.
 
 PlateauLR: torch `ReduceLROnPlateau` semantics (patience/threshold/
 cooldown/mode) as a HOST-side controller producing an LR scale in [0, 1],
@@ -257,6 +262,110 @@ def rmsprop_tf(learning_rate, alpha: float = 0.9, eps: float = 1e-10,
             if state.momentum_buffer is not None else None,
             tdef.unflatten([o[3] for o in out])
             if state.grad_avg is not None else None))
+
+    return optax.GradientTransformation(init, update)
+
+
+# ----------------------------------------------------------- adahessian ----
+
+class AdahessianState(NamedTuple):
+    count: chex.Array
+    exp_avg: PyTree
+    exp_hess_sq: PyTree
+
+
+def rademacher_like(rng, tree):
+    """One Rademacher (+-1) probe per leaf (adahessian.py:99 —
+    torch.randint(0, 2)*2-1 from a dedicated generator; here a fold of the
+    step rng, deterministic in the seed alone)."""
+    leaves, tdef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(rng, len(leaves))
+    return tdef.unflatten([
+        (jax.random.randint(k, l.shape, 0, 2).astype(jnp.float32) * 2.0
+         - 1.0).astype(l.dtype)
+        for k, l in zip(keys, leaves)])
+
+
+def hutchinson(loss_fn, trainable, rng, *args):
+    """(loss, grads, hess_diag) with ONE extra JVP pass: forward-over-
+    reverse jvp of grad(loss_fn) at a Rademacher probe z gives (grads, H@z)
+    together, and z * (H@z) is the Hutchinson diagonal estimate
+    (adahessian.py:95-102's autograd.grad(grads, params, grad_outputs=zs) —
+    which the torch driver cannot run: DeepSpeed's backward never sets
+    create_graph). `args` close over the non-differentiated operands."""
+    z = rademacher_like(rng, trainable)
+    vg = jax.value_and_grad(loss_fn)
+    (loss, grads), (_, hvp) = jax.jvp(
+        lambda t: vg(t, *args), (trainable,), (z,))
+    hess = jax.tree_util.tree_map(lambda zz, h: zz * h, z, hvp)
+    return loss, grads, hess
+
+
+def adahessian_two_group(sched1, sched2, labels_fn, b1: float = 0.9,
+                         b2: float = 0.999, eps: float = 1e-8,
+                         weight_decay: float = 0.0, hessian_power: float = 1.0,
+                         max_grad_norm: float = 0.0, decay_mask=None
+                         ) -> optax.GradientTransformation:
+    """`mPLUG/optim/adahessian.py:Adahessian.step` (:106-156) over the
+    dual-LR grouping (visual encoder at sched2, body at sched1):
+
+      m_t = b1*m + (1-b1)*g;   v_t = b2*v + (1-b2)*hess^2
+      denom = (v_t/(1-b2^t))^(k/2) + eps
+      p = p*(1 - lr*wd) - lr/(1-b1^t) * m_t/denom     (AdamW-style shrink)
+
+    Self-contained (grad clip + grouping + decay inside) because the
+    Hutchinson diagonal rides alongside the gradients: `update` takes
+    `grads` as the PAIR (grads, hess) produced by `hutchinson` — the one
+    optimizer on the factory surface whose input is not a plain gradient,
+    so it cannot sit behind the shared clip/multi_transform chain.
+    `decay_mask(params)` limits the shrink to decayed leaves (the factory's
+    filter_bias_and_bn grouping, optim_factory.py:59-64)."""
+
+    def init(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return AdahessianState(jnp.zeros((), jnp.int32), z,
+                               jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(pair, state, params=None):
+        if params is None:
+            raise ValueError("adahessian requires params")
+        grads, hess = pair
+        if max_grad_norm > 0.0:
+            gn = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, max_grad_norm / jnp.maximum(gn, 1e-12))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+        # schedules read the pre-increment count (torch LambdaLR order)
+        lrs = {"body": sched1(state.count), "visual": sched2(state.count)}
+        labels = labels_fn(params)
+        dmask = (decay_mask(params) if decay_mask is not None
+                 else jax.tree_util.tree_map(lambda _: True, params))
+
+        def leaf(g, h, p, m, v, lab, dm):
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * h * h
+            lr = lrs[lab]
+            denom = (v / bc2) ** (hessian_power / 2.0) + eps
+            upd = -(lr / bc1) * m / denom
+            if weight_decay != 0.0:
+                upd = jnp.where(dm, upd - lr * weight_decay * p, upd)
+            return upd, m, v
+
+        flat_g, tdef = jax.tree_util.tree_flatten(grads)
+        flat = [leaf(g, h, p, m, v, lab, dm) for g, h, p, m, v, lab, dm
+                in zip(flat_g, tdef.flatten_up_to(hess),
+                       tdef.flatten_up_to(params),
+                       tdef.flatten_up_to(state.exp_avg),
+                       tdef.flatten_up_to(state.exp_hess_sq),
+                       tdef.flatten_up_to(labels),
+                       tdef.flatten_up_to(dmask))]
+        return (tdef.unflatten([f[0] for f in flat]),
+                AdahessianState(count,
+                                tdef.unflatten([f[1] for f in flat]),
+                                tdef.unflatten([f[2] for f in flat])))
 
     return optax.GradientTransformation(init, update)
 

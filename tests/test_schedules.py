@@ -79,9 +79,14 @@ def test_optimizer_factory_surface():
             lambda a, x: a + float(jnp.abs(x).sum()), up, 0.0)
         assert moved > 0, opt
 
+    # adahessian is the one pair-input transformation on the surface: init
+    # works like the others, update takes (grads, hess)
     cfg = MPlugTrainConfig(opt="adahessian")
-    with pytest.raises(ValueError):
-        make_two_group_adamw(cfg).init(params)
+    tx = make_two_group_adamw(cfg)
+    st = tx.init(params)
+    up, _ = tx.update((grads, grads), st, params)
+    assert jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), up, 0.0) >= 0
 
 
 def test_stepwise_fractional_interval():

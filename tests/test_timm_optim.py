@@ -151,18 +151,143 @@ def test_dynamic_scale_carrier():
 
 def test_factory_accepts_stragglers():
     """The mPLUG optimizer factory surface accepts adamp/sgdp/rmsproptf
-    (optim_factory.py:95-110) and still raises for adahessian."""
+    (optim_factory.py:95-110); adahessian takes the pair-input path; an
+    unknown name still raises."""
     from crvqa_tpu.train import mplug_train
 
+    params = {"visual_encoder": {"w": jnp.ones((2, 2))},
+              "text_encoder": {"w": jnp.ones((2, 2))}}
     for opt in ("adamp", "sgdp", "rmsproptf"):
         cfg = mplug_train.MPlugTrainConfig(opt=opt, total_steps=10)
         tx = mplug_train.make_two_group_adamw(cfg)
-        params = {"visual_encoder": {"w": jnp.ones((2, 2))},
-                  "text_encoder": {"w": jnp.ones((2, 2))}}
         state = tx.init(params)
         upd, _ = tx.update(jax.tree_util.tree_map(jnp.ones_like, params),
                            state, params)
         assert np.isfinite(np.asarray(upd["text_encoder"]["w"])).all()
+    tx = mplug_train.make_two_group_adamw(
+        mplug_train.MPlugTrainConfig(opt="adahessian", total_steps=10))
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    upd, _ = tx.update((g, g), tx.init(params), params)
+    assert np.isfinite(np.asarray(upd["visual_encoder"]["w"])).all()
     with pytest.raises(ValueError):
         mplug_train.make_two_group_adamw(
-            mplug_train.MPlugTrainConfig(opt="adahessian", total_steps=10))
+            mplug_train.MPlugTrainConfig(opt="noSuchOpt", total_steps=10))
+
+
+def test_adahessian_oracle():
+    """The reference Adahessian (create_graph backward + its own Rademacher
+    generator) vs adahessian_two_group fed the SAME z sequence (generator
+    replay) and jvp-computed H@z — parameter trajectories identical."""
+    ref_ah = ref_oracle.load_ref_module("ref_adahessian",
+                                        "mPLUG/optim/adahessian.py")
+    rng = np.random.default_rng(3)
+    W0 = rng.normal(size=(4, 3)).astype(np.float32)
+    b0 = rng.normal(size=(4,)).astype(np.float32)
+    X = rng.normal(size=(8, 3)).astype(np.float32)
+    Y = rng.normal(size=(8, 4)).astype(np.float32)
+    steps, lr, wd = 4, 0.05, 0.01
+
+    W = torch.nn.Parameter(torch.from_numpy(W0.copy()))
+    b = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    tX, tY = torch.from_numpy(X), torch.from_numpy(Y)
+    opt = ref_ah.Adahessian([W, b], lr=lr, weight_decay=wd)
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = ((torch.tanh(tX @ W.t() + b) - tY) ** 2).mean()
+        loss.backward(create_graph=True)
+        opt.step()
+
+    # replay the reference's z draws (dedicated generator, seed 2147483647,
+    # params iterated [W, b] each step; adahessian.py:45-46, 99)
+    gen = torch.Generator().manual_seed(2147483647)
+    z_seq = []
+    for _ in range(steps):
+        z_seq.append({
+            "w": (torch.randint(0, 2, (4, 3), generator=gen) * 2.0
+                  - 1.0).numpy().astype(np.float32),
+            "b": (torch.randint(0, 2, (4,), generator=gen) * 2.0
+                  - 1.0).numpy().astype(np.float32)})
+
+    jX, jY = jnp.asarray(X), jnp.asarray(Y)
+
+    def loss_fn(p):
+        return ((jnp.tanh(jX @ p["w"].T + p["b"]) - jY) ** 2).mean()
+
+    tx = timm_optim.adahessian_two_group(
+        lambda c: lr, lambda c: lr,
+        lambda t: {"w": "body", "b": "body"}, weight_decay=wd)
+    p = {"w": jnp.asarray(W0), "b": jnp.asarray(b0)}
+    state = tx.init(p)
+    for z_np in z_seq:
+        z = jax.tree_util.tree_map(jnp.asarray, z_np)
+        grads = jax.grad(loss_fn)(p)
+        _, hvp = jax.jvp(jax.grad(loss_fn), (p,), (z,))
+        hess = jax.tree_util.tree_map(lambda zz, h: zz * h, z, hvp)
+        upd, state = tx.update((grads, hess), state, p)
+        p = jax.tree_util.tree_map(lambda a, u: a + u, p, upd)
+
+    np.testing.assert_allclose(np.asarray(p["w"]), W.detach().numpy(),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(p["b"]), b.detach().numpy(),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_hutchinson_exact_on_diagonal_quadratic():
+    """For loss = 0.5 * sum(a * x^2), H is diag(a) and z*(H@z) == a exactly
+    for any Rademacher z (z^2 == 1) — the estimator is exact, so the jvp
+    plumbing has no tolerance to hide behind."""
+    a = jnp.asarray([0.5, 2.0, 3.0])
+
+    def loss_fn(t):
+        return 0.5 * jnp.sum(a * t["x"] ** 2)
+
+    t = {"x": jnp.asarray([1.0, -2.0, 0.3])}
+    loss, grads, hess = timm_optim.hutchinson(
+        loss_fn, t, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(hess["x"]), np.asarray(a),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(grads["x"]),
+                               np.asarray(a * t["x"]), rtol=1e-6)
+    np.testing.assert_allclose(float(loss), float(loss_fn(t)), rtol=1e-6)
+
+
+def test_adahessian_mplug_train_step():
+    """opt='adahessian' end-to-end through the mPLUG mask-mode train step
+    (jvp through the full model incl. dropout rngs): loss finite, scores
+    move, head params move."""
+    from crvqa_tpu.data.mplug_data import synthetic_mplug_batch
+    from crvqa_tpu.masking import Masker, ModalSparsity
+    from crvqa_tpu.masking.mplug_specs import mplug_mask_specs
+    from crvqa_tpu.models.mplug import MPlug, MPlugConfig
+    from crvqa_tpu.train import mplug_train
+
+    config = MPlugConfig.tiny()
+    model = MPlug(config)
+    b = synthetic_mplug_batch(batch_size=2, image_res=config.vit.image_res,
+                              vocab_size=config.bert.vocab_size)
+    batch = {k: jnp.asarray(v) for k, v in b.items() if k != "qid"}
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["question_ids"],
+        batch["question_mask"], batch["answer_ids"], batch["answer_mask"],
+        batch["weights"])["params"]
+    specs = mplug_mask_specs(
+        vit_layers=config.vit.layers,
+        text_encoder_layers=config.bert.text_encoder_layers,
+        fusion_layers=config.bert.fusion_layers,
+        decoder_layers=config.bert.text_decode_layers,
+        stride_layer=config.bert.stride_layer)
+    masker = Masker.create(specs, ModalSparsity.uniform(0.5),
+                           controlled_init="magnitude_soft")
+    cfg = mplug_train.MPlugTrainConfig(mode="mask", opt="adahessian",
+                                       total_steps=10)
+    state, tx = mplug_train.init_state(model, params, cfg,
+                                       jax.random.PRNGKey(1), masker=masker)
+    step = mplug_train.make_train_step(model, cfg, tx, masker=masker)
+    s0 = jax.tree_util.tree_map(np.asarray, state.scores)
+    state, loss1 = step(state, batch)
+    state, loss2 = step(state, batch)
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    moved = sum(float(np.abs(np.asarray(b_) - a_).max())
+                for a_, b_ in zip(jax.tree_util.tree_leaves(s0),
+                                  jax.tree_util.tree_leaves(state.scores)))
+    assert moved > 0
