@@ -86,18 +86,22 @@ def overlay_classifier(params, classifier_bin: str, key: str = "classifier"):
     return params
 
 
+def add_moment_dtype_flag(p: argparse.ArgumentParser) -> None:
+    """Adam m/v storage dtype — the optimizer-HBM lever on every LXMERT
+    driver. Stage 2: bench.py's measured +2.8% headline ingredient
+    (hf_adamw moment_dtype); stage 1/3: the profile-pinned ~26%
+    optimizer-floor lever (Stage1Config.moment_dtype). Math stays fp32 per
+    step; only the carried state rounds (guard tests both paths)."""
+    p.add_argument("--moment_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+
+
 def add_dense_train_flags(p: argparse.ArgumentParser) -> None:
     """Flags specific to the DENSE (stage-1/3) train step, shared by both
     drivers. The reference surface carries gradient_accumulation_steps on
-    every TrainingArguments subclass (`hg_transformers/training_args.py`);
-    moment_dtype is the TPU-native HBM lever for the canonical bs-64 recipe
-    (train/stage1.Stage1Config.moment_dtype)."""
+    every TrainingArguments subclass (`hg_transformers/training_args.py`)."""
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
-    p.add_argument("--moment_dtype", type=str, default="float32",
-                   choices=["float32", "bfloat16"],
-                   help="Adam m/v storage dtype (bfloat16 halves the dense "
-                        "update's optimizer-state HBM traffic; math stays "
-                        "fp32 per step)")
+    add_moment_dtype_flag(p)
 
 
 def add_kernel_flags(p: argparse.ArgumentParser) -> None:

@@ -50,6 +50,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init_scale", type=float, default=2e-2)
     p.add_argument("--global_prune", type=common.str2bool, default=False)
     p.add_argument("--name_of_masker", type=str, default="MaskedLinear1")
+    common.add_moment_dtype_flag(p)
     p.add_argument("--mask_biases", type=common.str2bool, default=False,
                    help="also mask bias vectors with the module's weight "
                         "threshold (maskers_Robust.py:360-367; default "
@@ -191,7 +192,8 @@ def run(args) -> None:
         hidden_size=config.hidden_size,
         grad_accum_steps=args.gradient_accumulation_steps,
         accumulate_abs_grad=args.accumulate_grads,
-        backbone_dtype=args.backbone_dtype)
+        backbone_dtype=args.backbone_dtype,
+        moment_dtype=args.moment_dtype)
     state, tx = stage2.init_state(model, masker, params, cfg,
                                   jax.random.PRNGKey(args.seed))
     if args.resume_from:

@@ -29,6 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("prune_debias_vqa_visualbert")
     common.add_common_args(p)
     p.add_argument("--model_type", type=str, default="visualbert")
+    common.add_moment_dtype_flag(p)
     p.add_argument("--zero_rate", type=float, default=0.7)
     p.add_argument("--FTmodel_type", type=str, default="noFT")
     p.add_argument("--Masker_type", type=str, default="lmh",
@@ -99,7 +100,8 @@ def main(argv=None) -> None:
         warmup_steps=args.warmup_steps, total_steps=total_steps,
         max_grad_norm=args.max_grad_norm, adam_epsilon=args.adam_epsilon,
         gamma=args.gamma, hidden_size=config.hidden_size,
-        classifier_key="cls", backbone_dtype=args.backbone_dtype)
+        classifier_key="cls", backbone_dtype=args.backbone_dtype,
+        moment_dtype=args.moment_dtype)
     state, tx = stage2.init_state(model, masker, params, cfg,
                                   jax.random.PRNGKey(args.seed))
 
