@@ -580,12 +580,24 @@ def main(argv=None) -> None:
         depth = max(args.eval_pipeline_depth, 0)
         t_eval0 = time.perf_counter()
         warm = {"n": 0, "t": None}  # steady-state clock past batch 0's compile
+        # per-phase wall accounting (printed at the end): where does eval
+        # time actually go on this host/tunnel — batch production (loader
+        # next()), shard/device_put, dispatch call, result fetch+decode
+        phases = {"load": 0.0, "shard": 0.0, "dispatch": 0.0, "flush": 0.0}
+
+        def _clock(key, t0):
+            now = time.perf_counter()
+            phases[key] += now - t0
+            return now
 
         def flush_one():
             kind, out, qids, ok_vec = pending.popleft()
             if kind == "rank":
                 out = jax.tree_util.tree_map(host_all_gather, out)
-                best = best_index(out)
+                # one bulk fetch: iterating a device array fetches per
+                # ELEMENT through the axon tunnel (measured 18.5 ex/s vs
+                # 350 on the same beam workload, r5 session 2)
+                best = np.asarray(best_index(out))
                 for idx, qid, ok in zip(best, qids, ok_vec):
                     if not ok:  # ragged-final-batch padding
                         continue
@@ -596,7 +608,7 @@ def main(argv=None) -> None:
                 else:
                     warm["n"] += len(qids)
                 return
-            ids = host_all_gather(out)
+            ids = np.asarray(host_all_gather(out))  # one bulk fetch (above)
             for row, qid, ok in zip(ids, qids, ok_vec):
                 if not ok:  # ragged-final-batch padding
                     continue
@@ -613,9 +625,16 @@ def main(argv=None) -> None:
             else:
                 warm["n"] += len(qids)
 
-        for batch in eval_batches():
+        it = iter(eval_batches())
+        while True:
+            t0 = time.perf_counter()
+            batch = next(it, None)
+            t0 = _clock("load", t0)
+            if batch is None:
+                break
             dev = shard_fn({k: v for k, v in batch.items()
                             if k not in ("qid", "valid")})
+            t0 = _clock("shard", t0)
             # multi-process: device outputs are sharded globals and qid/valid
             # are loader-local — gather both so every process sees the full
             # set (distributed_concat analogue); single-process: pass-through.
@@ -629,10 +648,14 @@ def main(argv=None) -> None:
             else:
                 ids, scores = gen_fn(state, dev)
                 pending.append(("gen", ids, qids, ok_vec))
+            t0 = _clock("dispatch", t0)
             while len(pending) > depth:
                 flush_one()
+            _clock("flush", t0)
+        t0 = time.perf_counter()
         while pending:
             flush_one()
+        _clock("flush", t0)
         if jax.process_index() == 0:
             with open(os.path.join(args.output_dir,
                                    "vqa_result.json"), "w") as f:
@@ -643,7 +666,9 @@ def main(argv=None) -> None:
         common.log_step(int(state.step), num_predictions=len(results),
                         eval_seconds=round(eval_s, 1),
                         eval_ex_s_steady=steady,
-                        eval_pipeline_depth=depth)
+                        eval_pipeline_depth=depth,
+                        **{f"eval_{k}_s": round(v, 2)
+                           for k, v in phases.items()})
 
 
 if __name__ == "__main__":
