@@ -23,17 +23,21 @@ run python benchmarks/bench_stage1.py
 run python benchmarks/bench_stage1.py --mdtype bfloat16
 run python benchmarks/bench_stage1.py --accum 4
 
-# instrumented eval A/B re-run: session 2 measured 18.5 ex/s through the
+# instrumented eval re-run: session 2 measured 18.5 ex/s through the
 # product CLI vs ~350 on the same workload via bench_generate — the
 # per-phase clocks (eval_load/shard/dispatch/flush_s) pin where the
-# ~1.7 s/batch goes before any fix is guessed at
-for d in 0 2; do
-  run python -m crvqa_tpu.cli.vqa_mplug \
-    --output_dir /tmp/r5_evalab2_$d --synthetic 2560 \
-    --synthetic_shapes 25,8,5 --eval_batch_size 32 \
-    --mode mask --do_predict --eval_pipeline_depth "$d" \
-    --dtype bfloat16 --fused_attention true --midseq_attention true \
-    --prng_impl unsafe_rbg --seed 0
+# ~1.7 s/batch goes. Grid: device_normalize (uint8 transfer, 4x fewer
+# bytes) x pipeline depth.
+for dn in true false; do
+  for d in 0 2; do
+    run python -m crvqa_tpu.cli.vqa_mplug \
+      --output_dir /tmp/r5_evalab2_${dn}_$d --synthetic 2560 \
+      --synthetic_shapes 25,8,5 --eval_batch_size 32 \
+      --mode mask --do_predict --eval_pipeline_depth "$d" \
+      --device_normalize "$dn" \
+      --dtype bfloat16 --fused_attention true --midseq_attention true \
+      --prng_impl unsafe_rbg --seed 0
+  done
 done
 
 # product-surface parity at the EXACT bench.py headline config (bf16

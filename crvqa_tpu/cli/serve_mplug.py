@@ -44,6 +44,9 @@ def build_parser():
     p.add_argument("--ckpt", type=str, default=None,
                    help="training checkpoint dir (ckpt_final / ckpt_<step>)")
     p.add_argument("--serve_batch_size", type=int, default=8)
+    p.add_argument("--device_normalize", type=common.str2bool, default=True,
+                   help="ship uint8 images, CLIP-normalize on device (see "
+                        "vqa_mplug --device_normalize; bit-identical)")
     p.add_argument("--max_wait_ms", type=float, default=20.0)
     p.add_argument("--input", type=str, default="-",
                    help="'-' = stdin, else a requests .jsonl file")
@@ -142,7 +145,8 @@ def main(argv=None) -> None:
                  for i in live]
         if images is None:
             images = load_images([requests[i]["image"] for i in live], res,
-                                 workers=args.data_workers)
+                                 workers=args.data_workers,
+                                 raw=args.device_normalize)
         if n < bs:
             texts += [""] * (bs - n)
             images = np.concatenate(

@@ -135,6 +135,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--add_object", type=common.str2bool, default=False,
                    help="append object labels to questions "
                         "(vqa_dataset.py:68-70)")
+    p.add_argument("--device_normalize", type=common.str2bool, default=True,
+                   help="ship uint8 images and CLIP-normalize on device "
+                        "(4x less host->device traffic; bit-identical "
+                        "activations — models/mplug/vit.clip_normalize_u8). "
+                        "false = host fp32 normalize (the reference shape)")
     p.add_argument("--synthetic_shapes", type=str, default="6,5,3",
                    help="q_len,answer_len,answers_per_question for the "
                         "--synthetic loader. '25,8,5' matches the "
@@ -327,6 +332,7 @@ def main(argv=None) -> None:
                     batch_size=args.train_batch_size,
                     image_res=config.vit.image_res, q_len=ql, a_len=al,
                     answers_per_question=apq,
+                    uint8_images=args.device_normalize,
                     vocab_size=config.bert.vocab_size, seed=epoch * 1000 + i)
 
         def eval_batches():
@@ -335,6 +341,7 @@ def main(argv=None) -> None:
                     batch_size=args.eval_batch_size,
                     image_res=config.vit.image_res, q_len=ql, a_len=al,
                     answers_per_question=apq,
+                    uint8_images=args.device_normalize,
                     vocab_size=config.bert.vocab_size, seed=90000 + i)
 
         n_train = args.synthetic
@@ -362,12 +369,14 @@ def main(argv=None) -> None:
                                    shuffle=args.train_shuffle,
                                    seed=args.seed + epoch, drop_last=True,
                                    augment=args.augment,
-                                   workers=args.data_workers)
+                                   workers=args.data_workers,
+                                   raw_images=args.device_normalize)
 
         def eval_batches():
             return iterate_batches(test_entries, args.eval_batch_size,
                                    config.vit.image_res,
-                                   workers=args.data_workers)
+                                   workers=args.data_workers,
+                                   raw_images=args.device_normalize)
 
     # shape-probe the UNWRAPPED iterator (exactly one batch of host work),
     # then wrap with the prefetcher: overlap image decode + RandAugment

@@ -346,19 +346,25 @@ def random_resized_crop(img, rng: np.random.Generator, size: int,
 
 
 def train_transform(img, rng: np.random.Generator, image_res: int,
-                    n: int = 2, m: float = 7.0) -> np.ndarray:
+                    n: int = 2, m: float = 7.0,
+                    raw: bool = False) -> np.ndarray:
     """RandomResizedCrop(scale 0.5-1.0) -> HFlip(0.5) -> RandomAugment(2,7)
     -> /255 -> CLIP normalize (`train_transform`, dataset/__init__.py:28-35).
-    `img` is a PIL image; returns float32 [H, W, 3]."""
+    `img` is a PIL image; returns float32 [H, W, 3].
+
+    raw=True skips the normalize and returns the augmented uint8 pixels —
+    the device-normalize path (models/mplug/vit.py applies the identical
+    fp32 arithmetic on chip): every augment op is uint8-to-uint8, so raw
+    loses nothing, and the host->device transfer shrinks 4x."""
     img = random_resized_crop(img, rng, image_res)
     arr = np.asarray(img, np.uint8)
     if rng.random() < 0.5:
         arr = arr[:, ::-1]
     arr = random_augment(np.ascontiguousarray(arr), rng, n=n, m=m)
-    return _normalize_u8(arr)
+    return np.ascontiguousarray(arr) if raw else _normalize_u8(arr)
 
 
-def test_transform(img, image_res: int) -> np.ndarray:
+def test_transform(img, image_res: int, raw: bool = False) -> np.ndarray:
     """Resize(bicubic) -> /255 -> normalize (dataset/__init__.py:37-41)."""
     from PIL import Image
 
@@ -366,6 +372,9 @@ def test_transform(img, image_res: int) -> np.ndarray:
     # normalize); exotic PIL modes (I/I;16/F) keep their true sample values
     # through the generic numpy path
     arr = np.asarray(img.resize((image_res, image_res), Image.BICUBIC))
+    if raw:
+        # raw callers (load_images) always .convert("RGB") first -> uint8
+        return np.ascontiguousarray(arr.astype(np.uint8, copy=False))
     return _normalize_u8(arr)
 
 

@@ -167,7 +167,7 @@ def load_entries(ann_files: Sequence[str], tokenizer, q_len: int = 25,
 
 def load_images(paths: Sequence[str], image_res: int = 384,
                 rng: Optional[np.random.Generator] = None,
-                workers: int = 0) -> np.ndarray:
+                workers: int = 0, raw: bool = False) -> np.ndarray:
     """Decode + transform. With `rng`, the train transform stack
     (RandomResizedCrop + HFlip + RandomAugment(2,7),
     `mPLUG/dataset/__init__.py:28-35`) runs deterministically from the
@@ -182,13 +182,15 @@ def load_images(paths: Sequence[str], image_res: int = 384,
 
     from .augment import test_transform, train_transform
 
-    out = np.zeros((len(paths), image_res, image_res, 3), np.float32)
+    out = np.zeros((len(paths), image_res, image_res, 3),
+                   np.uint8 if raw else np.float32)
     rngs = rng.spawn(len(paths)) if rng is not None else [None] * len(paths)
 
     def one(i: int) -> None:
         img = Image.open(paths[i]).convert("RGB")
-        out[i] = (train_transform(img, rngs[i], image_res)
-                  if rngs[i] is not None else test_transform(img, image_res))
+        out[i] = (train_transform(img, rngs[i], image_res, raw=raw)
+                  if rngs[i] is not None
+                  else test_transform(img, image_res, raw=raw))
 
     if workers > 0 and len(paths) > 1:
         list(_pool(workers).map(one, range(len(paths))))
@@ -217,10 +219,15 @@ def _pool(workers: int):
 
 def synthetic_mplug_batch(batch_size: int = 2, image_res: int = 32,
                           vocab_size: int = 128, q_len: int = 6, a_len: int = 5,
-                          answers_per_question: int = 3, seed: int = 0) -> dict:
+                          answers_per_question: int = 3, seed: int = 0,
+                          uint8_images: bool = False) -> dict:
     rng = np.random.RandomState(seed)
     return {
-        "images": rng.randn(batch_size, image_res, image_res, 3).astype(np.float32),
+        "images": (rng.randint(0, 256,
+                               (batch_size, image_res, image_res, 3)
+                               ).astype(np.uint8) if uint8_images else
+                   rng.randn(batch_size, image_res, image_res, 3
+                             ).astype(np.float32)),
         "question_ids": rng.randint(1, vocab_size,
                                     (batch_size, q_len)).astype(np.int32),
         "question_mask": np.ones((batch_size, q_len), np.float32),
@@ -239,7 +246,8 @@ def synthetic_mplug_batch(batch_size: int = 2, image_res: int = 32,
 def iterate_batches(entries: MPlugEntries, batch_size: int,
                     image_res: int = 384, shuffle: bool = False, seed: int = 0,
                     drop_last: bool = False, augment: bool = False,
-                    workers: int = 0) -> Iterator[dict]:
+                    workers: int = 0, raw_images: bool = False
+                    ) -> Iterator[dict]:
     n = len(entries)
     order = np.arange(n)
     if shuffle:
@@ -256,7 +264,8 @@ def iterate_batches(entries: MPlugEntries, batch_size: int,
         yield {
             "valid": valid,
             "images": load_images([entries.image_paths[i] for i in idx],
-                                  image_res, rng=aug_rng, workers=workers),
+                                  image_res, rng=aug_rng, workers=workers,
+                                  raw=raw_images),
             "question_ids": entries.question_tokens[idx],
             "question_mask": entries.question_mask[idx],
             "answer_ids": entries.answer_tokens[idx],

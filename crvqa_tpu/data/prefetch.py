@@ -38,7 +38,13 @@ def _put_floats(batch: dict) -> dict:
 
     out = {}
     for k, v in batch.items():
-        if isinstance(v, np.ndarray) and v.dtype in (np.float32, np.float16):
+        # floats = the bulk of every batch; 'images' may instead be uint8
+        # under the device-normalize path (same bulk role, 4x fewer bytes).
+        # qid/valid/token ints stay host numpy (host-consumed; int64 qids
+        # must not ride the x64-disabled int32 conversion).
+        if isinstance(v, np.ndarray) and (
+                v.dtype in (np.float32, np.float16)
+                or (k == "images" and v.dtype == np.uint8)):
             out[k] = jax.device_put(v)
         else:
             out[k] = v

@@ -22,6 +22,16 @@ from flax import linen as nn
 from .. import layers as _layers
 
 
+def clip_normalize_u8(images: jnp.ndarray) -> jnp.ndarray:
+    """On-device ((x/255) - CLIP_MEAN) / CLIP_STD for uint8 [B, H, W, 3] —
+    the same fp32 arithmetic as the host path (`data/augment._normalize_u8`,
+    the single home of the constants), fused into the patch conv by XLA."""
+    from ...data.augment import CLIP_MEAN, CLIP_STD
+
+    x = images.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+
+
 def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
@@ -140,6 +150,13 @@ class VisionTransformer(nn.Module):
     @nn.compact
     def __call__(self, images, deterministic=True):
         c = self.config
+        if images.dtype == jnp.uint8:
+            # device-side CLIP normalize: the loaders' raw path ships uint8
+            # (4x less host->device traffic; every transform op upstream is
+            # uint8->uint8, so nothing is lost). Exact fp32 arithmetic of
+            # data/augment._normalize_u8 — bit-identical activations either
+            # way (equivalence-tested), then the model's own dtype applies.
+            images = clip_normalize_u8(images)
         x = nn.Conv(c.width, (c.patch_size, c.patch_size),
                     strides=(c.patch_size, c.patch_size), use_bias=False,
                     dtype=c.dtype, name="conv1")(images)
