@@ -44,6 +44,7 @@ def _put_floats(batch: dict) -> dict:
         # must not ride the x64-disabled int32 conversion).
         if isinstance(v, np.ndarray) and (
                 v.dtype in (np.float32, np.float16)
+                or v.dtype.name == "bfloat16"  # --transfer_dtype cast leaves
                 or (k == "images" and v.dtype == np.uint8)):
             out[k] = jax.device_put(v)
         else:

@@ -94,3 +94,67 @@ def test_prefetch_device_puts_uint8_images():
     out = _put_floats(batch)
     assert not isinstance(out["images"], np.ndarray)  # device array now
     assert isinstance(out["qid"], np.ndarray)
+
+
+def test_transfer_cast_bf16_features_exact():
+    """bf16-pre-cast visual features through a bf16 LXMERT stage-2 step ==
+    fp32 features, bitwise: the masked matmul casts its inputs to the
+    model dtype either way (the --transfer_dtype 'auto' contract)."""
+    import jax
+
+    from crvqa_tpu.data import synthetic_batch
+    from crvqa_tpu.masking import Masker, ModalSparsity, lxmert_mask_specs
+    from crvqa_tpu.models import LxmertConfig, LxmertForVQA
+    from crvqa_tpu.train import stage2
+
+    config = LxmertConfig.tiny(dtype=jnp.bfloat16)
+    model = LxmertForVQA(config)
+    b = synthetic_batch(batch_size=4, vocab_size=config.vocab_size,
+                        ans_num=config.ans_num,
+                        feat_dim=config.visual_feat_dim,
+                        pos_dim=config.visual_pos_dim)
+    batch = {k: jnp.asarray(v) for k, v in b.items() if k != "valid"}
+    params = model.init(
+        jax.random.PRNGKey(0), input_ids=batch["input_ids"][:2],
+        visual_feats=batch["visual_feats"][:2],
+        visual_pos=batch["visual_pos"][:2])["params"]
+    masker = Masker.create(
+        lxmert_mask_specs(config.l_layers, config.r_layers, config.x_layers),
+        ModalSparsity.from_compression(0.3, 0.3, 0.3, 0.7),
+        controlled_init="magnitude")
+    cfg = stage2.Stage2Config(total_steps=10, hidden_size=config.hidden_size)
+    state, tx = stage2.init_state(model, masker, params, cfg,
+                                  jax.random.PRNGKey(1))
+    step = stage2.make_train_step(model, masker, tx, cfg)
+
+    cast = dict(batch)
+    for k in ("visual_feats", "visual_pos"):
+        cast[k] = batch[k].astype(jnp.bfloat16)
+    _, m32 = step(state, batch)  # donates state
+    state2, _ = stage2.init_state(model, masker, params, cfg,
+                                  jax.random.PRNGKey(1))
+    _, m16 = step(state2, cast)
+    assert float(m32.loss) == float(m16.loss)
+
+
+def test_transfer_cast_wrapper_dtype_rules():
+    import types
+
+    import ml_dtypes
+
+    from crvqa_tpu.cli.common import wrap_transfer_cast
+
+    def src():
+        yield {"visual_feats": np.ones((2, 3), np.float32),
+               "labels": np.ones((2, 4), np.float32)}
+
+    out = next(iter(wrap_transfer_cast(
+        lambda: src(), types.SimpleNamespace(transfer_dtype="auto",
+                                             dtype="bfloat16"))()))
+    assert out["visual_feats"].dtype == np.dtype(ml_dtypes.bfloat16)
+    assert out["labels"].dtype == np.float32  # loss math stays fp32
+
+    out = next(iter(wrap_transfer_cast(
+        lambda: src(), types.SimpleNamespace(transfer_dtype="auto",
+                                             dtype="float32"))()))
+    assert out["visual_feats"].dtype == np.float32  # auto: fp32 model
