@@ -70,7 +70,8 @@ def _gen_flops(model, masker, cfg, state, jb, compiled_gen,
 
 def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
         iters: int = 8, midseq: bool = False, use_cache: bool = False,
-        cache_reorder: str = "onehot", bf16_lm_head: bool = False) -> dict:
+        cache_reorder: str = "onehot", bf16_lm_head: bool = False,
+        fence_each: bool = False) -> dict:
     from crvqa_tpu.train import mplug_train
     from crvqa_tpu.utils.mfu import mfu
 
@@ -91,8 +92,16 @@ def run(batch_size: int = 32, beam_size: int = 5, max_len: int = 12,
     ids, scores = compiled(state, jb)  # warmup
     _ = np.asarray(ids)
     t0 = time.perf_counter()
+    # fence_each: fetch every iteration's ids — the iterations here are
+    # INDEPENDENT (state is not chained like the train benches), so the
+    # end-fence number is honest ONLY if the axon queue executes enqueued
+    # programs FIFO before serving the last fetch. The per-iter fence is
+    # the skeptical control (r5: the product CLI measured ~20x slower on
+    # the same workload; one of the two numbers is lying)
     for _ in range(iters):
         ids, scores = compiled(state, jb)
+        if fence_each:
+            _ = np.asarray(ids)
     _ = np.asarray(ids)  # fence
     dt = time.perf_counter() - t0
     u = mfu(flops_call, iters, dt, jax.devices()[0].device_kind)
@@ -157,12 +166,13 @@ def main() -> None:
         return
     reorder = "gather" if "--reorder-gather" in sys.argv else "onehot"
     bf16_head = "--bf16-head" in sys.argv
+    fence_each = "--fence-each" in sys.argv
     r = run(midseq=midseq, use_cache=use_cache, cache_reorder=reorder,
-            bf16_lm_head=bf16_head)
+            bf16_lm_head=bf16_head, fence_each=fence_each)
     print(f"# beam-5 masked eval: {r}", file=sys.stderr)
     print(json.dumps({"mplug_beam5_eval": r, "midseq": midseq,
                       "self_kv_cache": use_cache, "cache_reorder": reorder,
-                      "bf16_lm_head": bf16_head}))
+                      "bf16_lm_head": bf16_head, "fence_each": fence_each}))
 
 
 if __name__ == "__main__":

@@ -1,9 +1,15 @@
 #!/usr/bin/env bash
-# Round-5 chip session 3: the stage-1 optimizer-floor levers the r5
-# profile pinned (BENCHMARKS.md "Stage-1 speed-of-light"):
-#   1. bench_stage1 fp32 re-baseline (cache-warm control)
-#   2. bench_stage1 --mdtype bfloat16   (halve Adam m/v HBM traffic)
-#   3. bench_stage1 --accum 4           (one dense update per 4 microbatches)
+# Round-5 chip session 3 (consolidated — session 2 was cut short to fix
+# the product eval loop). Order = most diagnostic first:
+#   1. bench_generate end-fence re-baseline + --fence-each control: the
+#      harness's iterations are INDEPENDENT; if the axon queue doesn't
+#      execute unobserved programs FIFO, the end-fence number is inflated
+#      and the product CLI's ~20 ex/s was the truth all along
+#   2. instrumented product eval grid: device_normalize x pipeline depth
+#   3. stage-1 optimizer-floor levers: bf16 Adam moments, accum 4
+#   4. product-surface parity runs (stage-2 LXMERT at the full headline
+#      config incl. bf16 moments + bf16 feature transfer; mPLUG mask)
+#   5. bench.py headline
 # Strictly sequential — ONE TPU process at a time (CLAUDE.md).
 set -u
 cd "$(dirname "$0")/.."
@@ -15,19 +21,19 @@ run() {
   echo "--- rc=$? ($(date +%T)) ---" | tee -a "$log"
 }
 echo "log: $log"
-if ! timeout 120 python -c "import jax; print(jax.devices())" >>"$log" 2>&1; then
-  echo "tunnel down (probe timed out)" | tee -a "$log"
-  exit 2
-fi
-run python benchmarks/bench_stage1.py
-run python benchmarks/bench_stage1.py --mdtype bfloat16
-run python benchmarks/bench_stage1.py --accum 4
+ok=0
+for i in 1 2 3; do
+  if timeout 180 python -c "import jax; print(jax.devices())" >>"$log" 2>&1; then
+    ok=1; break
+  fi
+  echo "probe $i failed (device busy/aborted?) — retrying in 60s" | tee -a "$log"
+  sleep 60
+done
+[ "$ok" = 1 ] || { echo "tunnel down" | tee -a "$log"; exit 2; }
 
-# instrumented eval re-run: session 2 measured 18.5 ex/s through the
-# product CLI vs ~350 on the same workload via bench_generate — the
-# per-phase clocks (eval_load/shard/dispatch/flush_s) pin where the
-# ~1.7 s/batch goes. Grid: device_normalize (uint8 transfer, 4x fewer
-# bytes) x pipeline depth.
+run python benchmarks/bench_generate.py --midseq --cache
+run python benchmarks/bench_generate.py --midseq --cache --fence-each
+
 for dn in true false; do
   for d in 0 2; do
     run python -m crvqa_tpu.cli.vqa_mplug \
@@ -40,9 +46,10 @@ for dn in true false; do
   done
 done
 
-# product-surface parity at the EXACT bench.py headline config (bf16
-# backbone + bf16 Adam moments): session-2's parity run lacked
-# --moment_dtype (the flag landed after it launched)
+run python benchmarks/bench_stage1.py
+run python benchmarks/bench_stage1.py --mdtype bfloat16
+run python benchmarks/bench_stage1.py --accum 4
+
 run python -m crvqa_tpu.cli.prune_debias_vqa \
   --output_dir /tmp/r5_parity_s2b --synthetic 67072 --synthetic_pool 8 \
   --do_train --train_batch_size 256 --num_train_epochs 1 \
@@ -50,4 +57,13 @@ run python -m crvqa_tpu.cli.prune_debias_vqa \
   --fused_attention true --prng_impl unsafe_rbg \
   --steps_per_dispatch 64 --logging_steps 64 --save_steps 128 \
   --warmup_steps 0 --seed 0
+
+run python -m crvqa_tpu.cli.vqa_mplug \
+  --output_dir /tmp/r5_parity_mplug --synthetic 6400 \
+  --synthetic_shapes 25,8,5 --mode mask --do_train \
+  --train_batch_size 32 --num_train_epochs 1 \
+  --dtype bfloat16 --fused_attention true --midseq_attention true \
+  --prng_impl unsafe_rbg --logging_steps 20 --save_steps 100 --seed 0
+
+run python bench.py
 echo "session complete: $log"

@@ -304,16 +304,19 @@ def apply_prng_impl(args: argparse.Namespace) -> None:
         from ..models import layers
 
         layers.FUSED_ATTENTION = True
-        # Mosaic kernels need a TPU; anywhere else run interpreted so the
-        # flag stays testable on the virtual CPU mesh
+        # Mosaic kernels need a TPU; on the virtual CPU mesh run
+        # interpreted so the flag stays testable. Gate on == "cpu", NOT
+        # != "tpu": the axon PJRT plugin may report its own platform name
+        # for the real chip, and interpret mode there would run the
+        # kernels emulated (the r5 session-2 eval A/B suspect)
         layers.FUSED_ATTENTION_INTERPRET = (
-            jax.devices()[0].platform != "tpu")
+            jax.devices()[0].platform == "cpu")
     if getattr(args, "midseq_attention", False):
         from ..models import layers
 
         layers.MIDSEQ_ATTENTION = True
         layers.FUSED_ATTENTION_INTERPRET = (
-            jax.devices()[0].platform != "tpu")
+            jax.devices()[0].platform == "cpu")
 
 
 def init_distributed(args: argparse.Namespace) -> None:
