@@ -146,7 +146,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "bench_mplug._batch workload for product-surface "
                         "parity sessions; the tiny default keeps CPU smoke "
                         "tests fast")
-    p.add_argument("--eval_pipeline_depth", type=int, default=1,
+    p.add_argument("--eval_pipeline_depth", type=int, default=2,
                    help="in-flight eval batches dispatched ahead of the "
                         "result fetch (0 = serial reference-shaped loop); "
                         "overlaps encode of batch i+1 with the host's fetch/"
