@@ -15,6 +15,7 @@ Usage: python benchmarks/bench_stage1.py   (real chip)
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -71,7 +72,13 @@ def run(stage: str, batch_size: int = 64, window: int = 32,
     state, tx = stage1.init_state(params, cfg, jax.random.PRNGKey(1),
                                   masks=masks)
 
-    single = stage1.make_train_step(model, cfg, tx, masker=masker)
+    # FLOPs from the ACCUM-1 step: XLA cost analysis counts a lax.scan
+    # body once, so the microbatch loop under-reports by 1/accum; the
+    # accum-1 program is the same arithmetic total (same fwd/bwd work +
+    # one update) counted correctly
+    cfg_flops = (dataclasses.replace(cfg, grad_accum_steps=1)
+                 if accum > 1 else cfg)
+    single = stage1.make_train_step(model, cfg_flops, tx, masker=masker)
     flops_step = lowered_flops(single, state, batch)
 
     multi = stage1.make_multi_step(model, cfg, tx, window, masker=masker)
