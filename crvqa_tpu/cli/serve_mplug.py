@@ -44,9 +44,7 @@ def build_parser():
     p.add_argument("--ckpt", type=str, default=None,
                    help="training checkpoint dir (ckpt_final / ckpt_<step>)")
     p.add_argument("--serve_batch_size", type=int, default=8)
-    p.add_argument("--device_normalize", type=common.str2bool, default=True,
-                   help="ship uint8 images, CLIP-normalize on device (see "
-                        "vqa_mplug --device_normalize; bit-identical)")
+    # --device_normalize is inherited from vqa_mplug.build_parser()
     p.add_argument("--max_wait_ms", type=float, default=20.0)
     p.add_argument("--input", type=str, default="-",
                    help="'-' = stdin, else a requests .jsonl file")
@@ -171,7 +169,9 @@ def main(argv=None) -> None:
 
     t0 = time.monotonic()
     run_batch([{"question_id": -1, "question": "warm up"}],
-              images=np.zeros((1, res, res, 3), np.float32))
+              images=np.zeros((1, res, res, 3),
+                              np.uint8 if args.device_normalize
+                              else np.float32))
     print(f"serve_mplug: ready (compile {time.monotonic() - t0:.1f}s, "
           f"batch {bs}, beam {args.beam_size})", file=sys.stderr, flush=True)
 

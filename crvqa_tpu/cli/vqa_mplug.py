@@ -603,10 +603,7 @@ def main(argv=None) -> None:
             kind, out, qids, ok_vec = pending.popleft()
             if kind == "rank":
                 out = jax.tree_util.tree_map(host_all_gather, out)
-                # one bulk fetch: iterating a device array fetches per
-                # ELEMENT through the axon tunnel (measured 18.5 ex/s vs
-                # 350 on the same beam workload, r5 session 2)
-                best = np.asarray(best_index(out))
+                best = best_index(out)  # numpy already (host_all_gather)
                 for idx, qid, ok in zip(best, qids, ok_vec):
                     if not ok:  # ragged-final-batch padding
                         continue
@@ -617,7 +614,7 @@ def main(argv=None) -> None:
                 else:
                     warm["n"] += len(qids)
                 return
-            ids = np.asarray(host_all_gather(out))  # one bulk fetch (above)
+            ids = host_all_gather(out)  # one bulk host fetch (numpy)
             for row, qid, ok in zip(ids, qids, ok_vec):
                 if not ok:  # ragged-final-batch padding
                     continue

@@ -275,14 +275,13 @@ class AdahessianState(NamedTuple):
 
 
 def rademacher_like(rng, tree):
-    """One Rademacher (+-1) probe per leaf (adahessian.py:99 —
-    torch.randint(0, 2)*2-1 from a dedicated generator; here a fold of the
-    step rng, deterministic in the seed alone)."""
+    """One Rademacher (+-1) probe per leaf (adahessian.py:99's
+    torch.randint(0, 2)*2-1 from a dedicated generator; here
+    jax.random.rademacher per leaf, deterministic in the seed alone)."""
     leaves, tdef = jax.tree_util.tree_flatten(tree)
     keys = jax.random.split(rng, len(leaves))
     return tdef.unflatten([
-        (jax.random.randint(k, l.shape, 0, 2).astype(jnp.float32) * 2.0
-         - 1.0).astype(l.dtype)
+        jax.random.rademacher(k, l.shape, dtype=l.dtype)
         for k, l in zip(keys, leaves)])
 
 

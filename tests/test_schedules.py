@@ -81,12 +81,13 @@ def test_optimizer_factory_surface():
 
     # adahessian is the one pair-input transformation on the surface: init
     # works like the others, update takes (grads, hess)
-    cfg = MPlugTrainConfig(opt="adahessian")
+    cfg = MPlugTrainConfig(opt="adahessian", warmup_steps=1, total_steps=10)
     tx = make_two_group_adamw(cfg)
     st = tx.init(params)
-    up, _ = tx.update((grads, grads), st, params)
+    _, st = tx.update((grads, grads), st, params)  # step 0: warmup lr == 0
+    up, _ = tx.update((grads, grads), st, params)  # step 1: lr at peak
     assert jax.tree_util.tree_reduce(
-        lambda a, x: a + float(jnp.abs(x).sum()), up, 0.0) >= 0
+        lambda a, x: a + float(jnp.abs(x).sum()), up, 0.0) > 0
 
 
 def test_stepwise_fractional_interval():
