@@ -14,8 +14,7 @@ CLIS = [
     ("prune_debias_vqa", ["--output_dir", "/tmp/x"]),
     ("prune_debias_vqa_visualbert", ["--output_dir", "/tmp/x"]),
     ("vqa_mplug", ["--output_dir", "/tmp/x"]),
-    ("serve_vqa", ["--dataroot", "/tmp/d", "--img_root", "/tmp/i",
-                   "--output_dir", "/tmp/x"]),
+    ("serve_vqa", ["--dataroot", "/tmp/d", "--img_root", "/tmp/i"]),
     ("serve_mplug", ["--output_dir", "/tmp/x"]),
 ]
 
