@@ -230,7 +230,7 @@ def efficacy(tmp_path_factory):
     os.chdir(tmp)
     try:
         accs = {}
-        for ft in ("normal", "lmh"):
+        for ft in ("normal", "lmh", "lpf", "rubi"):
             out = tmp / f"s1_{ft}"
             _run_ours_stage1(tmp, out, ft)
             accs[f"ours_s1_{ft}"] = _acc_of(out, truth)
@@ -267,6 +267,17 @@ def test_ours_stage2_mask_train_lmh_beats_plain_ood(efficacy):
     model)."""
     assert efficacy["ours_s2_lmh"] >= efficacy["ours_s2_normal"] + MARGIN, \
         efficacy
+
+
+@pytest.mark.slow
+def test_ours_stage1_lpf_rubi_beat_plain_ood(efficacy):
+    """The other two debias losses exploit the planted prior too
+    (`mask_trainer_Robust_VQA.py:161-186`): LPF's focal down-weighting of
+    bias-aligned answers is the strongest on this task (~0.77 measured vs
+    0.23 plain); RUBI's sigmoid(bias) logit modulation is a smaller but
+    real gain (~0.31)."""
+    assert efficacy["ours_s1_lpf"] >= efficacy["ours_s1_normal"] + MARGIN,         efficacy
+    assert efficacy["ours_s1_rubi"] >= efficacy["ours_s1_normal"] + 0.04,         efficacy
 
 
 @pytest.mark.slow
