@@ -45,8 +45,14 @@ def categorize(name: str, op: str) -> str:
     """Stage-1's dense Adam lowers as `multiply_add_fusion.*` ops under the
     optimizer's `closed_call/add` jaxpr path (the stage-2 rule keys on the
     masked-update's `divide_add` names and misses them — first chip capture
-    put 216 ms of Adam in model_other)."""
+    put 216 ms of Adam in model_other). Under moment_dtype=bfloat16 the
+    torch_adam variant anchors on its m/v astype casts instead:
+    `fusion.*` at a bare `closed_call/convert_element_type` path (second
+    chip capture put its 103 ms in model_other the same way)."""
     if name.startswith("multiply_add_fusion") and "closed_call/add" in op:
+        return "adam_update"
+    if (name.startswith("fusion")
+            and op.endswith("closed_call/convert_element_type")):
         return "adam_update"
     return _categorize_s2(name, op)
 
