@@ -108,10 +108,17 @@ def build(window: int, batch: int, stage: str, accum: int):
 
 
 def speed_of_light_stage1(summary: dict, window: int, batch: int,
-                          n_params: int) -> dict:
+                          n_params: int,
+                          moment_dtype: str = "float32") -> dict:
     """Two-floor pin: attention repriced at FFN efficiency + Adam repriced
     at HBM bandwidth. Everything else is model matmuls (the stage-2 profile
-    conclusion carries: same model, denser update)."""
+    conclusion carries: same model, denser update).
+
+    The Adam byte model follows the moment dtype (fp32: read m,v,p,g +
+    write m,v,p = 28 B/param; bf16 moments: m/v words are 2 B = 20). The
+    model is an ESTIMATE, not a true bound — XLA fuses the grad read into
+    the update, so the measured bucket can run under it; sol therefore
+    never prices a bucket above its own measurement (min(model, measured))."""
     cats = summary["by_category_ms"]
     att_ms = sum(v for k, v in cats.items() if k.startswith("pallas_attn"))
     ffn_ms = sum(v for k, v in cats.items() if k.startswith("ffn"))
@@ -124,20 +131,23 @@ def speed_of_light_stage1(summary: dict, window: int, batch: int,
     ffn_fl *= window
     eff_ffn = ffn_fl / (ffn_ms / 1e3)
     sol_att_ms = att_fl / eff_ffn * 1e3
-    # Adam floor: 7 fp32 words/param/step (read m, v, param, grad; write
-    # m, v, param), window steps
     kind = jax.devices()[0].device_kind
     bw = next((v for k, v in HBM_GBPS.items() if k in kind), 819.0)
-    adam_bytes = 7 * 4 * n_params * window
+    word = 2 if moment_dtype == "bfloat16" else 4
+    # read m, v (moment dtype) + param, grad (fp32); write m, v, param
+    adam_bytes = (4 * word + 3 * 4) * n_params * window
     sol_adam_ms = adam_bytes / (bw * 1e9) * 1e3
-    sol_total = total_ms - att_ms + sol_att_ms - adam_ms + sol_adam_ms
+    eff_adam_ms = min(sol_adam_ms, adam_ms) if adam_ms > 0 else sol_adam_ms
+    sol_total = total_ms - att_ms + sol_att_ms - adam_ms + eff_adam_ms
     return {
         "attention_ms": round(att_ms, 2),
         "ffn_ms": round(ffn_ms, 2),
         "ffn_measured_tflops": round(eff_ffn / 1e12, 2),
         "adam_ms": round(adam_ms, 2),
         "adam_pct_of_step": round(100 * adam_ms / max(total_ms, 1e-9), 1),
+        "moment_dtype": moment_dtype,
         "sol_adam_ms": round(sol_adam_ms, 2),
+        "eff_adam_ms": round(eff_adam_ms, 2),
         "adam_bw_utilization": round(
             (adam_bytes / (adam_ms / 1e3)) / (bw * 1e9), 3)
         if adam_ms > 0 else None,
@@ -168,7 +178,8 @@ def main() -> None:
                          "accum": accum}
     if "by_category_ms" in summary:
         summary["speed_of_light"] = speed_of_light_stage1(
-            summary, window, batch, n_params)
+            summary, window, batch, n_params,
+            moment_dtype=os.environ.get("PROFILE_MDTYPE", "float32"))
     print(json.dumps(summary))
 
 

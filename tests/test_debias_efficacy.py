@@ -224,6 +224,11 @@ def _run_reference_stage1(tmp, out_dir, ft_type):
 
 @pytest.fixture(scope="module")
 def efficacy(tmp_path_factory):
+    # Module-scoped and EAGER over all six arms: the full suite consumes
+    # every key, the reference arm mutates the fabricated files in place
+    # (_intify_image_ids) so ours-then-ref ordering must hold, and lazy
+    # per-key computation would only speed up `-k` selections at the cost
+    # of that ordering invariant.
     tmp = tmp_path_factory.mktemp("debias_eff")
     truth = _fabricate_biased(tmp)
     cwd = os.getcwd()
